@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the engine.
+
+Replaces the reference's external-engine delegation (Athena via
+awswrangler, ``crawler/src/utils/athena.py:11-54``) with an in-process
+Catalyst session. All defaults are chosen for scale-out behavior:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy);
+- Arrow on (every pandas-UDF / mapInPandas boundary is vectorized);
+- shuffle partitions sized from the configured parallelism rather than
+  the 200-row-chunk hand scheduling of the reference
+  (``crawler/src/procedure_code.py:725``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "etl-procedure-codes-crawler-spark"
+
+
+def default_parallelism() -> int:
+    """Parallelism knob: honored by tests/bench via SPARK_GRAFT_CPUS."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from SPARK_GRAFT_CPUS.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and sort-merge→broadcast conversion at 100TB scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM data transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Partition-size ceiling so scans split into memory-safe tasks.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,93 @@
+"""Parquet dataset sinks (SURVEY §2.2 K1/K2/K6).
+
+Reference: ``crawler/src/utils/s3.py:37-63`` —
+``s3_athena_load_table_parquet_snappy`` writes snappy parquet datasets
+with append/overwrite modes, optional partition columns, a
+date-stamped *filename prefix*, Glue registration, and a skip when the
+frame is empty. Spark-first translation:
+
+- the date-stamp filename prefix becomes a ``load_date`` partition
+  column (queryable, prunable — filenames are not);
+- Glue registration becomes the Spark catalog (``saveAsTable``) when a
+  table name is given, plain ``save`` for paths;
+- append-mode double-write risk under task retry is mitigated by
+  writing each run into a distinct ``load_date`` (or run-id) partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOAD_DATE_COLUMN = "load_date"
+
+
+def with_load_date(df: DataFrame, load_date: str | None = None) -> DataFrame:
+    """Attach the run's load-date partition column (replaces the
+    reference's ``datetime.now().strftime('%Y%m%d')`` filename prefix,
+    ``utils/s3.py:37``)."""
+    col = (
+        F.lit(load_date)
+        if load_date is not None
+        else F.date_format(F.current_date(), "yyyyMMdd")
+    )
+    return df.withColumn(LOAD_DATE_COLUMN, col)
+
+
+def write_parquet_dataset(
+    df: DataFrame,
+    path: str | None = None,
+    table: str | None = None,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    skip_empty: bool = True,
+) -> bool:
+    """K1: snappy parquet dataset write, append/overwrite, optional
+    partitioning and catalog registration. Returns True if written.
+
+    ``skip_empty`` keeps the reference's 0-row guard
+    (``utils/s3.py:40``; cheap ``isEmpty`` — avoids empty files and
+    catalog churn).
+    """
+    if (path is None) == (table is None):
+        raise ValueError("exactly one of path/table must be given")
+    if skip_empty and df.isEmpty():
+        return False
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if table is not None:
+        writer.format("parquet").saveAsTable(table)
+    else:
+        writer.parquet(path)
+    return True
+
+
+def write_single_file_parquet(df: DataFrame, path: str) -> None:
+    """K2: single-file write (``utils/s3.py:57-63``).
+
+    ``coalesce(1)`` funnels through one task — correct only for small
+    frames (the reference used it for small exports); large data should
+    use :func:`write_parquet_dataset`.
+    """
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def delete_path(spark, path: str) -> bool:
+    """K6: explicit cleanup (``utils/s3.py:12-24``) via Hadoop FS."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        return bool(fs.delete(p, True))
+    return False
+
+
+def get_table_location(spark, table: str) -> str | None:
+    """K7: catalog → storage location (``utils/s3.py:65-69``)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    for row in rows:
+        if row.col_name.strip() == "Location":
+            return row.data_type
+    return None

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_procedure_codes_crawler_spark.session import get_spark  # noqa: E402
+
+TESTDATA_ROOT = "/root/testdata"
+SF_SMOKE = os.path.join(TESTDATA_ROOT, "sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    spark = get_spark(
+        app_name="etl-procedure-codes-crawler-spark-tests",
+        shuffle_partitions=4,
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture()
+def fixtures_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")

@@ -1,0 +1,55 @@
+"""Parquet sink semantics (reference: utils/s3.py:37-63)."""
+
+from __future__ import annotations
+
+import os
+
+from etl_procedure_codes_crawler_spark.sinks.parquet import (
+    with_load_date,
+    write_parquet_dataset,
+    write_single_file_parquet,
+)
+from etl_procedure_codes_crawler_spark.sources.parquet import read_table_or_empty
+from etl_procedure_codes_crawler_spark.schemas import PROCEDURE_MODIFIERS_SCHEMA
+
+
+def _mods(spark, pairs):
+    return spark.createDataFrame(pairs, PROCEDURE_MODIFIERS_SCHEMA)
+
+
+def test_append_accumulates(spark, tmp_path):
+    path = str(tmp_path / "mods")
+    assert write_parquet_dataset(_mods(spark, [("25", "d1")]), path=path)
+    assert write_parquet_dataset(_mods(spark, [("59", "d2")]), path=path)
+    out = spark.read.parquet(path)
+    assert sorted(r.modifier for r in out.collect()) == ["25", "59"]
+
+
+def test_empty_write_skipped(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    assert not write_parquet_dataset(_mods(spark, []), path=path)
+    assert not os.path.exists(path)
+
+
+def test_load_date_partitioning(spark, tmp_path):
+    path = str(tmp_path / "partitioned")
+    df = with_load_date(_mods(spark, [("25", "d1")]), load_date="20260813")
+    write_parquet_dataset(df, path=path, partition_by=["load_date"])
+    assert os.path.isdir(os.path.join(path, "load_date=20260813"))
+    out = spark.read.parquet(path)
+    assert out.filter(out.load_date == "20260813").count() == 1
+
+
+def test_read_missing_table_yields_typed_empty(spark, tmp_path):
+    df = read_table_or_empty(
+        spark, str(tmp_path / "nope"), PROCEDURE_MODIFIERS_SCHEMA
+    )
+    assert df.schema == PROCEDURE_MODIFIERS_SCHEMA and df.count() == 0
+
+
+def test_single_file_write(spark, tmp_path):
+    path = str(tmp_path / "single")
+    write_single_file_parquet(_mods(spark, [("25", "d1"), ("59", "d2")]), path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(path).count() == 2
