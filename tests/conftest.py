@@ -5,7 +5,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Executor python workers import the package by reference — they need the
+# repo root on PYTHONPATH (set before the JVM starts).
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from etl_procedure_codes_crawler_spark.session import get_spark  # noqa: E402
 
