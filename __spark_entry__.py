@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship multi-join/agg/top-k plan at sf0.001;
+``queries``/``oracle_sql`` expose the full registered corpus (relational
+operators from SURVEY §2 + the LLM-pipeline operators) with their
+DuckDB oracles for the driver's hash-compare.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+# executors import the package by reference
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+
+def _registry():
+    from etl_procedure_codes_crawler_spark.plans import relational
+
+    try:  # beyond-reference operator families register on import
+        from etl_procedure_codes_crawler_spark.llm import queries as _llm  # noqa: F401
+    except ImportError:
+        pass
+    return relational.QUERIES, relational.ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    queries, _ = _registry()
+    return queries["q3_shipping_priority"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    registered, _ = _registry()
+    return dict(registered)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; omissions get the weaker
+    rows-only check (non-SQL-expressible ops only)."""
+    _, oracles = _registry()
+    return dict(oracles)

@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
+        # rejects; read as long and convert at the source (sources read
+        # nanos → timestamp_micros, matching DuckDB's truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,27 @@
+"""Every registered query must hash-match its DuckDB oracle —
+the local replica of the driver's t2 correctness gate (sf0.001 here
+for speed; the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_procedure_codes_crawler_spark.plans.parity import compare_query
+from etl_procedure_codes_crawler_spark.plans.relational import ORACLES, QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    report = compare_query(spark, sf_dir, QUERIES[name], ORACLES[name])
+    assert report["rows_match"], report
+    assert report["columns_match"], report
+    assert report["values_match"], {k: v for k, v in report.items() if k != "values_match"} | {
+        "first_diffs": report.get("first_diffs")
+    }
+
+
+def test_every_query_has_an_oracle_or_is_flagged():
+    # queries without oracles get the weaker rows-only driver check;
+    # keep the list explicit so additions are deliberate
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert no_oracle == set(), f"queries missing oracles: {no_oracle}"
