@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (count() forces the full plan;
+results are small aggregates so collection cost is negligible).
+A warmup run of the first query is excluded so JVM/codegen startup
+doesn't pollute per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+#: the queries that define this engine's headline throughput
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "order_priority_late_ship",
+    "window_top3_orders_per_customer",
+    "rollup_revenue_by_flag_status",
+    "explode_token_counts",
+    "events_hourly_windows",
+    "events_json_extract_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    from etl_procedure_codes_crawler_spark.session import get_spark
+    from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+    spark = get_spark(app_name="etl-procedure-codes-crawler-spark-bench")
+    try:
+        from etl_procedure_codes_crawler_spark.llm import queries as _llm  # noqa: F401
+    except ImportError:
+        pass
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    names += [n for n in extra.split(",") if n and n in QUERIES and n not in names]
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time, local[%s]"
+                % os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
