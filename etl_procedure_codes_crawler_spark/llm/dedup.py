@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale document corpora.
+
+Spark-first designs, each with an explicit scale story:
+
+- exact dedup: hash-groupBy on a content fingerprint — one shuffle of
+  (hash, id) pairs, not documents;
+- n-gram Jaccard (exact): shingle-explode + shared-shingle self-join —
+  the *baseline*; quadratic only within shingle buckets;
+- MinHash + LSH: shingle → k minhashes in ONE groupBy aggregation →
+  band buckets → bucket self-join. The scale path: candidate
+  generation is linear in data + bucket-local joins, the classic
+  MMDS ch.3 construction;
+- SimHash: 64-bit signature via per-token hashing and bit voting,
+  pure column expressions; hamming-ball candidate pairs via band join.
+
+No Python in any of these — xxhash64/sha2, higher-order array
+functions, and joins keep everything in Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_sha256, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by normalized-content fingerprint.
+
+    Returns (fingerprint, first_id, n_copies) — the survivor set is
+    ``first_id``; ``n_copies > 1`` rows are the duplicate clusters.
+    Only (hash, id) shuffles; map-side combine collapses most groups.
+    """
+    return (
+        df.select(
+            fingerprint_sha256(text_col).alias("fingerprint"),
+            F.col(id_col).cast("bigint").alias("id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("first_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum-id representative of every content group —
+    dropDuplicates on a derived key, deterministic survivor choice."""
+    survivors = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("first_id").alias(id_col)
+    )
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard / minhash)
+# ---------------------------------------------------------------------------
+
+def shingles_column(text_col: str = "text", k: int = 3):
+    """Distinct k-word shingles as an array column (JVM higher-order
+    fns; no UDF). Documents shorter than k words get one whole-text
+    shingle."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    windowed = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, windowed).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(shingles_column(text_col, k)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Shared-shingle join: pairs are generated only for docs that share
+    at least one shingle — quadratic *within a shingle's posting list*,
+    not globally. At 100 TB this is the verify stage after LSH, not
+    the candidate generator (use minhash_lsh_candidate_pairs there).
+    """
+    sh = shingle_rows(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """k-shingle → ``num_hashes`` minhashes in ONE aggregation.
+
+    Each hash family member is xxhash64(seed_i, shingle); min per doc
+    approximates the permutation minimum. One shuffle of (id, shingle)
+    rows, all hashes computed map-side.
+    """
+    sh = shingle_rows(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band are
+    candidates. Pair generation is a self-join per (band, bucket) —
+    each bucket is tiny, so no global quadratic blowup.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, bands * rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates → exact-Jaccard
+    verification → threshold filter. Verification joins shingle sets
+    only for candidate pairs (broadcast the candidate list when small).
+    """
+    candidates = minhash_lsh_candidate_pairs(
+        df, text_col, id_col, k, bands, rows_per_band
+    )
+    sh = shingle_rows(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("id").alias("doc_a"), F.col("shingle"))
+    b_sh = sh.select(F.col("id").alias("doc_b"), F.col("shingle"))
+    shared = (
+        candidates.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document, pure column expressions.
+
+    Each token hashes to 64 bits; per bit, +1 if set else -1, summed
+    over tokens; signature bit = 1 iff the vote is positive. The bit
+    votes are an aggregate over exploded tokens — one shuffle of
+    (id, 64 small ints)."""
+    tok = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        # two's-complement: bit 63 contributes -(2^63)
+        weight = 2**bit if bit < 63 else -(2**63)
+        sig = sig + F.when(F.col(f"v{bit}") > 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-distance pairs via 4×16-bit band join (any pair within
+    hamming<=3 of 64 bits agrees exactly on >=1 of 4 bands), then exact
+    popcount verification via bit_count."""
+    sig = simhash_signatures(df, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), band * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bucket"),
+        )
+        for band in range(4)
+    ]
+    buckets = sig.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,283 @@
+"""Registers the LLM-pipeline operator families (SURVEY §7 Phase 5)
+into the shared query registry consumed by ``__spark_entry__``.
+
+Oracle-able queries (deterministic, ANSI-expressible) get a DuckDB
+oracle; the probabilistic-by-design LSH paths are registered without
+one (driver records the weaker rows-only check — they are still fully
+deterministic run-to-run, xxhash64/seeded hyperplanes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.relational import load, register
+from . import dedup as D
+from . import multimodal as M
+from . import similarity as S
+from . import text as T
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_count_documents",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    return documents.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+@register(
+    "text_quality_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / len(toks)
+               AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN
+               ('the','and','of','to','in','is','you','that','it','was')))
+               AS DOUBLE) / len(toks) AS stop_ratio
+    FROM t
+    """,
+)
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring metrics as pure column math (no UDF): token
+    count, type-token ratio, mean token length, stopword ratio."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks).cast("bigint")
+    uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    return documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uniq.alias("n_uniq_tokens"),
+        (uniq.cast("double") / n).alias("ttr"),
+        (T.token_lengths_sum(toks).cast("double") / n).alias("avg_token_len"),
+        (
+            T.marker_hits(toks, T.LANG_MARKERS["en"]).cast("double") / n
+        ).alias("stop_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, {T.lang_id_sql_case('toks')} AS lang_pred FROM t
+    """
+
+
+@register("lang_id_documents", oracle=_lang_oracle())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID (deterministic CASE chain)."""
+    documents = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", T.lang_id(T.tokens("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", T.fingerprint_sha256("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(documents)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+    FROM shared
+      JOIN sizes x ON x.doc_id = doc_a
+      JOIN sizes y ON y.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(documents, threshold=0.05)
+
+
+@register("minhash_near_dup_pairs")  # LSH: rows-only (probabilistic recall)
+def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(documents, threshold=0.5)
+
+
+@register("simhash_near_dup_pairs")  # rows-only (xxhash64 not in DuckDB)
+def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(documents, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_sum([qe[i]*ce[i] for i in generate_series(1, len(qe))])"
+    " / (sqrt(list_sum([qe[i]*qe[i] for i in generate_series(1, len(qe))]))"
+    " * sqrt(list_sum([ce[i]*ce[i] for i in generate_series(1, len(ce))])))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings),
+    pairs AS (
+        SELECT query_id, neighbor_id, {_COS} AS cos
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 vectors (the exact
+    baseline the LSH variant is measured against)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_bruteforce(embeddings, queries, k=5)
+
+
+@register("ann_cosine_topk_lsh")  # rows-only (approximate by design)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_lsh(embeddings, queries, k=5)
+
+
+@register(
+    "embedding_similar_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])
+               / (sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, len(a.v))]))
+                  * sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, len(b.v))])))
+                   AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
+    FROM pairs WHERE cos >= 0.45
+    """,
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = load(spark, sf_dir, "embeddings")
+    return S.similar_pairs_bruteforce(embeddings, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents as opaque payloads, byte
+    accounting per source — the schema/partitioning layer a real
+    image/audio corpus rides on."""
+    documents = load(spark, sf_dir, "documents")
+    media = M.documents_as_media(documents)
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
+
+
+@register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load(spark, sf_dir, "documents")
+    features = M.extract_features(M.documents_as_media(documents))
+    return features.select(
+        "media_id",
+        F.size("feature").cast("bigint").alias("dim"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+#: queries intentionally registered WITHOUT an oracle (rows-only check)
+ROWS_ONLY = {
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "ann_cosine_topk_lsh",
+    "multimodal_feature_stats",
+}

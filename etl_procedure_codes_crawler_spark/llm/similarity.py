@@ -1,0 +1,241 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per SURVEY §7 Phase 5:
+
+- brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the corpus, cosine via zip_with/aggregate (JVM
+  higher-order fns, no UDF), rank with a window. Linear in corpus size
+  per query; at 100 TB this is the re-rank stage, not the scan.
+- random-hyperplane LSH — the scale path: 16-bit sign signatures
+  bucket the corpus; candidates share a band; exact cosine re-ranks.
+  Hyperplanes are generated deterministically (seeded) on the driver
+  and folded into the plan as literals — no state on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute the L2 norm once per vector — never per pair."""
+    return df.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus streams through map tasks — no shuffle of the corpus.
+    Ranking uses (cosine DESC, neighbor_id) so ties are deterministic.
+    """
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+    ).withColumnRenamed("_norm", "qn")
+    c = with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv",
+    ).withColumnRenamed("_norm", "cn")
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def similar_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus pairs with cosine >= threshold (embedding-cosine
+    near-dup detection). Exact baseline — use the LSH variant to
+    pre-filter at scale."""
+    v = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    a = v.select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("_norm").alias("na")
+    )
+    b = v.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("_norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(num_planes, dim).tolist()
+
+
+def lsh_bucket_column(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id: bit i = 1 iff dot(v, plane_i) > 0.
+
+    The dot products are literal-weighted sums over the array column —
+    constant-folded plane values, JVM execution, no UDF."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def lsh_table_buckets(
+    df: DataFrame,
+    id_alias: str,
+    vec_col: str,
+    planes: list[list[float]],
+    num_tables: int,
+    planes_per_table: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) rows — one row per LSH table.
+
+    Multi-table construction: each table uses its own slice of
+    hyperplanes; a pair is a candidate if it collides in ANY table.
+    Recall per table p^r compounds to 1-(1-p^r)^L overall.
+    """
+    tables = [
+        F.struct(
+            F.lit(t).alias("table"),
+            lsh_bucket_column(
+                F.col(vec_col),
+                planes[t * planes_per_table : (t + 1) * planes_per_table],
+            ).alias("bucket"),
+        )
+        for t in range(num_tables)
+    ]
+    return df.select(
+        F.col(id_alias),
+        F.col(vec_col),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select(
+        id_alias,
+        vec_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_tables: int = 8,
+    planes_per_table: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH generates
+    candidates (union over tables), exact cosine re-ranks them.
+
+    Recall < 1 by design — tune num_tables/planes_per_table for the
+    corpus's similarity profile (more tables → recall↑ candidates↑).
+    At 100 TB the (table, bucket) join replaces the full corpus scan
+    per query; buckets partition evenly because hyperplane signs are
+    balanced."""
+    planes = _hyperplanes(num_tables * planes_per_table, dim, seed)
+    q = lsh_table_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        planes,
+        num_tables,
+        planes_per_table,
+    )
+    c = lsh_table_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        planes,
+        num_tables,
+        planes_per_table,
+    )
+    qn = with_norm(q, "qv").withColumnRenamed("_norm", "qn")
+    cn = with_norm(c, "cv").withColumnRenamed("_norm", "cn")
+    candidates = (
+        cn.join(F.broadcast(qn), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    pairs = candidates.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

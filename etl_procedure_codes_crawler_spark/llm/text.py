@@ -1,0 +1,100 @@
+"""Text-analysis column builders for large-scale document pipelines.
+
+All pure Spark column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs in any hot path. These are the beyond-reference
+operators SURVEY §7 Phase 5 calls for: token counting, quality
+scoring, language-ID heuristics, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small per-language marker (stopword) sets for the n-gram/stopword
+#: language-ID heuristic. Tie-break order is the declaration order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "you", "that", "it", "was"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "mit", "sie"),
+    "fr": ("le", "les", "et", "des", "est", "une", "que", "dans", "pour", "je"),
+    "es": ("el", "los", "las", "que", "por", "con", "para", "una", "del", "como"),
+    "pt": ("o", "os", "em", "um", "uma", "com", "para", "mais", "seu", "ela"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the BPE-ish regex split)."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def marker_hits(token_col: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens from a marker set — array filter, no shuffle."""
+    return F.size(F.filter(token_col, lambda t: t.isin(*words))).cast("bigint")
+
+
+def lang_id(token_col: Column) -> Column:
+    """Stopword-count argmax over LANG_MARKERS; 'und' when no hits.
+
+    Declaration order breaks ties so the expression is deterministic
+    and exactly reproducible in ANSI SQL (a CASE chain).
+    """
+    hits = {lang: marker_hits(token_col, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(hits)
+    chain = None
+    # CASE evaluated in declaration order: the first lang whose count is
+    # positive and >= all others wins, so earlier langs win ties.
+    for i, lang in enumerate(langs):
+        cond = hits[lang] > 0
+        for j, other in enumerate(langs):
+            if j != i:
+                cond = cond & (hits[lang] >= hits[other])
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
+def lang_id_sql_case(token_expr: str) -> str:
+    """The ANSI-SQL CASE chain equivalent of :func:`lang_id` (for the
+    DuckDB oracle). ``token_expr`` is a SQL expression yielding the
+    token list."""
+    hit = {
+        lang: (
+            f"len(list_filter({token_expr}, t -> t IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(hit)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{hit[lang]} > 0"] + [
+            f"{hit[lang]} >= {hit[other]}" for other in langs if other != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, whitespace
+    runs collapsed, trimmed (F20 semantics on documents)."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint_sha256(col: Column | str) -> Column:
+    """Content fingerprint: sha2-256 of the normalized text."""
+    return F.sha2(normalized_text(col), 256)
+
+
+def token_lengths_sum(token_col: Column) -> Column:
+    return F.aggregate(
+        F.transform(token_col, F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )

@@ -1,0 +1,70 @@
+"""Similarity-search semantics on constructed vectors."""
+
+from __future__ import annotations
+
+import math
+
+from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+# constructed corpus: 0⊥1, 2 = 0 scaled (cos=1), 3 close to 0, 4 opposite
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0, 0.0]),
+    (2, [2.0, 0.0, 0.0, 0.0]),
+    (3, [0.9, 0.1, 0.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk_exact_ordering(spark):
+    df = _vecs(spark)
+    out = S.cosine_topk_bruteforce(df, df.filter("vec_id = 0"), k=4).collect()
+    ranked = [(r.rank, r.neighbor_id, r.cosine) for r in sorted(out, key=lambda r: r.rank)]
+    assert [r[1] for r in ranked] == [2, 3, 1, 4]
+    assert ranked[0][2] == 1.0
+    expected_cos3 = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(ranked[1][2] - round(expected_cos3, 4)) < 1e-9
+    assert ranked[2][2] == 0.0 and ranked[3][2] == -1.0
+
+
+def test_similar_pairs_threshold(spark):
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.similar_pairs_bruteforce(_vecs(spark), threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 2), (0, 3), (2, 3)}
+
+
+def test_lsh_topk_finds_exact_match_and_reranks(spark):
+    df = _vecs(spark)
+    out = S.cosine_topk_lsh(
+        df, df.filter("vec_id = 0"), k=4, num_tables=2, planes_per_table=2, dim=4
+    ).collect()
+    by_rank = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    # identical-direction vector lands in the same bucket by construction
+    assert by_rank[0] == 2
+    # candidates are re-ranked by exact cosine: order must be consistent
+    cosines = [r.cosine for r in sorted(out, key=lambda r: r.rank)]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_recall_on_testdata(spark, sf_dir):
+    """LSH top-5 should recover a decent fraction of the exact top-5 —
+    sanity floor, not a precision claim (8 planes, single table)."""
+    import etl_procedure_codes_crawler_spark.llm.queries  # noqa: F401 — registers
+    from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_cosine_topk_lsh"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
