@@ -32,6 +32,12 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "order_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
     "window_top3_orders_per_customer",
     "rollup_revenue_by_flag_status",
     "explode_token_counts",

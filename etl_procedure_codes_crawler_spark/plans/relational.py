@@ -266,14 +266,26 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+    )
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The J1/J2 left-anti shape: fact side keeps rows whose key is
-    absent from the (distinct-projected, broadcast) key set."""
+    absent from the (distinct-projected, broadcast) key set. The date
+    restriction keeps the result non-empty at every testdata scale
+    (every customer has *some* order; lapsed-since-1999 customers
+    exist), so the test can't pass vacuously on empty output."""
     customer = load(spark, sf_dir, "customer")
-    order_keys = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    order_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
     return customer.join(
         F.broadcast(order_keys),
         customer.c_custkey == order_keys.o_custkey,
@@ -614,20 +626,480 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a single left-semi with the non-equi condition riding on
+    the equi key — the semi join dedups matches itself, so no distinct
+    and no second pass over orders (one shuffle join, then agg)."""
     orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    late = (
-        lineitem.join(
-            orders,
-            (lineitem.l_orderkey == orders.o_orderkey)
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
             & (lineitem.l_shipdate > orders.o_orderdate),
             "left_semi",
         )
-        .select("l_orderkey")
-        .distinct()
-    )
-    return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped widening (adapted to the testdata's simplified schema:
+# no partsupp, no commit/receipt dates, no shipmode — FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-agg: every predicate pushes to the parquet scan, the
+    'plan' is one codegen stage with a 1-row global agg — the shape that
+    must saturate IO at 100 TB."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & _dec("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               {_SQL_DISC_PRICE} AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                      JOIN orders   ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the two nation dims broadcast; the disjunctive
+    nation-pair predicate runs after the broadcast joins so the big
+    fact join is still a single orderkey shuffle."""
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               {_SQL_DISC_PRICE} AS volume,
+               n2.n_name AS supp_nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region   ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's market for one part
+    type. Numerator/denominator as exact DECIMAL sums, divided in
+    DOUBLE at the end (division is where cross-engine drift lives)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast(DEC)
+    joined = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("ns_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _disc_price()).otherwise(zero)
+            )
+            .cast("double")
+            .alias("_num"),
+            F.sum(_disc_price()).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year", (F.col("_num") / F.col("_den")).cast("double").alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: outer join preserved through two aggregation levels —
+    COUNT(col) (nulls excluded) is the semantic under test."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    zero = F.lit(0).cast(DEC)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero))
+            .cast("double")
+            .alias("_promo"),
+            F.sum(_disc_price()).cast("double").alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_promo") / F.col("_total"))
+            .cast("double")
+            .alias("promo_revenue"),
+            "n_items",
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({_SQL_DISC_PRICE}) AS total
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: argmax over an aggregate. The max-comparison happens in
+    exact DECIMAL (double equality would be engine-dependent); the
+    1-row max broadcasts back onto the revenue relation."""
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total")
+    )
+    max_rev = revenue.agg(F.max("total").alias("max_total"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total == F.col("max_total"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * (SUM(l_quantity) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: correlated scalar AVG decorrelated into a per-part
+    aggregate joined back — quantities are small integers so the
+    double sum is exact and the 0.2× threshold is engine-stable."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    lineitem = load(spark, sf_dir, "lineitem")
+    per_part_avg = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(per_part_avg, lineitem.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: IN-subquery over an aggregate → semi join against the
+    (tiny) qualifying-keys relation, broadcast back onto the fact."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(big_orders),
+            orders.o_orderkey == big_orders.l_orderkey,
+            "left_semi",
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive mixed-table predicates — the join stays a plain
+    equi broadcast join and the OR-of-ANDs evaluates post-join (the
+    per-table conjuncts Catalyst can factor out, it pushes down)."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH threshold AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, threshold
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY n_name
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (no phone column → nation name stands in for the
+    country code): scalar-aggregate threshold broadcast as a 1-row
+    cross join, anti join against lapsed-since-1999 orders (every
+    customer has some order in this testdata, so the unrestricted
+    anti join would be vacuously empty), then group."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(_dec("c_acctbal") > F.col("avg_bal"))
+        .join(orders_keys, customer.c_custkey == orders_keys.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
     )
