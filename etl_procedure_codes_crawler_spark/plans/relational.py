@@ -488,6 +488,30 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "explode_token_counts_salted",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def explode_token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same relation as ``explode_token_counts`` but through the salted
+    two-phase aggregate (operators/skew.py) — token frequencies are the
+    canonical Zipf-skewed key distribution, where at 100 TB the hot
+    tokens would pin single reducers without salting. Oracle identical
+    to the unsalted query: salting must be invisible in the result."""
+    from ..operators.skew import salted_agg
+
+    documents = load(spark, sf_dir, "documents")
+    tokens = documents.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return salted_agg(tokens, ["token"], {"n": ("count", "token")}, buckets=8)
+
+
+@register(
     "intersect_nations_with_both",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
@@ -1102,4 +1126,46 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom temporal operator, operators/asof.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_last_view_before_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           v.event_id AS view_event_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest not-later view —
+    the union+window as-of join (one shuffle) vs DuckDB's native
+    ASOF JOIN as the oracle."""
+    from ..operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(purchases, views, on="user_id", prefix="view_")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts"))
+        .cast("bigint")
+        .alias("gap_us"),
     )
