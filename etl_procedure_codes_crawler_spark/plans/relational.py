@@ -633,6 +633,57 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: monotonically unique memory-sink names (one session may run this
+#: query repeatedly; memory sink names are session-global)
+_STREAM_SEQ = [0]
+
+
+@register(
+    "streaming_hourly_event_counts",
+    oracle="""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path through the correctness gate: drive the
+    Structured Streaming tumbling-window aggregation (watermark +
+    availableNow) over the same events data and hash-match it against
+    the BATCH oracle — stream/batch parity as a checked invariant, not
+    a claim. Uses a staged file-source directory (file streams read
+    directories) and a memory sink."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import (
+        hourly_event_counts,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(staged, "part-000.parquet"),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_hourly_{_STREAM_SEQ[0]}"
+    stream = read_events_stream(spark, staged)
+    query = run_to_memory(hourly_event_counts(stream), name)
+    query.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Existence subquery — TPC-H Q4 shape
 # ---------------------------------------------------------------------------
@@ -1126,6 +1177,58 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (custom temporal operator, operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_join_purchases_within_hour_of_signup",
+    oracle="""
+    WITH s AS (SELECT event_id AS signup_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS s_start,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS s_end
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT s.signup_id, s.user_id, COUNT(*) AS n_purchases
+    FROM s JOIN p ON s.user_id = p.user_id
+                 AND p.ts >= s.s_start AND p.ts < s.s_end
+    GROUP BY s.signup_id, s.user_id
+    """,
+)
+def range_join_purchases_within_hour_of_signup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Funnel join: purchases inside [signup, signup+1h) per user —
+    the bucketed range join (plain shuffled equi-join on
+    (user, time-bucket)) vs DuckDB's non-equi join as oracle."""
+    from ..operators.rangejoin import range_join
+
+    events = load(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        range_join(
+            purchases,
+            signups,
+            point_ts="ts",
+            interval_start="s_start",
+            interval_end="s_end",
+            on="user_id",
+            bucket_seconds=3600,
+        )
+        .groupBy("signup_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
 
 
