@@ -274,10 +274,13 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: queries intentionally registered WITHOUT an oracle (rows-only check)
+#: queries intentionally registered WITHOUT an oracle (rows-only check);
+#: includes relational approx-sketch queries (plans/relational.py) whose
+#: estimates are engine-specific by design
 ROWS_ONLY = {
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
     "ann_cosine_topk_lsh",
     "multimodal_feature_stats",
+    "approx_distinct_users",
 }

