@@ -722,6 +722,40 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_extract_functions",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(lower(text), '\s+', ' ', 'g') AS norm_text,
+           split_part(text, ' ', 1) AS first_word,
+           regexp_extract(source, '([^:]*)$', 1) AS after_colon,
+           translate(source, '.', '') AS source_nodots,
+           CASE WHEN contains(lower(source), 'cpt') THEN 'CPT'
+                ELSE 'HCPCS' END AS code_type,
+           regexp_extract(text, '(\d{2,5}-\d{2,5})', 1) AS interval_like
+    FROM documents
+    """,
+)
+def scalar_extract_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6's ⊕ column-function mappings as one relation —
+    the native-Spark equivalents of the reference's extraction string
+    ops (F5 regexp intervals, F13 dot-strip translate, F16 after-colon
+    substring_index, F20 whitespace normalize, F21 code-type
+    classifier), all JVM-side, zero Python in the data path."""
+    documents = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm_text"),
+        F.substring_index("text", " ", 1).alias("first_word"),
+        F.substring_index("source", ":", -1).alias("after_colon"),
+        F.translate("source", ".", "").alias("source_nodots"),
+        F.when(F.lower("source").contains("cpt"), "CPT")
+        .otherwise("HCPCS")
+        .alias("code_type"),
+        F.regexp_extract("text", r"(\d{2,5}-\d{2,5})", 1).alias("interval_like"),
+    )
+
+
 #: monotonically unique memory-sink names (one session may run this
 #: query repeatedly; memory sink names are session-global)
 _STREAM_SEQ = [0]

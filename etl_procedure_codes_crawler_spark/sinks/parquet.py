@@ -93,6 +93,40 @@ def get_table_location(spark, table: str) -> str | None:
     return None
 
 
+RUN_ID_COLUMN = "run_id"
+
+
+def write_idempotent_run(
+    df: DataFrame,
+    path: str,
+    run_id: str,
+    extra_partition_by: list[str] | None = None,
+) -> bool:
+    """Replay-safe incremental write: rows land in a ``run_id=<id>``
+    partition via *dynamic* partition overwrite, so re-running the same
+    run (Airflow retry, task resubmit, crashed driver) REPLACES its own
+    partition instead of appending duplicates — other runs' partitions
+    untouched. This is the deliberate upgrade over the reference's
+    date-prefixed append files (``crawler/src/utils/s3.py:37``), which
+    double-write on retry. Returns True if written."""
+    if df.isEmpty():
+        return False
+    spark = df.sparkSession
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn(RUN_ID_COLUMN, F.lit(run_id))
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy(RUN_ID_COLUMN, *(extra_partition_by or []))
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    return True
+
+
 def compact_dataset(
     spark,
     path: str,

@@ -76,3 +76,64 @@ class TestCompaction:
         assert spark.read.parquet(path).count() == before_rows
         assert not os.path.exists(path + "._compacting")
         assert not os.path.exists(path + "._precompact")
+
+
+class TestIdempotentRunWrites:
+    def test_rerun_replaces_own_partition_only(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.sinks.parquet import (
+            write_idempotent_run,
+        )
+        from etl_procedure_codes_crawler_spark.sources.parquet import read_testdata
+
+        path = str(tmp_path / "runs")
+        orders = read_testdata(spark, sf_dir, "orders")
+        write_idempotent_run(orders.limit(100), path, run_id="r1")
+        write_idempotent_run(orders.limit(50), path, run_id="r2")
+        # retry of r1 with fewer rows: must REPLACE r1, leave r2 alone
+        write_idempotent_run(orders.limit(70), path, run_id="r1")
+
+        by_run = {
+            r.run_id: r.n
+            for r in spark.read.parquet(path)
+            .groupBy("run_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert by_run == {"r1": 70, "r2": 50}
+
+    def test_empty_frame_skips_write(self, spark, tmp_path):
+        import os
+
+        from etl_procedure_codes_crawler_spark.schemas import CODES_INPUT_SCHEMA
+        from etl_procedure_codes_crawler_spark.sinks.parquet import (
+            write_idempotent_run,
+        )
+
+        path = str(tmp_path / "runs")
+        empty = spark.createDataFrame([], CODES_INPUT_SCHEMA)
+        assert write_idempotent_run(empty, path, run_id="r1") is False
+        assert not os.path.exists(path)
+
+
+class TestPartitionPruning:
+    def test_partitioned_scan_prunes(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.sources.parquet import read_testdata
+
+        path = str(tmp_path / "events_by_day")
+        events = read_testdata(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+        )
+        events.write.partitionBy("day").parquet(path)
+
+        days = sorted(r.day for r in spark.read.parquet(path).select("day").distinct().collect())
+        one_day = spark.read.parquet(path).filter(F.col("day") == days[0])
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        # partition filter must reach the scan: only 1 of N day-dirs read
+        assert "PartitionFilters: [isnotnull(day" in plan, plan
+        n_parts = one_day.select(F.input_file_name()).distinct().count()
+        all_parts = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+        assert n_parts < all_parts
