@@ -723,6 +723,139 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q9_product_revenue_by_nation_year",
+    oracle=f"""
+    SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part     ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (profit → revenue; the testdata has no partsupp/
+    supplycost): substring part filter, supplier-nation attribution,
+    per-year rollup."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (running total) — exact DECIMAL inside
+    the frame so every prefix sum is cross-engine identical, not just
+    the final one."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "array_functions_showcase",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(toks)[1:3], '|') AS first3_sorted,
+           CAST(len(list_filter(toks, x -> len(x) > 3)) AS BIGINT) AS n_long,
+           CAST(list_sum([CASE WHEN len(x) > 3 THEN 1 ELSE 0 END
+                          for x in toks]) AS BIGINT) AS n_long_agg
+    FROM t
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate/
+    sort/slice/join) staying entirely JVM-side — the column-native
+    toolkit the LLM operators build on, checked against DuckDB's list
+    comprehensions."""
+    documents = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), "|").alias("first3_sorted"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 3))
+        .cast("bigint")
+        .alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: (F.length(x) > 3).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_long_agg"),
+    )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) FILTER (doc_id IS NULL) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*),
+           COUNT(*) FILTER (lang IS NULL),
+           COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           COUNT(*) FILTER (source IS NULL),
+           COUNT(DISTINCT source), MIN(source), MAX(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*),
+           COUNT(*) FILTER (n_chars IS NULL),
+           COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pass profiler (operators/profile.py) over four
+    columns — one aggregation job however many columns are profiled."""
+    from ..operators.profile import profile
+
+    documents = load(spark, sf_dir, "documents")
+    return profile(documents, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
     "scalar_extract_functions",
     oracle=r"""
     SELECT doc_id,
