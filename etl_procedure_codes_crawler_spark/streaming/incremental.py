@@ -1,0 +1,73 @@
+"""Streaming incremental append — the reference's batch-incremental
+pattern (read existing → dedup new keys → append) as a continuous
+pipeline.
+
+The reference reruns the whole job per LOGICAL_DATE
+(``crawler/src/procedure_code.py:686-691``, ``:745-811``); here the
+same semantics run forever: new files landing in a source directory are
+discovered by the file stream, and each micro-batch passes through
+``foreachBatch`` where full batch-DataFrame machinery (anti-join
+against the live warehouse snapshot) is available — streaming joins
+against a mutable sink aren't expressible declaratively, so
+``foreachBatch`` is the sanctioned escape hatch.
+
+Exactly-once story (two layers, both needed at scale):
+- the checkpoint makes source progress durable — a restart resumes at
+  the first unprocessed file, never re-reading finished ones;
+- the per-batch anti-join makes REPLAYED batches idempotent — if a
+  crash lands between "batch written" and "checkpoint committed", the
+  replay dedups against what the crashed attempt already appended and
+  writes nothing twice.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..operators.dedup import anti_join_on_key
+from ..sources.parquet import read_table_or_empty
+
+
+def stream_incremental_append(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    key: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream files from ``source_dir`` into ``warehouse_path``,
+    appending only rows whose ``key`` is new (vs the warehouse AND
+    within the batch). Returns the StreamingQuery handle."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        rows = batch
+        if transform is not None:
+            rows = transform(rows)
+        existing = read_table_or_empty(spark, warehouse_path, rows.schema)
+        fresh = anti_join_on_key(
+            rows.dropDuplicates([key]), existing, key
+        )
+        if not fresh.isEmpty():
+            fresh.write.mode("append").option(
+                "compression", "snappy"
+            ).parquet(warehouse_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
