@@ -38,6 +38,29 @@ def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_count_bpe_documents",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               ' ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+'))
+               AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretoken counts next to whitespace counts — the closer
+    proxy for LLM-token budgeting (punctuation splits off). The same
+    pattern runs in both engines (restricted to Java-regex ∩ RE2)."""
+    documents = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        T.bpe_pretoken_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "text_quality_documents",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
@@ -216,6 +239,14 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(embeddings, queries, k=5)
 
 
+@register("ann_cosine_topk_ivf")  # rows-only (approximate by design)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN (seeded k-means; see similarity.cosine_topk_ivf)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_ivf(embeddings, queries, k=5)
+
+
 @register(
     "embedding_similar_pairs",
     oracle=f"""
@@ -281,6 +312,7 @@ ROWS_ONLY = {
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
     "multimodal_feature_stats",
     "approx_distinct_users",
 }

@@ -184,6 +184,95 @@ def lsh_table_buckets(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into cells; each query probes its ``nprobe`` nearest cells
+    and brute-forces only within them.
+
+    The scale shape: the corpus is scanned once to train + assign
+    (both distributed); per query the candidate set shrinks by
+    ~num_centroids/nprobe. Centroids are driver-side literals folded
+    into the probe expression — no model state on executors at query
+    time. Seeded k-means keeps runs reproducible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=num_centroids, seed=seed, maxIter=max_iter).fit(train)
+    assigned = model.transform(train).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def _sqdist(vec, center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in center]),
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per query: (dist, cell) structs → sort (orders by first field) →
+    # first nprobe cells → explode into probe rows
+    cells = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col("qv"), center).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, center in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cells), 1, nprobe), lambda s: s.cell
+                )
+            ).alias("cell"),
+        )
+    )
+    qn = with_norm(probes, "qv").withColumnRenamed("_norm", "qn")
+    cn = with_norm(assigned, "cv").withColumnRenamed("_norm", "cn")
+    pairs = (
+        cn.join(F.broadcast(qn), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

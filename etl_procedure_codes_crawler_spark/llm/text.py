@@ -27,12 +27,30 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.split(F.trim(_c(col)), r"\s+")
 
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs both
+#: Java regex (Spark) and RE2 (DuckDB) support identically: letter
+#: runs, digit runs, punctuation runs, each with an optional leading
+#: space — no lookahead (RE2 has none).
+BPE_PRETOKEN_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (the unit a byte-pair encoder would
+    merge within): closer to real LLM token counts than whitespace —
+    punctuation splits off, so "don't." is 3 pretokens, not 1."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_pretoken_count(col: Column | str) -> Column:
+    return F.size(bpe_pretokens(col)).cast("bigint")
 
 
 def marker_hits(token_col: Column, words: tuple[str, ...]) -> Column:

@@ -723,6 +723,55 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_user_events",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via ``session_window`` (30-minute gap) —
+    the same declarative operator the streaming module uses, checked
+    against the classic gaps-and-islands SQL (lag + running flag sum).
+    One shuffle on user_id either way; session_window just says it in
+    one operator instead of three windows."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "q9_product_revenue_by_nation_year",
     oracle=f"""
     SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,

@@ -68,3 +68,40 @@ def test_lsh_recall_on_testdata(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+class TestIvf:
+    def test_ivf_recall_against_bruteforce(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        embeddings = load(spark, sf_dir, "embeddings")
+        queries = embeddings.filter(F.col("vec_id") < 10)
+        exact = S.cosine_topk_bruteforce(embeddings, queries, k=5)
+        ivf = S.cosine_topk_ivf(
+            embeddings, queries, k=5, num_centroids=8, nprobe=4
+        )
+        exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+        recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+        # probing half the cells must recover well over half the truth
+        assert recall >= 0.6, f"IVF recall {recall:.2f}"
+        # at most k rows per query, ranks contiguous from 1
+        per_q = {}
+        for r in ivf.collect():
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    def test_ivf_is_deterministic(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        embeddings = load(spark, sf_dir, "embeddings")
+        queries = embeddings.filter(F.col("vec_id") < 5)
+        a = sorted(map(tuple, S.cosine_topk_ivf(embeddings, queries, k=3).collect()))
+        b = sorted(map(tuple, S.cosine_topk_ivf(embeddings, queries, k=3).collect()))
+        assert a == b
