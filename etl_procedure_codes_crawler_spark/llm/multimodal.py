@@ -87,6 +87,92 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [c / total for c in counts]
 
 
+FRAME_BYTES = 1024
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling: one media row fans out into N frame rows —
+    the UDTF shape (same as the crawl extractor's 1→3-relations fan-out)
+    over mapInPandas. A real implementation decodes the container and
+    emits every k-th video frame; the deterministic stand-in slices the
+    payload into ``frame_bytes`` chunks so the fan-out arithmetic
+    (row multiplication, batch shapes, downstream explode-free schema)
+    is fully testable: n_frames = ceil(n_bytes / frame_bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, payloads, sizes = [], [], [], []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                data = payload if payload is not None else b""
+                for i in range(0, max(len(data), 1), frame_bytes):
+                    chunk = data[i : i + frame_bytes]
+                    ids.append(media_id)
+                    idxs.append(i // frame_bytes)
+                    payloads.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": payloads,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize stage: decode → scale → re-encode per payload, Arrow
+    batched. The real decoder is stubbed (``_decode_stub``); the
+    deterministic stand-in caps the payload at width*height bytes so
+    output sizing, schema, and batch behavior are real. Swapping in
+    PIL changes only the body of ``shrink``."""
+    cap = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def shrink(payload):
+            data = payload if payload is not None else b""
+            return data[:cap]
+
+        for batch in batches:
+            resized = [shrink(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "mime": batch["mime"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, batch_size_hint: int | None = None
 ) -> DataFrame:

@@ -294,6 +294,33 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(CEIL(octet_length(encode(text)) / 1024.0) AS BIGINT)
+               AS n_frames,
+           CAST(octet_length(encode(text)) AS BIGINT) AS total_frame_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out through mapInPandas, then re-aggregated —
+    the oracle checks the fan-out arithmetic exactly:
+    ceil(bytes/1024) frames per media, byte-preserving slicing."""
+    documents = load(spark, sf_dir, "documents")
+    frames = M.sample_frames(M.documents_as_media(documents))
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
+        )
+        .filter(F.col("total_frame_bytes") > 0)
+    )
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")

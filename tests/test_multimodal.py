@@ -42,3 +42,59 @@ def test_decode_stub_is_gated(spark):
 
 def test_empty_payload_features(spark):
     assert M._fake_features(b"") == [0.0] * M.FEATURE_DIM
+
+
+class TestFrameSampling:
+    def test_fanout_counts_and_roundtrip(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import multimodal as M
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        media = M.documents_as_media(load(spark, sf_dir, "documents")).limit(50)
+        frames = M.sample_frames(media, frame_bytes=100)
+        stats = {
+            r.media_id: (r.n, r.total)
+            for r in frames.groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("frame_bytes").alias("total"))
+            .collect()
+        }
+        for row in media.collect():
+            n, total = stats[row.media_id]
+            expected_frames = max(1, -(-row.n_bytes // 100))  # ceil, min 1
+            assert n == expected_frames
+            assert total == row.n_bytes  # slicing loses no bytes
+
+    def test_frame_indices_contiguous(self, spark, sf_dir):
+        from etl_procedure_codes_crawler_spark.llm import multimodal as M
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        media = M.documents_as_media(load(spark, sf_dir, "documents")).limit(10)
+        frames = M.sample_frames(media, frame_bytes=64).collect()
+        by_media = {}
+        for r in frames:
+            by_media.setdefault(r.media_id, []).append(r.frame_idx)
+        for idxs in by_media.values():
+            assert sorted(idxs) == list(range(len(idxs)))
+
+
+class TestResize:
+    def test_resize_caps_payload(self, spark, sf_dir):
+        from etl_procedure_codes_crawler_spark.llm import multimodal as M
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        media = M.documents_as_media(load(spark, sf_dir, "documents")).limit(20)
+        out = M.resize_media(media, width=8, height=8).collect()
+        originals = {r.media_id: r.n_bytes for r in media.collect()}
+        for r in out:
+            assert r.width == 8 and r.height == 8
+            assert r.n_bytes == min(originals[r.media_id], 64)
+            assert len(r.payload or b"") == r.n_bytes
+
+    def test_decode_stub_raises(self):
+        import pytest as _pytest
+
+        from etl_procedure_codes_crawler_spark.llm.multimodal import _decode_stub
+
+        with _pytest.raises(NotImplementedError):
+            _decode_stub(b"payload")
