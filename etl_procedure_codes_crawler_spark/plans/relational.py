@@ -723,6 +723,47 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics_showcase",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg_pos
+        FROM customer
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(seg_nb) AS n_seg_nb,
+           COUNT(*) FILTER (seg_nb IS NOT DISTINCT FROM seg_pos) AS n_nullsafe_eq,
+           COUNT(*) FILTER (seg_nb IS NULL AND seg_pos IS NULL) AS n_both_null,
+           COALESCE(MIN(seg_nb), 'none') AS min_seg
+    FROM t
+    """,
+)
+def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NULL edge semantics in one relation: NULLIF sentinels (the
+    P1/P2 cleaning primitive), COUNT(col) vs COUNT(*), null-safe
+    equality (<=> / IS NOT DISTINCT FROM — the comparison dedup keys
+    need when keys can be NULL), COALESCE defaults."""
+    customer = load(spark, sf_dir, "customer")
+    t = customer.select(
+        "c_custkey",
+        F.expr("NULLIF(c_mktsegment, 'BUILDING')").alias("seg_nb"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_pos"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg_nb").alias("n_seg_nb"),
+        F.count(F.when(F.expr("seg_nb <=> seg_pos"), 1)).alias("n_nullsafe_eq"),
+        F.count(
+            F.when(F.col("seg_nb").isNull() & F.col("seg_pos").isNull(), 1)
+        ).alias("n_both_null"),
+        F.coalesce(F.min("seg_nb"), F.lit("none")).alias("min_seg"),
+    )
+
+
+@register(
     "sessionize_user_events",
     oracle="""
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

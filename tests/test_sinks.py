@@ -137,3 +137,22 @@ class TestPartitionPruning:
         n_parts = one_day.select(F.input_file_name()).distinct().count()
         all_parts = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
         assert n_parts < all_parts
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_evolving_dataset(self, spark, tmp_path):
+        """Appends with added columns are the normal life of a 100TB
+        dataset; mergeSchema must surface the union schema with NULLs
+        for pre-evolution files."""
+        path = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [("a", 1)], "code string, v1 long"
+        ).write.mode("append").parquet(path)
+        spark.createDataFrame(
+            [("b", 2, "extra")], "code string, v1 long, v2 string"
+        ).write.mode("append").parquet(path)
+
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        assert set(merged.columns) == {"code", "v1", "v2"}
+        rows = {r.code: r.v2 for r in merged.collect()}
+        assert rows == {"a": None, "b": "extra"}
