@@ -43,6 +43,13 @@ HEADLINE = [
     "explode_token_counts",
     "events_hourly_windows",
     "events_json_extract_stats",
+    # custom/beyond-reference operators
+    "asof_last_view_before_purchase",
+    "range_join_purchases_within_hour_of_signup",
+    "sessionize_user_events",
+    "dedup_exact_documents",
+    "ann_cosine_topk_lsh",
+    "token_count_bpe_documents",
 ]
 
 

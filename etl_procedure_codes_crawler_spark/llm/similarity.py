@@ -14,6 +14,9 @@ Two tiers, per SURVEY §7 Phase 5:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +151,39 @@ def lsh_bucket_column(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def _all_bucket_signatures(
+    planes: list[list[float]], num_tables: int, planes_per_table: int
+):
+    """Vectorized all-tables signature column: one Arrow-batched numpy
+    matmul computes every table's bucket per vector.
+
+    The pure-expression alternative (:func:`lsh_bucket_column` per
+    table) is JVM-side but codegens num_tables × planes_per_table
+    chained lambda folds — measured ~7s of fixed plan/compile cost at
+    40 planes regardless of data size. One (n,dim)@(dim,planes) matmul
+    per batch is the right shape at every scale; this is the sanctioned
+    pandas-UDF case (built-ins express it, but pathologically)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    plane_matrix = np.asarray(planes, dtype=np.float64)  # (T*r, dim)
+    weights = (2 ** np.arange(planes_per_table)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vectors: pd.Series) -> pd.Series:
+        stacked = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vectors]
+        )  # (n, dim)
+        signs = (stacked @ plane_matrix.T) > 0  # (n, T*r)
+        per_table = [
+            signs[:, t * planes_per_table : (t + 1) * planes_per_table] @ weights
+            for t in range(num_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return buckets
+
+
 def lsh_table_buckets(
     df: DataFrame,
     id_alias: str,
@@ -162,25 +198,11 @@ def lsh_table_buckets(
     hyperplanes; a pair is a candidate if it collides in ANY table.
     Recall per table p^r compounds to 1-(1-p^r)^L overall.
     """
-    tables = [
-        F.struct(
-            F.lit(t).alias("table"),
-            lsh_bucket_column(
-                F.col(vec_col),
-                planes[t * planes_per_table : (t + 1) * planes_per_table],
-            ).alias("bucket"),
-        )
-        for t in range(num_tables)
-    ]
+    signature = _all_bucket_signatures(planes, num_tables, planes_per_table)
     return df.select(
         F.col(id_alias),
         F.col(vec_col),
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select(
-        id_alias,
-        vec_col,
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+        F.posexplode(signature(F.col(vec_col))).alias("table", "bucket"),
     )
 
 

@@ -430,6 +430,119 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_function_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           LEAD(o_orderkey) OVER w AS next_key,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cdist
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window surface in one relation: dense_rank,
+    ntile, lead, first_value, cume_dist over a deterministic total
+    order (price desc, key asc breaks all ties)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+    )
+
+
+@register(
+    "full_outer_customer_supplier_nations",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_customer_supplier_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full outer join of two aggregates — both null sides must
+    survive and COALESCE to zero-counts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_key"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_key"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.c_key == s.s_key, "full_outer").select(
+        F.coalesce("c_key", "s_key").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "cross_join_region_priority_grid",
+    oracle="""
+    SELECT r_name, o_orderpriority
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+)
+def cross_join_region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian of two small dims (the dimension-grid /
+    date-spine pattern). Only ever sane when at least one side is
+    broadcast-tiny — which is exactly how it plans here."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    priorities = load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return region.crossJoin(F.broadcast(priorities))
+
+
+@register(
+    "levenshtein_similar_sources",
+    oracle="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(levenshtein(a.source, b.source) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 2
+    """,
+)
+def levenshtein_similar_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairing over a small distinct domain (fuzzy
+    source-name reconciliation). At scale the distinct() shrinks the
+    pair space before the quadratic comparison — never levenshtein a
+    raw fact table against itself."""
+    s = load(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("source_a"))
+    b = s.select(F.col("source").alias("source_b"))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.levenshtein("source_a", "source_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rollup (SURVEY §2.5 grouping sets)
 # ---------------------------------------------------------------------------
