@@ -1,0 +1,70 @@
+"""Key-merge (upsert) maintenance for parquet warehouses.
+
+Plain parquet has no MERGE INTO; this operator supplies the
+latest-wins upsert every warehouse eventually needs (the reference
+only ever appends — corrections were impossible without manual S3
+surgery):
+
+    target ⟕anti updates  ∪  updates(not deleted)  → atomic swap
+
+Scale shape: one anti-join shuffle on the key + a union — no
+per-row driver work. The merged result is localCheckpoint'ed BEFORE
+the swap because its lineage reads the very path being replaced
+(collecting after the overwrite would re-scan the new files — the
+same mutated-snapshot hazard plans/pipeline.py guards against); the
+swap itself is rename-based so readers never see a half-written
+dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import read_table_or_empty
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """Upsert ``updates`` into the parquet dataset at ``target_path``:
+    rows with existing keys are replaced, new keys inserted; when
+    ``delete_col`` is given, update rows with it true remove the key.
+    Updates must be unique per key (enforced). Returns the row count
+    of the merged dataset."""
+    dup = updates.groupBy(key).count().filter(F.col("count") > 1)
+    if not dup.isEmpty():
+        sample = [r[key] for r in dup.limit(5).collect()]
+        raise ValueError(f"updates contain duplicate keys, e.g. {sample}")
+
+    survivors = updates
+    if delete_col is not None:
+        survivors = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+
+    target = read_table_or_empty(spark, target_path, survivors.schema)
+    merged = target.join(
+        updates.select(key), on=key, how="left_anti"
+    ).unionByName(survivors)
+
+    pinned = merged.localCheckpoint(eager=True)
+    n = pinned.count()
+
+    tmp = target_path.rstrip("/") + "._merging"
+    pinned.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = dst.getFileSystem(conf)
+    backup = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + "._premerge")
+    if fs.exists(dst):
+        fs.rename(dst, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(backup, True)
+    return n
