@@ -20,9 +20,10 @@ twice even when the same modifier appears on many pages.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.cleaning import clean_codes
 from ..operators.dedup import anti_join_on_key, incremental_new_rows
@@ -39,11 +40,24 @@ from ..sinks.parquet import with_load_date, write_parquet_dataset
 
 @dataclass
 class CrawlResult:
-    """The three deduplicated new-row relations produced by one run."""
+    """The three deduplicated new-row relations produced by one run.
+
+    ``observation`` carries extraction health metrics (page counts by
+    status) once any action has executed — the in-plan replacement for
+    the reference's 60+ log lines (SURVEY §5): metrics ride the job
+    itself, no second pass over the data."""
 
     codes: DataFrame
     modifiers: DataFrame
     ndc: DataFrame
+    observation: Observation | None = field(default=None, compare=False)
+
+    @property
+    def extract_metrics(self) -> dict:
+        """Page counts by outcome; blocks until an action has run."""
+        if self.observation is None:
+            return {}
+        return dict(self.observation.get)
 
 
 def run_crawl_pipeline(
@@ -78,6 +92,16 @@ def run_crawl_pipeline(
         base_url=base_url,
         batch_partitions=batch_partitions,
     )
+    observation = Observation("extract")
+    extracted = extracted.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
+        F.count(F.when(F.col("status") == "deleted", 1)).alias("n_deleted"),
+        F.count(
+            F.when(F.col("status").isin("fetch_error", "parse_error"), 1)
+        ).alias("n_errors"),
+    )
     # Three sinks consume the same extraction — materialize it once.
     extracted = extracted.persist()
 
@@ -89,6 +113,7 @@ def run_crawl_pipeline(
             new_modifiers, existing_modifiers, "modifier"
         ),
         ndc=incremental_new_rows(new_ndc, existing_ndc, "ndc_alternate_id"),
+        observation=observation,
     )
 
 
@@ -140,4 +165,4 @@ def run_and_sink(
             mode="append",
             partition_by=["load_date"],
         )
-    return CrawlResult(*pinned)
+    return CrawlResult(*pinned, observation=result.observation)

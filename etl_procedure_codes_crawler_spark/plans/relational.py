@@ -836,6 +836,60 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_monthly_retention",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    first_seen AS (
+        SELECT user_id, STRFTIME(MIN(ts), '%Y-%m') AS cohort FROM e GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, STRFTIME(ts, '%Y-%m') AS act_month FROM e
+    )
+    SELECT cohort, act_month, COUNT(*) AS n_active_users
+    FROM first_seen JOIN activity USING (user_id)
+    GROUP BY cohort, act_month
+    """,
+)
+def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users keyed by first-seen month, counted
+    in every month they were active — two aggregations over one events
+    scan; the cohort side is per-user (small) and broadcasts back."""
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM").alias("cohort")
+    )
+    activity = events.select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("act_month")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort", "act_month")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "deterministic_sample_documents",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          % 10 = 0
+    """,
+)
+def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample that is a pure function of the key — unlike
+    rand()-based sample(), identical across runs, engines, partitions,
+    and retries, and it composes with incremental processing (a doc's
+    membership never flips). md5 because both engines share it."""
+    documents = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return documents.filter(bucket % 10 == 0).select("doc_id", "lang")
+
+
+@register(
     "null_semantics_showcase",
     oracle="""
     WITH t AS (

@@ -94,3 +94,33 @@ def test_incremental_new_code_appends_only_new(spark, tmp_path):
     stored = spark.read.parquet(f"{warehouse}/procedure_ndc")
     # 2 NDC rows from 99213 (run 1) + 1 from J0120 (run 2)
     assert stored.count() == 3
+
+
+class TestObservedMetrics:
+    def test_extract_metrics_ride_the_job(self, spark, fixtures_dir):
+        """Observation metrics come from the extraction pass itself —
+        no second job — and reconcile with the input code count."""
+        import functools
+        import os
+
+        from etl_procedure_codes_crawler_spark.plans.pipeline import (
+            run_crawl_pipeline,
+        )
+        from etl_procedure_codes_crawler_spark.schemas import CODES_INPUT_SCHEMA
+        from etl_procedure_codes_crawler_spark.sources.fetcher import FixtureFetcher
+
+        pages_dir = fixtures_dir
+        codes = [os.path.splitext(f)[0] for f in os.listdir(pages_dir) if f.endswith(".html")]
+        codes_df = spark.createDataFrame(
+            [(c,) for c in codes] + [("MISSING1",)], CODES_INPUT_SCHEMA
+        )
+        result = run_crawl_pipeline(
+            spark,
+            codes_df,
+            functools.partial(FixtureFetcher, directory=pages_dir),
+        )
+        result.codes.count()  # any action over the observed plan
+        metrics = result.extract_metrics
+        assert metrics["n_pages"] == len(codes) + 1
+        assert metrics["n_errors"] >= 1  # the MISSING1 fetch error
+        assert metrics["n_ok"] + metrics["n_deleted"] + metrics["n_errors"] <= metrics["n_pages"]
