@@ -1,0 +1,99 @@
+"""Connected components over pair edges — near-dup clusters.
+
+Pair detectors (MinHash/SimHash/Jaccard/embedding) emit edges; dedup
+needs *clusters* (keep one representative per component). This is
+hash-min label propagation with pure DataFrame ops:
+
+    label(v) := min(v, min over neighbors of their current label)
+    repeat until no label changes
+
+Scale story: each iteration is one join + one aggregation (shuffle on
+vertex id); convergence takes O(diameter) iterations and near-dup
+graphs are shallow (dup clusters are cliques or short chains, so 2-4
+iterations in practice). The fixpoint check is a driver-side count of
+changed labels per iteration — one scalar per pass, not a collect.
+This is the standard Spark formulation of large-graph CC (cf.
+GraphFrames' AQS-style CC), no graph library required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id reachable.
+
+    ``edges`` is undirected input (each pair once is enough). Isolated
+    vertices don't appear (no edges → they are their own component
+    trivially; union them in upstream if needed).
+    """
+    fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
+    rev = edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
+    adj = fwd.unionByName(rev).distinct().persist()
+
+    labels = (
+        adj.select("v")
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_side = labels.select(
+            F.col("v").alias("_lv"), F.col("label")
+        )
+        neighbor_labels = (
+            adj.join(neighbor_side, F.col("n") == F.col("_lv"))
+            .select("v", "label")
+        )
+        new_labels = (
+            labels.select("v", "label")
+            .unionByName(neighbor_labels)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            # truncate lineage each round: iterative plans otherwise
+            # grow exponentially and stall the optimizer
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "v")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, cluster_id) for every document: paired docs share their
+    component's min id; unpaired docs are their own cluster. The dedup
+    survivor set is ``doc_id == cluster_id``."""
+    comp = connected_components(pairs, src, dst)
+    clustered = comp.select(
+        F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    if all_ids is None:
+        return clustered
+    singletons = (
+        all_ids.select(id_col)
+        .join(clustered.select(id_col), id_col, "left_anti")
+        .withColumn("cluster_id", F.col(id_col))
+    )
+    return clustered.unionByName(singletons)

@@ -190,6 +190,19 @@ def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return D.simhash_near_dup_pairs(documents, max_hamming=3)
 
 
+@register("near_dup_clusters")  # rows-only (iterative label propagation)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected components → (doc_id, cluster_id)
+    partition of the corpus; survivors are doc_id == cluster_id. The
+    genuinely iterative operator (driver-controlled fixpoint loop) the
+    SQL oracle can't express."""
+    from .cluster import duplicate_clusters
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(documents, threshold=0.5)
+    return duplicate_clusters(pairs, documents, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -340,6 +353,7 @@ ROWS_ONLY = {
     "simhash_near_dup_pairs",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
+    "near_dup_clusters",
     "multimodal_feature_stats",
     "approx_distinct_users",
 }

@@ -1,0 +1,70 @@
+"""Connected components / duplicate clustering (llm/cluster.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_procedure_codes_crawler_spark.llm.cluster import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r.vertex: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4 chain: diameter 3, all label to 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_stay_separate(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cycle_and_cross_edges(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (7, 3)])
+    assert set(got.values()) == {3}
+
+
+def test_long_chain_converges(spark):
+    n = 12  # diameter > a couple iterations: exercises the loop
+    got = _cc(spark, [(i, i + 1) for i in range(1, n)])
+    assert set(got.values()) == {1}
+    assert len(got) == n
+
+
+def test_duplicate_clusters_with_singletons(spark):
+    pairs = spark.createDataFrame([(2, 5), (5, 9)], "doc_a long, doc_b long")
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 5, 9, 42)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(pairs, all_ids).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 2, 9: 2, 42: 42}
+    survivors = {k for k, v in got.items() if k == v}
+    assert survivors == {1, 2, 42}
+
+
+def test_clusters_from_real_minhash_pairs(spark, sf_dir):
+    from etl_procedure_codes_crawler_spark.llm.dedup import minhash_near_dup_pairs
+    from etl_procedure_codes_crawler_spark.plans.relational import load
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(documents, threshold=0.5)
+    clusters = duplicate_clusters(pairs, documents, id_col="doc_id")
+    assert clusters.count() == documents.count()  # total partition of ids
+    # cluster representative is always the min id of its cluster
+    bad = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("min_id"))
+        .filter(F.col("cluster_id") != F.col("min_id"))
+        .count()
+    )
+    assert bad == 0
