@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "ann_cosine_topk_lsh",
     "token_count_bpe_documents",
+    "llm_corpus_prep",
 ]
 
 

@@ -345,6 +345,58 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len({_TOKS}) AS n_tokens,
+               {T.lang_id_sql_case(_TOKS)} AS lang_pred
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE lang_pred = 'en' AND n_tokens >= 20
+    ),
+    fingerprinted AS (
+        SELECT *,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM filtered
+    ),
+    survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM fingerprinted GROUP BY fp
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM fingerprinted JOIN survivors USING (doc_id)
+    GROUP BY source
+    """
+
+
+@register("llm_corpus_prep", oracle=_corpus_prep_oracle())
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed preprocessing pipeline a training-data run actually
+    executes: language gate → length gate → exact-dedup survivors →
+    per-source accounting. Every stage is an operator already proven
+    individually; this query proves the COMPOSITION end-to-end against
+    one SQL oracle."""
+    documents = load(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").alias("n_tokens"),
+        T.lang_id(T.tokens("text")).alias("lang_pred"),
+    )
+    filtered = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 20)
+    )
+    survivors = D.drop_exact_duplicates(filtered, text_col="text", id_col="doc_id")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
