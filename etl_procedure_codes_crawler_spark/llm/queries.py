@@ -252,6 +252,14 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(embeddings, queries, k=5)
 
 
+@register("embedding_similar_pairs_lsh")  # rows-only (approximate by design)
+def embedding_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup pair mining: bucket-local
+    self-join + exact verify (vs the O(n²) oracled baseline)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    return S.similar_pairs_lsh(embeddings, threshold=0.45)
+
+
 @register("ann_cosine_topk_ivf")  # rows-only (approximate by design)
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-probe ANN (seeded k-means; see similarity.cosine_topk_ivf)."""
@@ -405,6 +413,7 @@ ROWS_ONLY = {
     "simhash_near_dup_pairs",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
+    "embedding_similar_pairs_lsh",
     "near_dup_clusters",
     "multimodal_feature_stats",
     "approx_distinct_users",

@@ -121,6 +121,63 @@ def similar_pairs_bruteforce(
     )
 
 
+def similar_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_tables: int = 8,
+    planes_per_table: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pair mining at scale: LSH buckets generate
+    candidates (self-join within (table, bucket) — quadratic only
+    inside a bucket), exact cosine verifies. The scale path for
+    :func:`similar_pairs_bruteforce`'s O(n²) scan; recall < 1 by
+    design, tunable via num_tables."""
+    planes = _hyperplanes(num_tables * planes_per_table, dim, seed)
+    b = lsh_table_buckets(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "id",
+        "v",
+        planes,
+        num_tables,
+        planes_per_table,
+    )
+    bn = with_norm(b, "v")
+    lhs = bn.select(
+        "table",
+        "bucket",
+        F.col("id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    rhs = bn.select(
+        "table",
+        "bucket",
+        F.col("id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    candidates = (
+        lhs.join(rhs, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        candidates.select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
     import numpy as np

@@ -105,3 +105,23 @@ class TestIvf:
         a = sorted(map(tuple, S.cosine_topk_ivf(embeddings, queries, k=3).collect()))
         b = sorted(map(tuple, S.cosine_topk_ivf(embeddings, queries, k=3).collect()))
         assert a == b
+
+
+class TestSimilarPairsLsh:
+    def test_lsh_pairs_recall_vs_bruteforce(self, spark, sf_dir):
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        embeddings = load(spark, sf_dir, "embeddings")
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in S.similar_pairs_bruteforce(embeddings, 0.45).collect()
+        }
+        approx = {
+            (r.vec_a, r.vec_b)
+            for r in S.similar_pairs_lsh(embeddings, 0.45).collect()
+        }
+        assert approx <= exact  # verification step: no false positives
+        if exact:
+            recall = len(approx & exact) / len(exact)
+            assert recall >= 0.5, f"LSH pair recall {recall:.2f}"
