@@ -714,6 +714,94 @@ def explode_token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "median_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (percentile 0.5) — both engines use
+    the same linear-interpolation convention and quantities are small
+    integers, so the midpoint arithmetic is bit-exact. Higher
+    percentiles (0.9 etc.) can differ in the interpolation fraction's
+    last ulp and are left to approx sketches at scale."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "union_by_name_mixed_sources",
+    oracle="""
+    SELECT kind, COUNT(*) AS n,
+           COUNT(balance) AS n_with_balance
+    FROM (
+        SELECT c_name AS name, c_acctbal AS balance, 'customer' AS kind
+        FROM customer
+        UNION ALL BY NAME
+        SELECT 'supplier' AS kind, s_name AS name
+        FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def union_by_name_mixed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent union with missing-column NULL backfill
+    (unionByName allowMissingColumns) — the schema-evolution-tolerant
+    union an accreting 100 TB dataset needs; positional UNION would
+    silently misalign."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("kind"),
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_name").alias("name")
+    )
+    return (
+        customer.unionByName(supplier, allowMissingColumns=True)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("balance").alias("n_with_balance"),
+        )
+    )
+
+
+@register(
+    "posexplode_token_positions",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    u AS (SELECT doc_id,
+                 UNNEST([{'pos': i, 'token': toks[i]}
+                         for i in generate_series(1, len(toks))]) AS s
+          FROM t)
+    SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.token AS token
+    FROM u WHERE s.pos <= 3
+    """,
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal fan-out (posexplode) — position-aware explode; Spark's
+    0-based pos normalized to the oracle's 1-based ordinality."""
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "token"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
+        .filter(F.col("pos") <= 3)
+    )
+
+
+@register(
     "intersect_nations_with_both",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
