@@ -1,0 +1,66 @@
+"""Plan-quality regression net: physical-plan properties pinned as
+tests, so a refactor that silently degrades a plan (lost pushdown,
+join collapsing to a nested loop) fails CI rather than surfacing as a
+10× slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_procedure_codes_crawler_spark.llm.queries import ROWS_ONLY  # noqa: F401 — registers
+from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+#: queries ALLOWED to plan a broadcast nested-loop / cartesian, each
+#: with the reason it is deliberate. Everything else must not.
+NESTED_LOOP_EXEMPT = {
+    # explicit dimension grid: broadcast NLJ over two tiny dims IS the plan
+    "cross_join_region_priority_grid": "explicit broadcast dim-grid",
+    # documented O(n²) exact baselines (scale path = their LSH variants)
+    "embedding_similar_pairs": "brute-force pair baseline (vec_a < vec_b)",
+    "ann_cosine_topk": "brute-force top-k baseline (broadcast query side)",
+    # small distinct domain crossed deliberately after shrinking
+    "levenshtein_similar_sources": "distinct-shrunk fuzzy domain pairing",
+    # scalar-aggregate threshold broadcast as a 1-row cross join
+    "q22_global_sales_opportunity": "1-row threshold cross join",
+}
+
+#: iterative / streaming / ML-training queries where a single static
+#: plan string is not meaningful (driver loops, availableNow batches)
+SKIP = {
+    "near_dup_clusters",
+    "streaming_hourly_event_counts",
+    "ann_cosine_topk_ivf",  # plan depends on trained centroids
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n not in SKIP)
+)
+def test_no_accidental_nested_loop(spark, sf_dir, name):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    if name in NESTED_LOOP_EXEMPT:
+        pytest.skip(f"deliberate: {NESTED_LOOP_EXEMPT[name]}")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} degenerated to a nested-loop join"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("q1_pricing_summary", "PushedFilters: [IsNotNull(l_shipdate)"),
+        ("q6_forecast_revenue", "PushedFilters: [IsNotNull(l_shipdate)"),
+        ("q3_shipping_priority", "BroadcastHashJoin"),
+        ("q5_local_supplier_volume", "BroadcastHashJoin"),
+        ("q10_returned_items", "BroadcastHashJoin"),
+    ],
+)
+def test_key_plan_properties(spark, sf_dir, name, expect):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert expect in plan, f"{name}: expected {expect!r} in plan"
