@@ -342,6 +342,17 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("user_value_trends")  # rows-only (numpy polyfit per group)
+def user_value_trends_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch applyInPandas grouped-map: per-user value/time regression
+    (llm/trends.py) — deterministic run-to-run, not SQL-expressible
+    without matrix algebra."""
+    from .trends import user_value_trends
+
+    events = load(spark, sf_dir, "events")
+    return user_value_trends(events)
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")
@@ -415,6 +426,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivf",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
+    "user_value_trends",
     "multimodal_feature_stats",
     "approx_distinct_users",
 }

@@ -54,17 +54,25 @@ def merge_upsert(
 
     pinned = merged.localCheckpoint(eager=True)
     n = pinned.count()
+    replace_dataset_atomically(spark, target_path, pinned)
+    return n
 
-    tmp = target_path.rstrip("/") + "._merging"
-    pinned.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
 
+def replace_dataset_atomically(
+    spark: SparkSession, target_path: str, df: DataFrame
+) -> None:
+    """Write ``df`` beside ``target_path`` then rename into place —
+    readers see the old dataset or the new one, never a mix. ``df``
+    must NOT have lineage reading ``target_path`` unless checkpointed
+    first (see module docstring)."""
+    tmp = target_path.rstrip("/") + "._staging"
+    df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(target_path)
     fs = dst.getFileSystem(conf)
-    backup = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + "._premerge")
+    backup = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + "._previous")
     if fs.exists(dst):
         fs.rename(dst, backup)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
     fs.delete(backup, True)
-    return n
