@@ -714,6 +714,75 @@ def explode_token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_agg_sources_by_lang",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def string_agg_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set is unordered (and
+    collect_list nondeterministic across retries), so the deterministic
+    form is sort_array(collect_set(...)) then join — pinned against
+    string_agg(DISTINCT ... ORDER BY)."""
+    documents = load(spark, sf_dir, "documents")
+    return documents.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "bool_aggregates_by_event_type",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99) AS any_large,
+           COUNT(*) FILTER (value > 99) AS n_large
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def bool_aggregates_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) — the assertion-style rollups a
+    data-quality gate runs per partition before publishing."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_large"),
+        F.count(F.when(F.col("value") > 99, 1)).alias("n_large"),
+    )
+
+
+@register(
+    "try_cast_safe_parsing",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(SUBSTR(source, 4) AS BIGINT)) AS n_numeric_suffix,
+           CAST(SUM(COALESCE(TRY_CAST(SUBSTR(source, 4) AS BIGINT), 0))
+                AS BIGINT) AS suffix_sum,
+           COUNT(TRY_CAST(source AS BIGINT)) AS n_fully_numeric
+    FROM documents
+    """,
+)
+def try_cast_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast semantics: malformed values become NULL instead of
+    failing the job — the difference between one bad record and a dead
+    100 TB pipeline (ANSI mode makes plain CAST throw)."""
+    documents = load(spark, sf_dir, "documents")
+    suffix = F.expr("try_cast(substring(source, 4) AS BIGINT)")
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(suffix).alias("n_numeric_suffix"),
+        F.sum(F.coalesce(suffix, F.lit(0))).cast("bigint").alias("suffix_sum"),
+        F.count(F.expr("try_cast(source AS BIGINT)")).alias("n_fully_numeric"),
+    )
+
+
+@register(
     "median_quantity_by_flag",
     oracle="""
     SELECT l_returnflag,
