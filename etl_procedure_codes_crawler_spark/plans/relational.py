@@ -714,6 +714,73 @@ def explode_token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_functions_breadth",
+    oracle="""
+    SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           STRFTIME(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: trunc, last_day, day-of-week
+    (normalized — Spark is 1-based Sunday, DuckDB 0-based), month
+    arithmetic. The shapes every date-partitioned warehouse query
+    leans on."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+            F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+                "plus3m"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish 'NULL because subtotal row' from
+    'NULL in the data' — the correct way to consume rollup output
+    (COALESCE alone conflates the two)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )
+
+
+@register(
     "string_agg_sources_by_lang",
     oracle="""
     SELECT lang,
