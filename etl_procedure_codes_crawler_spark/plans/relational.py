@@ -714,6 +714,37 @@ def explode_token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_trailing_90d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_90d
+    FROM orders
+    """,
+)
+def window_trailing_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing 90-day spend
+    per customer. Spark's rangeBetween needs a numeric ordering key, so
+    the date is ordered as unix_date (days since epoch) with the frame
+    expressed in days — the same frame DuckDB's INTERVAL 90 DAY RANGE
+    clause defines on a DATE ordering. Frames by value are tie-stable
+    (equal dates share a frame), so no tie-break column is needed."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-90, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_90d"),
+    )
+
+
+@register(
     "date_functions_breadth",
     oracle="""
     SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
