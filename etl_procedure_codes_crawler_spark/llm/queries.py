@@ -10,6 +10,7 @@ deterministic run-to-run, xxhash64/seeded hyperplanes).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 from ..plans.relational import load, register
@@ -413,6 +414,189 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: tf-idf, inverted index, n-gram LM counts, sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               CAST(tf * n_docs AS DOUBLE) / df AS score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    ),
+    r AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, token, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by tf-idf. The idf
+    uses the rational N/df form (one double division) instead of
+    ln(N/df) — same ranking, but libm log implementations differ in the
+    last ulp across engines while a single IEEE division does not. The
+    doc-count scalar rides in as a broadcast 1-row frame (no collect);
+    the term-frequency join on token is the skew-prone edge (stopword
+    keys) and relies on AQE skew splitting at scale."""
+    documents = load(spark, sf_dir, "documents")
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tok = documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = SparkWindow.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "score", "rnk")
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+               AS postings
+    FROM tok GROUP BY token
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: token → sorted posting list of containing docs.
+    Per-document dedup happens map-side via array_distinct *before* the
+    explode, so the shuffle carries each (doc, token) once — the cheap
+    half of an index build. Postings are emitted as a comma-joined
+    string (canonical across engines); sort_array makes the aggregation
+    order-insensitive and therefore deterministic under any partitioning."""
+    documents = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens("text"))).alias("token"),
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@register(
+    "bigram_counts_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]
+        )) AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def bigram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — the n-gram language-model counting
+    pattern. Adjacent pairs come from zip_with over two offset slices
+    (pure column ops, no UDF); single-token and empty docs yield empty
+    slices, matching generate_series(1,0) = [] on the oracle side. The
+    count is one shuffled aggregation; top-k carries the (n, bigram)
+    total order so LIMIT is deterministic."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= CAST(ceil(n_lang / 10.0) AS BIGINT)
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: ⌈10%⌉ of each language stratum,
+    selected by ranking on a key-derived md5 — a pure function of the
+    row, so membership is stable across runs, engines, partitionings,
+    and retries (unlike rand()-based sampleBy, whose quotas are only
+    expected values). One shuffle on the stratum key; each stratum
+    ranks independently, so skew is bounded by the largest stratum."""
+    documents = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = SparkWindow.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    c = SparkWindow.partitionBy("lang")
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+            F.count(F.lit(1)).over(c).alias("n_lang"),
+        )
+        .filter(F.col("rk") <= F.ceil(F.col("n_lang") / 10.0).cast("bigint"))
+        .select("doc_id", "lang", "rk")
     )
 
 

@@ -2040,3 +2040,217 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+@register(
+    "date_spine_daily_revenue",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders),
+    b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM o),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b
+    ),
+    daily AS (
+        SELECT d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               COUNT(*) AS n
+        FROM o GROUP BY d
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a generated day dimension left-joined to
+    the daily aggregate so zero-order days appear explicitly (the
+    standard fix for time series with holes). The spine derives from a
+    1-row min/max aggregate via sequence+explode — no driver collect —
+    and both join sides are post-aggregation tiny (one row per day)
+    regardless of input scale, so the join cost is O(days), not O(rows)."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    spine = (
+        orders.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    daily = orders.groupBy("d").agg(
+        F.sum(_dec("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("rev"), F.lit(0).cast(DEC)).cast("double").alias("revenue"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "exact_moment_statistics",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT *,
+               sxx - sx * sx / n AS dx,
+               syy - sy * sy / n AS dy,
+               sxy - sx * sy / n AS dxy
+        FROM s
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           sx / n AS mean_qty,
+           sqrt(dx / (n - 1)) AS stddev_qty,
+           dxy / sqrt(dx * dy) AS corr_qty_price,
+           dxy / dx AS slope_price_per_qty,
+           sy / n - (dxy / dx) * (sx / n) AS intercept
+    FROM d
+    """,
+)
+def exact_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, correlation, OLS slope) that
+    hash-match across engines. Built-in stddev/corr are order-dependent
+    double accumulations — different partitionings give different last
+    ulps. Here every SUM runs in exact DECIMAL (map-side partial aggs
+    still apply), and the floating-point math happens only in the final
+    per-group scalar expressions, with the identical IEEE operation tree
+    on both engines. The decimal sums go to double THROUGH A STRING:
+    once a sum's unscaled value exceeds 2^53 (the squared-price sum
+    does), direct decimal→double conversion rounds differently per
+    engine, while decimal→string is exact and string→double is
+    correctly rounded in both. One shuffle on the group key; moment
+    sums make this a single pass regardless of scale."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("string").cast("double").alias("sx"),
+        F.sum(y).cast("string").cast("double").alias("sy"),
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
+        F.sum(y * y).cast("string").cast("double").alias("syy"),
+        F.sum(x * y).cast("string").cast("double").alias("sxy"),
+    )
+    d = s.withColumns(
+        {
+            "dx": F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+            "dy": F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"),
+            "dxy": F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+        }
+    )
+    return d.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (F.col("sx") / F.col("n")).alias("mean_qty"),
+        F.sqrt(F.col("dx") / (F.col("n") - 1)).alias("stddev_qty"),
+        (F.col("dxy") / F.sqrt(F.col("dx") * F.col("dy"))).alias("corr_qty_price"),
+        (F.col("dxy") / F.col("dx")).alias("slope_price_per_qty"),
+        (
+            F.col("sy") / F.col("n")
+            - (F.col("dxy") / F.col("dx")) * (F.col("sx") / F.col("n"))
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "unpivot_monthly_status_revenue",
+    oracle="""
+    WITH wide AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_F,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_O,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_P
+        FROM orders GROUP BY 1
+    )
+    SELECT month, split_part(status_col, '_', 2) AS status, revenue
+    FROM (UNPIVOT wide ON rev_F, rev_O, rev_P
+          INTO NAME status_col VALUE revenue)
+    """,
+)
+def unpivot_monthly_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot): conditional aggregation
+    builds one revenue column per order status, then unpivot restores
+    tidy (month, status, revenue) rows. NULL cells are coalesced to 0
+    *before* the melt because SQL UNPIVOT drops NULL measures while the
+    DataFrame unpivot keeps them — pre-coalescing makes both engines
+    agree. Unpivot itself is a zero-shuffle projection."""
+    orders = load(spark, sf_dir, "orders")
+
+    def rev(status: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == status, _dec("o_totalprice"))),
+                F.lit(0).cast(DEC),
+            )
+            .cast("double")
+            .alias(f"rev_{status}")
+        )
+
+    wide = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(rev("F"), rev("O"), rev("P"))
+    return wide.unpivot(
+        ["month"], ["rev_F", "rev_O", "rev_P"], "status_col", "revenue"
+    ).select(
+        "month",
+        F.substring_index("status_col", "_", -1).alias("status"),
+        "revenue",
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, spend,
+               NTILE(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS decile
+        FROM spend
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(spend) AS DOUBLE) AS total_spend,
+           CAST(MIN(spend) AS DOUBLE) AS min_spend,
+           CAST(MAX(spend) AS DOUBLE) AS max_spend
+    FROM ranked GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: customers ranked into spend deciles via
+    NTILE, then per-decile summary. The window carries a total order
+    (spend, custkey) so tied spends land deterministically. The global
+    window runs on the *aggregated* per-customer frame — cardinality is
+    already reduced by the groupBy, which is what makes a partitionless
+    window tolerable here; at 100 TB the scale path is approx_percentile
+    bins instead of a single-partition NTILE sort."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend").cast("double").alias("total_spend"),
+        F.min("spend").cast("double").alias("min_spend"),
+        F.max("spend").cast("double").alias("max_spend"),
+    ).select(F.col("decile").cast("bigint").alias("decile"), "n_customers",
+             "total_spend", "min_spend", "max_spend")

@@ -23,6 +23,7 @@ NESTED_LOOP_EXEMPT = {
     "levenshtein_similar_sources": "distinct-shrunk fuzzy domain pairing",
     # scalar-aggregate threshold broadcast as a 1-row cross join
     "q22_global_sales_opportunity": "1-row threshold cross join",
+    "tfidf_top_terms": "1-row doc-count scalar cross join",
 }
 
 #: iterative / streaming / ML-training queries where a single static
