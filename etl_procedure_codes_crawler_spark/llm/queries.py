@@ -453,18 +453,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the rational N/df form (one double division) instead of
     ln(N/df) — same ranking, but libm log implementations differ in the
     last ulp across engines while a single IEEE division does not. The
-    doc-count scalar rides in as a broadcast 1-row frame (no collect);
-    the term-frequency join on token is the skew-prone edge (stopword
-    keys) and relies on AQE skew splitting at scale."""
+    doc-count scalar rides in as a broadcast 1-row frame (no collect).
+    Document frequency comes from a COUNT window over the tf frame
+    rather than a second aggregate joined back — the naive two-branch
+    plan scans and explodes the corpus twice (Spark does not reuse the
+    subtree), while this shape pays one scan + one explode and moves
+    data only by shuffle: (doc,token) agg → token window → doc rank.
+    The token partition is the skew-prone edge (stopword keys)."""
     documents = load(spark, sf_dir, "documents")
     n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     tok = documents.select(
         "doc_id", F.explode(T.tokens("text")).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(SparkWindow.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
