@@ -605,6 +605,55 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dimension_means",
+    oracle="""
+    WITH x AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    a AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               COUNT(*) AS n,
+               SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS s
+        FROM x GROUP BY 1, 2
+    )
+    SELECT label, dim, n AS n_vectors,
+           CAST(s AS DOUBLE) / n / 1000000.0 AS mean_val
+    FROM a
+    """,
+)
+def embedding_dimension_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per embedding dimension — the
+    columnar profile of a vector corpus. Summing floats in double is
+    partition-order-dependent, so values are first snapped to 1e-6
+    fixed point (round() on the identical IEEE product is exact and
+    half-away-from-zero in both engines) and summed as integers —
+    exact, associative, and map-side combinable; the division back to
+    a mean happens once per group. posexplode here mirrors the
+    oracle's zipped double-unnest (DuckDB 1.0 has no WITH ORDINALITY)."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("v6"),
+    )
+    a = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v6").alias("s")
+    )
+    return a.select(
+        "label",
+        "dim",
+        F.col("n").alias("n_vectors"),
+        (F.col("s").cast("double") / F.col("n") / 1000000.0).alias("mean_val"),
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
