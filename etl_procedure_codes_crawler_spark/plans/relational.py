@@ -2254,3 +2254,73 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("spend").cast("double").alias("max_spend"),
     ).select(F.col("decile").cast("bigint").alias("decile"), "n_customers",
              "total_spend", "min_spend", "max_spend")
+
+
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t2 GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t4
+        FROM events e JOIN s3 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t3 GROUP BY e.user_id
+    )
+    SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT '2_view', COUNT(*) FROM s2
+    UNION ALL SELECT '3_click', COUNT(*) FROM s3
+    UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users counted at each stage only if
+    the stage event happened strictly AFTER their previous stage's
+    first event (the sequential semantics that distinguish a funnel
+    from four independent counts). Each stage is a groupBy + join on
+    user_id against the strictly-shrinking survivor set from the stage
+    before — every shuffle keys on user_id, so AQE coalesces the chain
+    onto one co-partitioned layout, and the final counts are 1-row
+    aggregates unioned together."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def first_after(event_type: str, prev: DataFrame, prev_t: str, out_t: str):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(prev.select("user_id", prev_t), "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("view", s1, "t1", "t2")
+    s3 = first_after("click", s2, "t2", "t3")
+    s4 = first_after("purchase", s3, "t3", "t4")
+
+    def stage_count(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_count(s1, "1_signup")
+        .unionByName(stage_count(s2, "2_view"))
+        .unionByName(stage_count(s3, "3_click"))
+        .unionByName(stage_count(s4, "4_purchase"))
+    )
