@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sinks.fsutil import checked_rename, hadoop_fs, remove_stale
 from ..sources.parquet import read_table_or_empty
 
 
@@ -66,13 +67,16 @@ def replace_dataset_atomically(
     must NOT have lineage reading ``target_path`` unless checkpointed
     first (see module docstring)."""
     tmp = target_path.rstrip("/") + "._staging"
+    fs, hpath = hadoop_fs(spark, target_path)
+    dst = hpath(target_path)
+    tmp_p = hpath(tmp)
+    backup = hpath(target_path.rstrip("/") + "._previous")
+    # A crashed prior run can leave ._staging/._previous behind; either
+    # would make the renames below fail (occupied destination). Clear
+    # them before writing — dst itself is still the last good dataset.
+    remove_stale(fs, tmp_p, backup)
     df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = dst.getFileSystem(conf)
-    backup = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + "._previous")
     if fs.exists(dst):
-        fs.rename(dst, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+        checked_rename(fs, dst, backup)
+    checked_rename(fs, tmp_p, dst)
     fs.delete(backup, True)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fsutil import checked_rename, hadoop_fs, remove_stale
+
 LOAD_DATE_COLUMN = "load_date"
 
 
@@ -142,15 +144,20 @@ def compact_dataset(
     the dataset's true byte size, and atomically swaps via a temp path
     (readers never observe a partial rewrite). Returns the new file
     count."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(path)
-    fs = src.getFileSystem(conf)
+    fs, hpath = hadoop_fs(spark, path)
+    src = hpath(path)
     total_bytes = fs.getContentSummary(src).getLength()
     n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compacting"
+    tmp_p = hpath(tmp)
+    backup = hpath(path.rstrip("/") + "._precompact")
+    # Leftovers from a crashed earlier compaction would occupy the
+    # rename destinations below; the source dataset is still intact,
+    # so they are safe to discard.
+    remove_stale(fs, tmp_p, backup)
+
+    df = spark.read.parquet(path)
     writer = (
         df.repartition(n_files)
         .write.mode("overwrite")
@@ -160,10 +167,8 @@ def compact_dataset(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._precompact")
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.rename(src, backup)
-    fs.rename(tmp_p, src)
+    checked_rename(fs, src, backup)
+    checked_rename(fs, tmp_p, src)
     fs.delete(backup, True)
     out_files = [
         f for f in fs.listStatus(src) if f.getPath().getName().endswith(".parquet")

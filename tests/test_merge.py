@@ -72,3 +72,45 @@ def test_no_leftover_temp_dirs(spark, tmp_path):
     merge_upsert(spark, path, spark.createDataFrame([("b", 2)], SCHEMA), "code")
     siblings = os.listdir(str(tmp_path))
     assert siblings == ["t"], siblings
+
+
+def test_merge_survives_stale_crash_leftovers(spark, tmp_path):
+    """A crashed prior run leaving ._previous and ._staging behind must
+    not make the next merge silently keep old data (Hadoop rename()
+    returns False on an occupied destination instead of raising)."""
+    import os
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1)], SCHEMA).write.parquet(path)
+    # Simulate the crash leftovers: a stale backup and a stale staging
+    # dir from an interrupted earlier swap.
+    spark.createDataFrame([("stale", 0)], SCHEMA).write.parquet(
+        path + "._previous"
+    )
+    spark.createDataFrame([("stale", 0)], SCHEMA).write.parquet(
+        path + "._staging"
+    )
+
+    merge_upsert(spark, path, spark.createDataFrame([("b", 2)], SCHEMA), "code")
+    assert _read(spark, path) == {"a": 1, "b": 2}
+    assert os.listdir(str(tmp_path)) == ["t"]
+
+
+def test_failed_rename_raises_not_silent(spark, tmp_path):
+    """checked_rename turns Hadoop's False return into an exception."""
+    import pytest
+
+    from etl_procedure_codes_crawler_spark.sinks.fsutil import (
+        checked_rename,
+        hadoop_fs,
+    )
+
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "f").write_text("x")
+    # an existing *file* destination makes rename return False
+    (tmp_path / "dest").write_text("y")
+    fs, hpath = hadoop_fs(spark, str(tmp_path))
+    src = hpath(str(tmp_path / "src"))
+    dest = hpath(str(tmp_path / "dest"))
+    with pytest.raises(IOError, match="rename failed"):
+        checked_rename(fs, src, dest)

@@ -77,6 +77,26 @@ class TestCompaction:
         assert not os.path.exists(path + "._compacting")
         assert not os.path.exists(path + "._precompact")
 
+    def test_compact_survives_stale_crash_leftovers(self, spark, tmp_path):
+        """Stale ._compacting/._precompact from a crashed run must not
+        make the rename-swap silently fail (rename returns False on an
+        occupied destination)."""
+        import os
+
+        from etl_procedure_codes_crawler_spark.sinks.parquet import compact_dataset
+
+        path = str(tmp_path / "frag")
+        df = spark.range(100).withColumnRenamed("id", "v")
+        for _ in range(3):
+            df.repartition(4).write.mode("append").parquet(path)
+        df.limit(1).write.parquet(path + "._compacting")
+        df.limit(1).write.parquet(path + "._precompact")
+
+        compact_dataset(spark, path, target_file_mb=128)
+        assert spark.read.parquet(path).count() == 300
+        assert not os.path.exists(path + "._compacting")
+        assert not os.path.exists(path + "._precompact")
+
 
 class TestIdempotentRunWrites:
     def test_rerun_replaces_own_partition_only(self, spark, sf_dir, tmp_path):
