@@ -18,8 +18,16 @@ GraphFrames' AQS-style CC), no graph library required.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Label propagation exhausted max_iter with labels still changing
+    — the returned components would silently split chain-shaped
+    clusters."""
 
 
 def connected_components(
@@ -27,12 +35,20 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id reachable.
 
     ``edges`` is undirected input (each pair once is enough). Isolated
     vertices don't appear (no edges → they are their own component
     trivially; union them in upstream if needed).
+
+    If labels are still changing after ``max_iter`` passes (graph
+    diameter > max_iter — e.g. one long duplicate chain), the labels
+    are WRONG (a component would be split). ``on_unconverged``
+    controls the response: ``"raise"`` (default) raises
+    :class:`ComponentsNotConverged`; ``"warn"`` emits a warning and
+    returns the partial labels.
     """
     fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
     rev = edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
@@ -45,6 +61,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_side = labels.select(
             F.col("v").alias("_lv"), F.col("label")
@@ -72,6 +89,16 @@ def connected_components(
         if changed == 0:
             break
     adj.unpersist()
+    if changed > 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — component "
+            "labels are incomplete; raise max_iter (graph diameter "
+            "exceeds it)"
+        )
+        if on_unconverged == "raise":
+            raise ComponentsNotConverged(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 

@@ -86,7 +86,18 @@ def salted_join(
     """Join with the big side's hot keys spread over ``buckets``
     sub-partitions; the small side is replicated once per salt value
     (size × buckets — keep buckets modest).
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are
+    supported: with right/full outer, every unmatched small-side row
+    would be emitted once per replica — ``buckets`` copies — silently
+    inflating row counts.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer joins would emit each unmatched small-side row once "
+            "per salt replica"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in big.columns if c not in keys]
     big_salted = with_salt(big, buckets, from_cols=payload or keys)

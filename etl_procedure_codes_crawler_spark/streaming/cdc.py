@@ -26,9 +26,19 @@ def latest_change_per_key(
     changes: DataFrame, key: str, order_col: str
 ) -> DataFrame:
     """Reduce a change set to the final state per key: max(order_col)
-    wins, ties broken by preferring the later row in order_col then
-    key order (deterministic)."""
-    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    wins. The window ordering is made TOTAL by tie-breaking on every
+    remaining column (descending, nulls last) — row_number over
+    order_col alone is nondeterministic when two changes for a key
+    share order_col, and a replayed batch could pick a different
+    winner, breaking the module's exactly-once replay claim. With the
+    full-row tie-break, replays always pick the same row (rows that
+    are byte-identical tie harmlessly)."""
+    tiebreaks = [
+        F.desc_nulls_last(c)
+        for c in changes.columns
+        if c not in (key, order_col)
+    ]
+    w = Window.partitionBy(key).orderBy(F.desc_nulls_last(order_col), *tiebreaks)
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_procedure_codes_crawler_spark.llm.cluster import (
+    ComponentsNotConverged,
     connected_components,
     duplicate_clusters,
 )
@@ -38,6 +40,19 @@ def test_long_chain_converges(spark):
     got = _cc(spark, [(i, i + 1) for i in range(1, n)])
     assert set(got.values()) == {1}
     assert len(got) == n
+
+
+def test_unconverged_raises_instead_of_wrong_labels(spark):
+    """Diameter > max_iter used to return silently-split components;
+    now it raises (or warns when asked to)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ComponentsNotConverged, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = connected_components(chain, max_iter=2, on_unconverged="warn")
+    assert partial.count() == 9  # partial labels still returned on warn
 
 
 def test_duplicate_clusters_with_singletons(spark):

@@ -87,6 +87,38 @@ class TestSaltedJoin:
             map(tuple, plain.collect())
         )
 
+    def test_outer_joins_rejected(self, spark, sf_dir):
+        """Right/full outer would emit each unmatched small-side row
+        once per salt replica — refuse instead of silently inflating."""
+        orders = read_testdata(spark, sf_dir, "orders")
+        customer = read_testdata(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        for how in ("right", "full", "outer", "full_outer"):
+            with pytest.raises(ValueError, match="inner.*left"):
+                salted_join(orders, customer, on="o_custkey", buckets=4, how=how)
+
+    def test_left_join_matches_plain(self, spark, sf_dir):
+        orders = read_testdata(spark, sf_dir, "orders").limit(500)
+        # keep only a slice of customers so some orders have no match
+        customer = (
+            read_testdata(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 3 == 0)
+            .withColumnRenamed("c_custkey", "o_custkey")
+        )
+        plain = (
+            orders.join(customer, "o_custkey", "left")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        salted = (
+            salted_join(orders, customer, on="o_custkey", buckets=4, how="left")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        as_dict = lambda df: {r.c_mktsegment: r.n for r in df.collect()}
+        assert as_dict(salted) == as_dict(plain)
+
     def test_top_keys_orders_by_frequency(self, spark, sf_dir):
         lineitem = read_testdata(spark, sf_dir, "lineitem")
         rows = top_keys(lineitem, ["l_returnflag"], n=3).collect()

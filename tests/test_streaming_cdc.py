@@ -86,6 +86,20 @@ def test_latest_change_per_key_orders_within_batch(spark):
     assert len(rows) == 1 and rows[0].value == "new"
 
 
+def test_latest_change_tie_break_is_deterministic(spark):
+    """Two changes for one key sharing order_col must resolve to the
+    same winner on every (re)execution — replay idempotence depends on
+    it. The full-row tie-break picks the max over remaining columns."""
+    rows = [("A", "x", 5, False), ("A", "y", 5, False), ("A", "w", 5, True)]
+    winners = set()
+    for perm in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        changes = spark.createDataFrame(perm, CDC_SCHEMA).repartition(3)
+        got = latest_change_per_key(changes, "code", "seq").collect()
+        assert len(got) == 1
+        winners.add(got[0].value)
+    assert winners == {"y"}  # desc tie-break on value: y > x > w
+
+
 def test_cdc_stream_applies_inserts_updates_deletes(spark, dirs):
     # batch 1: create A and B (A updated twice inside the batch)
     _drop(
