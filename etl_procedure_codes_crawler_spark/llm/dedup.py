@@ -100,6 +100,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.05,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -107,8 +108,26 @@ def ngram_jaccard_pairs(
     at least one shingle — quadratic *within a shingle's posting list*,
     not globally. At 100 TB this is the verify stage after LSH, not
     the candidate generator (use minhash_lsh_candidate_pairs there).
+
+    ``max_doc_freq`` drops "stop shingles" whose document frequency
+    exceeds it BEFORE the join: a shingle shared by m docs emits m²
+    candidate rows, so one boilerplate header shingled into every
+    document is a quadratic bomb in a single posting list. Dropped
+    shingles leave both the intersection and the union (sizes are
+    computed after the filter), i.e. the result is exact Jaccard over
+    the stop-shingle-filtered sets — at sane thresholds true near-dup
+    pairs still share plenty of low-df shingles and survive (see
+    tests/test_llm_dedup.py adversarial cases).
     """
     sh = shingle_rows(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -158,7 +177,92 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidate_pairs(
+def _capped_bucket_pairs(
+    buckets: DataFrame,
+    max_bucket_size: int,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Self-join within (band, bucket), bounded for degenerate buckets.
+
+    Buckets up to ``max_bucket_size`` members produce all pairs (the
+    normal LSH case — tiny buckets). A degenerate bucket (boilerplate
+    text, all-zero signature from empty docs) would make the all-pairs
+    join emit |bucket|² rows inside ONE task — a quadratic bomb at
+    100 TB. Oversized buckets are instead STAR-EXPANDED: every member
+    pairs with the bucket's min-id hub only, so output is linear in
+    bucket size while cluster connectivity is preserved (any two
+    members stay connected through the hub, which is what downstream
+    connected-components dedup needs). The verify stage still
+    Jaccard-checks every emitted pair.
+
+    ``carry_cols`` are per-id payload columns (e.g. the simhash
+    signature) carried into the output as ``<col>_a``/``<col>_b``.
+    """
+    carry = carry_cols or []
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.min(F.struct("id", *carry)).alias("_hub"),
+    )
+    # one shuffle on (band, bucket); the size join reuses that
+    # partitioning, so the cap costs no extra wide stage
+    annotated = buckets.join(sizes, ["band", "bucket"])
+
+    small = annotated.filter(F.col("_bn") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+    )
+
+    star_pairs = (
+        annotated.filter(F.col("_bn") > max_bucket_size)
+        .filter(F.col("id") != F.col("_hub.id"))
+        .select(
+            F.least(F.col("id"), F.col("_hub.id")).alias("doc_a"),
+            F.greatest(F.col("id"), F.col("_hub.id")).alias("doc_b"),
+            *[
+                F.when(F.col("id") < F.col("_hub.id"), F.col(c))
+                .otherwise(F.col(f"_hub.{c}"))
+                .alias(f"{c}_a")
+                for c in carry
+            ],
+            *[
+                F.when(F.col("id") < F.col("_hub.id"), F.col(f"_hub.{c}"))
+                .otherwise(F.col(c))
+                .alias(f"{c}_b")
+                for c in carry
+            ],
+        )
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_bucket_stats(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Monitoring companion to :func:`_capped_bucket_pairs`: per-band
+    bucket-size histogram head plus how many buckets were star-capped
+    — run this (cheap: one groupBy) to see what the cap dropped."""
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket_size"),
+            F.sum(
+                F.when(F.col("bucket_size") > max_bucket_size, 1).otherwise(0)
+            ).alias("n_capped_buckets"),
+        )
+    )
+
+
+def minhash_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -166,10 +270,7 @@ def minhash_lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of any band are
-    candidates. Pair generation is a self-join per (band, bucket) —
-    each bucket is tiny, so no global quadratic blowup.
-    """
+    """(id, band, bucket) LSH band-bucket assignment."""
     sig = minhash_signatures(df, text_col, id_col, k, bands * rows_per_band)
     band_structs = [
         F.struct(
@@ -180,20 +281,29 @@ def minhash_lsh_candidate_pairs(
         )
         for band in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band are
+    candidates. Pair generation is a self-join per (band, bucket) —
+    each bucket is tiny in the non-adversarial case, and degenerate
+    buckets are star-capped at ``max_bucket_size`` (see
+    :func:`_capped_bucket_pairs`; :func:`lsh_bucket_stats` reports
+    what got capped).
+    """
+    buckets = minhash_buckets(df, text_col, id_col, k, bands, rows_per_band)
+    return _capped_bucket_pairs(buckets, max_bucket_size)
 
 
 def minhash_near_dup_pairs(
@@ -279,10 +389,13 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Hamming-distance pairs via 4×16-bit band join (any pair within
     hamming<=3 of 64 bits agrees exactly on >=1 of 4 bands), then exact
-    popcount verification via bit_count."""
+    popcount verification via bit_count. Degenerate buckets (e.g. the
+    all-zero simhash every empty document hashes to) are star-capped
+    at ``max_bucket_size`` — see :func:`_capped_bucket_pairs`."""
     sig = simhash_signatures(df, text_col, id_col)
     band_structs = [
         F.struct(
@@ -296,24 +409,13 @@ def simhash_near_dup_pairs(
     buckets = sig.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    pairs = _capped_bucket_pairs(
+        buckets, max_bucket_size, carry_cols=["simhash"]
     )
     return pairs.select(
         "doc_a",
         "doc_b",
-        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint").alias("hamming"),
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        .cast("bigint")
+        .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)

@@ -179,6 +179,44 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.ngram_jaccard_pairs(documents, threshold=0.05)
 
 
+@register(
+    "ngram_jaccard_pairs_dfcap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+    FROM shared
+      JOIN sizes x ON x.doc_id = doc_a
+      JOIN sizes y ON y.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe Jaccard variant: shingles with document frequency
+    > 50 are dropped before the posting-list self-join (a shingle in m
+    docs emits m² rows — one boilerplate phrase is a quadratic bomb at
+    scale). Oracled: DuckDB mirrors the df filter exactly, proving the
+    cap changes semantics only in the documented stop-shingle way."""
+    documents = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(documents, threshold=0.05, max_doc_freq=50)
+
+
 @register("minhash_near_dup_pairs")  # LSH: rows-only (probabilistic recall)
 def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")
