@@ -18,6 +18,11 @@ Spark-first translation:
   reference's commit/rollback contract exactly.
 - K5 ⇒ ``spark.sql`` for catalog tables; ``execute_transaction`` for
   remote-DB DDL.
+
+The whole surface is exercised END-TO-END against embedded Apache
+Derby (jars ship with Spark) in ``tests/test_io_surface.py`` —
+write→read-back parity, append/overwrite modes, partitioned reads,
+and transactional commit/rollback through a real JDBC connection.
 """
 
 from __future__ import annotations
@@ -79,6 +84,55 @@ def execute_transaction(
             cursor.close()
     finally:
         conn.close()
+
+
+class _JvmJdbcCursor:
+    def __init__(self, jstatement):
+        self._stmt = jstatement
+
+    def execute(self, sql: str) -> None:
+        self._stmt.execute(sql)
+
+    def close(self) -> None:
+        self._stmt.close()
+
+
+class JvmJdbcConnection:
+    """DB-API-shaped adapter over a ``java.sql.Connection`` reached
+    through the session's JVM — lets :func:`execute_transaction` drive
+    any JDBC database (embedded Derby in tests, any server with its
+    driver on ``spark.jars`` in production) with the same
+    commit/rollback contract it gives psycopg2/sqlite3."""
+
+    def __init__(self, jconn):
+        self._jconn = jconn
+        self._jconn.setAutoCommit(False)
+
+    def cursor(self) -> _JvmJdbcCursor:
+        return _JvmJdbcCursor(self._jconn.createStatement())
+
+    def commit(self) -> None:
+        self._jconn.commit()
+
+    def rollback(self) -> None:
+        self._jconn.rollback()
+
+    def close(self) -> None:
+        self._jconn.close()
+
+
+def jvm_jdbc_connection_factory(
+    spark: SparkSession, url: str
+) -> Callable[[], JvmJdbcConnection]:
+    """Connection factory for :func:`execute_transaction` that opens
+    ``url`` via ``java.sql.DriverManager`` in the session JVM (the
+    JDBC driver must be on Spark's classpath)."""
+
+    def factory() -> JvmJdbcConnection:
+        jconn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        return JvmJdbcConnection(jconn)
+
+    return factory
 
 
 def create_table(

@@ -35,9 +35,14 @@ class JdbcConnection:
     scheme: str = "postgresql"
     driver: str = "org.postgresql.Driver"
     properties: dict[str, str] = field(default_factory=dict)
+    #: full JDBC URL for non-host/port databases (embedded Derby/H2,
+    #: unix-socket URLs); when set it wins over the host/port assembly
+    url_override: str | None = None
 
     @property
     def url(self) -> str:
+        if self.url_override is not None:
+            return self.url_override
         return f"jdbc:{self.scheme}://{self.host}:{self.port}/{self.database}"
 
     def options(self) -> dict[str, str]:
@@ -49,6 +54,21 @@ class JdbcConnection:
         }
         opts.update(self.properties)
         return opts
+
+    @classmethod
+    def embedded_derby(cls, db_path: str) -> "JdbcConnection":
+        """In-process Apache Derby (jars ship with Spark) — the
+        JVM-reachable database the test suite uses to exercise the
+        real JDBC write→read path without a server."""
+        return cls(
+            host="",
+            database=db_path,
+            user="",
+            password="",
+            scheme="derby",
+            driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+            url_override=f"jdbc:derby:{db_path};create=true",
+        )
 
 
 def connection_from_secret(

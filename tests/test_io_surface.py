@@ -209,3 +209,112 @@ class TestSqlTemplates:
             {"v": "'); DROP TABLE t --"},
         ).collect()
         assert rows == []
+
+
+class TestEmbeddedDerbyRoundTrip:
+    """K3/S4 against a REAL JVM-reachable database: Apache Derby runs
+    embedded inside the Spark JVM (its jars ship with Spark), so the
+    actual JDBC write path and read path execute end-to-end — not just
+    option assembly. Reference: crawler/src/utils/postgres.py:62-95."""
+
+    @pytest.fixture
+    def derby(self, tmp_path):
+        return JdbcConnection.embedded_derby(str(tmp_path / "derbydb"))
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)],
+            "id int, name string, score double",
+        )
+
+    def test_write_then_read_back_parity(self, spark, derby):
+        from etl_procedure_codes_crawler_spark.sinks.jdbc import write_jdbc
+        from etl_procedure_codes_crawler_spark.sources.jdbc import (
+            read_jdbc_query,
+            read_jdbc_table,
+        )
+
+        df = self._frame(spark)
+        assert write_jdbc(df, derby, "people", mode="overwrite") is True
+
+        back = read_jdbc_table(spark, derby, "people")
+        assert {
+            (r.id, r.name, r.score) for r in back.collect()
+        } == {(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)}
+
+        filtered = read_jdbc_query(
+            spark, derby, 'SELECT "id", "name" FROM people WHERE "id" <= 2'
+        )
+        assert sorted((r.id, r.name) for r in filtered.collect()) == [
+            (1, "alpha"),
+            (2, "beta"),
+        ]
+
+    def test_append_accumulates_overwrite_replaces(self, spark, derby):
+        from etl_procedure_codes_crawler_spark.sinks.jdbc import write_jdbc
+        from etl_procedure_codes_crawler_spark.sources.jdbc import read_jdbc_table
+
+        df = self._frame(spark)
+        write_jdbc(df, derby, "modes", mode="overwrite")
+        write_jdbc(df, derby, "modes", mode="append")
+        assert read_jdbc_table(spark, derby, "modes").count() == 6
+        write_jdbc(df, derby, "modes", mode="overwrite")
+        assert read_jdbc_table(spark, derby, "modes").count() == 3
+
+    def test_empty_frame_skipped(self, spark, derby):
+        from etl_procedure_codes_crawler_spark.sinks.jdbc import write_jdbc
+
+        empty = self._frame(spark).limit(0)
+        assert write_jdbc(empty, derby, "never_created") is False
+
+    def test_partitioned_read_fans_out_and_matches(self, spark, derby):
+        from etl_procedure_codes_crawler_spark.sinks.jdbc import write_jdbc
+        from etl_procedure_codes_crawler_spark.sources.jdbc import read_jdbc_query
+
+        df = spark.range(1, 101).selectExpr("CAST(id AS INT) AS id", "id * 2 AS v")
+        write_jdbc(df, derby, "wide", mode="overwrite")
+        part = read_jdbc_query(
+            spark,
+            derby,
+            'SELECT "id", "v" FROM wide',
+            partition_column='"id"',
+            lower_bound=1,
+            upper_bound=101,
+            num_partitions=4,
+        )
+        assert part.rdd.getNumPartitions() == 4
+        assert part.count() == 100
+        assert part.agg({"v": "sum"}).collect()[0][0] == sum(i * 2 for i in range(1, 101))
+
+    def test_execute_transaction_commit_and_rollback(self, spark, derby):
+        from etl_procedure_codes_crawler_spark.sinks.jdbc import (
+            execute_transaction,
+            jvm_jdbc_connection_factory,
+        )
+        from etl_procedure_codes_crawler_spark.sources.jdbc import read_jdbc_table
+
+        factory = jvm_jdbc_connection_factory(spark, derby.url)
+        execute_transaction(
+            factory,
+            [
+                "CREATE TABLE txn_t (id INT, label VARCHAR(32))",
+                "INSERT INTO txn_t VALUES (1, 'committed')",
+                "INSERT INTO txn_t VALUES (2, 'also committed')",
+            ],
+        )
+        assert read_jdbc_table(spark, derby, "txn_t").count() == 2
+
+        # one bad statement rolls back the whole batch
+        with pytest.raises(Exception):
+            execute_transaction(
+                factory,
+                [
+                    "INSERT INTO txn_t VALUES (3, 'doomed')",
+                    "INSERT INTO no_such_table VALUES (1)",
+                ],
+            )
+        rows = {
+            (r.ID, r.LABEL)
+            for r in read_jdbc_table(spark, derby, "txn_t").collect()
+        }
+        assert rows == {(1, "committed"), (2, "also committed")}
