@@ -381,11 +381,102 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("user_value_trends")  # rows-only (numpy polyfit per group)
+@register(
+    "user_value_trends",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(value AS DECIMAL(12,2)) AS y
+        FROM events
+    ),
+    m AS (SELECT user_id, MIN(us) AS mn FROM e GROUP BY user_id),
+    xs AS (
+        SELECT e.user_id,
+               -- 19 digits forces DuckDB's int128-backed decimal, so
+               -- x*x cannot overflow the int64 backing of DECIMAL(<=18)
+               CAST(e.us - m.mn AS DECIMAL(19,0)) AS x,
+               e.y
+        FROM e JOIN m ON e.user_id = m.user_id
+    ),
+    s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM xs GROUP BY user_id
+    ),
+    d AS (
+        SELECT *,
+               sxx - sx * sx / n AS dx,
+               sxy - sx * sy / n AS dxy
+        FROM s
+    )
+    SELECT user_id,
+           n AS n_events,
+           CASE WHEN n >= 2 AND dx > 0
+                THEN (dxy / dx) * 3600000000.0 ELSE 0.0 END AS value_per_hour,
+           CASE WHEN n >= 2 AND dx > 0
+                THEN sy / n - (dxy / dx) * (sx / n) ELSE sy / n END
+               AS intercept
+    FROM d
+    """,
+)
 def user_value_trends_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch applyInPandas grouped-map: per-user value/time regression
-    (llm/trends.py) — deterministic run-to-run, not SQL-expressible
-    without matrix algebra."""
+    """Per-user value-over-time OLS in CLOSED FORM with exact decimal
+    moment sums (the exact_moment_statistics pattern) — hash-matches
+    the DuckDB oracle because every sum is exact integer/decimal
+    arithmetic (x = microseconds since the user's first event), the
+    decimal→double conversions go through strings, and the final
+    floating-point expression tree is identical on both engines. One
+    shuffle on user_id (the window min reuses the groupBy exchange).
+    The applyInPandas/polyfit formulation of the same regression stays
+    registered as user_value_trends_grouped_map (rows-only) and is
+    pinned to agree with this one in tests/test_trends.py."""
+    events = load(spark, sf_dir, "events")
+    w = SparkWindow.partitionBy("user_id")
+    e = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    x = (F.col("us") - F.min("us").over(w)).cast("decimal(13,0)")
+    xs = e.select("user_id", x.alias("x"), "y")
+    s = xs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("string").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("string").cast("double").alias("sxx"),
+        F.sum("y").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("string").cast("double").alias("sxy"),
+    )
+    d = s.withColumns(
+        {
+            "dx": F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+            "dxy": F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+        }
+    )
+    fit_ok = (F.col("n") >= 2) & (F.col("dx") > 0)
+    slope_us = F.col("dxy") / F.col("dx")
+    return d.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.when(fit_ok, slope_us * F.lit(3600000000.0))
+        .otherwise(F.lit(0.0))
+        .alias("value_per_hour"),
+        F.when(
+            fit_ok, F.col("sy") / F.col("n") - slope_us * (F.col("sx") / F.col("n"))
+        )
+        .otherwise(F.col("sy") / F.col("n"))
+        .alias("intercept"),
+    )
+
+
+@register("user_value_trends_grouped_map")  # rows-only (numpy polyfit per group)
+def user_value_trends_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch applyInPandas grouped-map: the same per-user regression
+    via numpy polyfit (llm/trends.py) — deterministic run-to-run;
+    keeps the Arrow grouped-map surface in the gate."""
     from .trends import user_value_trends
 
     events = load(spark, sf_dir, "events")
@@ -702,7 +793,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivf",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
-    "user_value_trends",
+    "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
 }
