@@ -105,3 +105,156 @@ def test_login_hook_runs_once_at_construction(server):
     fetcher.fetch("ok")
     assert len(calls) == 1  # session-scoped, not per-fetch
     fetcher.close()
+
+
+# ---------------------------------------------------------------------------
+# multi-step login (reference utils/login.py:12-88)
+# ---------------------------------------------------------------------------
+
+class _LoginHandler(BaseHTTPRequestHandler):
+    """Stateful login wizard: only the full ordered sequence earns the
+    session cookie that /codify/<code> pages require."""
+
+    requests_seen: list = []
+    EXPECTED = [
+        ("GET", "/login"),
+        ("POST", "/login"),
+        ("POST", "/password"),
+        ("POST", "/reconfirm"),
+        ("POST", "/reconfirm"),
+        ("POST", "/login"),
+        ("POST", "/password"),
+        ("GET", "/subscription"),
+    ]
+
+    def log_message(self, *args):
+        pass
+
+    def _record(self):
+        type(self).requests_seen.append((self.command, self.path))
+
+    def _respond(self, status, body, cookie=None):
+        payload = body.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(payload)))
+        if cookie:
+            self.send_header("Set-Cookie", cookie)
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _sequence_complete(self):
+        seen = type(self).requests_seen
+        return seen[: len(self.EXPECTED)] == self.EXPECTED
+
+    def do_GET(self):
+        self._record()
+        if self.path == "/login":
+            self._respond(200, "<form id='username'></form>")
+        elif self.path == "/subscription":
+            if self._sequence_complete():
+                self._respond(200, "subscribed", cookie="session=ok; Path=/")
+            else:
+                self._respond(403, "login sequence not completed")
+        elif self.path.startswith("/codify/"):
+            if "session=ok" in (self.headers.get("Cookie") or ""):
+                self._respond(200, "<html><body>code page</body></html>")
+            else:
+                self._respond(401, "not logged in")
+        else:
+            self._respond(500, "boom")
+
+    def do_POST(self):
+        self._record()
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length).decode()
+        if self.path == "/login":
+            ok = "username=crawler%40example.com" in body
+            self._respond(200 if ok else 400, "password screen")
+        elif self.path == "/password":
+            ok = "password=hunter2" in body
+            self._respond(200 if ok else 400, "reconfirm screen")
+        elif self.path == "/reconfirm":
+            self._respond(200, "confirmed")
+        else:
+            self._respond(500, "boom")
+
+
+@pytest.fixture()
+def login_server():
+    _LoginHandler.requests_seen = []
+    httpd = HTTPServer(("127.0.0.1", 0), _LoginHandler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}/"
+    httpd.shutdown()
+
+
+class TestMultiStepLogin:
+    def _steps(self):
+        from etl_procedure_codes_crawler_spark.sources.login import (
+            reference_login_steps,
+        )
+
+        return reference_login_steps("crawler@example.com", "hunter2")
+
+    def test_sequence_runs_in_reference_order(self, login_server):
+        from etl_procedure_codes_crawler_spark.sources.login import scripted_login
+
+        import requests
+
+        with requests.Session() as session:
+            scripted_login(login_server, self._steps())(session)
+        assert _LoginHandler.requests_seen == [
+            ("GET", "/login"),
+            ("POST", "/login"),
+            ("POST", "/password"),
+            ("POST", "/reconfirm"),
+            ("POST", "/reconfirm"),
+            ("POST", "/login"),
+            ("POST", "/password"),
+            ("GET", "/subscription"),
+        ]
+
+    def test_fetcher_with_login_reaches_protected_pages(self, login_server):
+        from etl_procedure_codes_crawler_spark.sources.login import scripted_login
+
+        fetcher = HttpFetcher(
+            base_url=login_server + "codify/",
+            login=scripted_login(login_server, self._steps()),
+            backoff=0.01,
+            max_retries=1,
+        )
+        result = fetcher.fetch("99213")
+        assert result.error is None and "code page" in result.html
+        fetcher.close()
+
+    def test_skipping_steps_is_rejected(self, login_server):
+        from etl_procedure_codes_crawler_spark.sources.login import (
+            LoginError,
+            LoginStep,
+            scripted_login,
+        )
+
+        import requests
+
+        # jump straight to the subscription menu: server refuses
+        with requests.Session() as session:
+            with pytest.raises(LoginError, match="subscription.*403"):
+                scripted_login(
+                    login_server, [LoginStep("subscription")]
+                )(session)
+
+    def test_wrong_password_fails_at_that_step(self, login_server):
+        from etl_procedure_codes_crawler_spark.sources.login import (
+            LoginError,
+            reference_login_steps,
+            scripted_login,
+        )
+
+        import requests
+
+        steps = reference_login_steps("crawler@example.com", "wrong")
+        with requests.Session() as session:
+            with pytest.raises(LoginError, match="password.*400"):
+                scripted_login(login_server, steps)(session)
