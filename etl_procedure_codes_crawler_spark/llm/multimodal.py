@@ -66,13 +66,93 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> None:
+def _decode_stub(payload: bytes) -> tuple[int, int, int, bytes]:
     """Placeholder for the real decoder (PIL.Image.open / av.open /
     soundfile.read). Not available in this environment."""
     raise NotImplementedError(
         "media decode requires an image/audio codec library; "
-        "inject a real decoder in place of _decode_stub"
+        "inject a real decoder via decode_media(media, decoder=...)"
     )
+
+
+def identity_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Deterministic no-codec decoder for gate/correctness runs: the
+    payload is a 1×n_bytes×1 'image' whose pixels are the raw bytes.
+    Real plumbing (batching, error capture, schema), fake codec — and
+    simple enough that a SQL oracle can mirror it exactly. Empty
+    payloads are corrupt (exercises the error-row path)."""
+    data = bytes(payload)
+    if not data:
+        raise ValueError("empty payload")
+    return 1, len(data), 1, data
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixels", BinaryType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame, decoder=_decode_stub) -> DataFrame:
+    """The decode stage, with the decoder as an injectable seam.
+
+    ``decoder(payload: bytes) -> (width, height, channels, pixel_bytes)``
+    — PIL/ffmpeg/soundfile in production (none are in this container,
+    so the default raises NotImplementedError AT PLAN EXECUTION, loudly,
+    not silently). Per-payload decode FAILURES (corrupt bytes) become
+    ``decode_error`` rows instead of killing the partition — the same
+    error-as-data contract as the extraction operator
+    (operators/extract.py); a missing decoder library
+    (NotImplementedError) still propagates because that is a
+    configuration error, not a data error.
+
+    The seam is proven with a fake decoder in
+    ``tests/test_multimodal.py::TestDecoderSeam`` — the extraction
+    path runs end-to-end, only the codec call is substituted.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "media_id": [],
+                "mime": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "pixels": [],
+                "decode_error": [],
+            }
+            for media_id, mime, payload in zip(
+                batch["media_id"], batch["mime"], batch["payload"]
+            ):
+                width = height = channels = None
+                pixels = None
+                error = None
+                try:
+                    width, height, channels, pixels = decoder(
+                        payload if payload is not None else b""
+                    )
+                except NotImplementedError:
+                    raise  # missing codec library: fail the job, loudly
+                except Exception as exc:
+                    error = repr(exc)
+                out["media_id"].append(media_id)
+                out["mime"].append(mime)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["channels"].append(channels)
+                out["pixels"].append(pixels)
+                out["decode_error"].append(error)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

@@ -483,6 +483,44 @@ def user_value_trends_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame
     return user_value_trends(events)
 
 
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 AS BIGINT) END AS width,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(octet_length(encode(text)) AS BIGINT) END
+               AS height,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 AS BIGINT) END AS channels,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(octet_length(encode(text)) AS BIGINT) END
+               AS n_pixel_bytes,
+           octet_length(encode(text)) > 0 AS decoded_ok
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_media end-to-end through the injectable decoder seam
+    (identity_decoder: payload = 1×n×1 image) — the mapInPandas decode
+    stage with a SQL-mirrorable codec, so the plumbing (batch
+    iteration, error-row capture, schema) is correctness-gated, not
+    just unit-tested."""
+    documents = load(spark, sf_dir, "documents")
+    decoded = M.decode_media(
+        M.documents_as_media(documents), decoder=M.identity_decoder
+    )
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.length("pixels").cast("long").alias("n_pixel_bytes"),
+        F.col("decode_error").isNull().alias("decoded_ok"),
+    )
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")

@@ -98,3 +98,78 @@ class TestResize:
 
         with _pytest.raises(NotImplementedError):
             _decode_stub(b"payload")
+
+
+class TestDecoderSeam:
+    """decode_media with a FAKE codec: proves the extraction path
+    (batch iteration, per-row error capture, schema) executes for real
+    — only the codec call is substituted (VERDICT r1 #7)."""
+
+    @property
+    def _fake_decoder(self):
+        # a closure (not a module/class attribute) so cloudpickle
+        # serializes it BY VALUE into the executor python workers
+        def fake_decoder(payload: bytes):
+            """Toy 'codec': header 'IMG:<w>x<h>x<c>:' followed by
+            pixel bytes; anything else is corrupt."""
+            try:
+                prefix, dims, pixels = bytes(payload).split(b":", 2)
+            except ValueError:
+                raise ValueError("corrupt media header")
+            if prefix != b"IMG":
+                raise ValueError(f"unsupported container {prefix!r}")
+            w, h, c = (int(x) for x in dims.split(b"x"))
+            expected = w * h * c
+            if len(pixels) != expected:
+                raise ValueError(f"truncated: {len(pixels)} != {expected}")
+            return w, h, c, pixels
+
+        return fake_decoder
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id long, payload binary, mime string, n_bytes long, source string"
+        )
+
+    def test_fake_decoder_rows_decoded(self, spark):
+        good = b"IMG:2x2x1:" + bytes([1, 2, 3, 4])
+        media = self._media(
+            spark, [(1, bytearray(good), "image/fake", len(good), "s")]
+        )
+        out = M.decode_media(media, decoder=self._fake_decoder).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.width, r.height, r.channels) == (2, 2, 1)
+        assert bytes(r.pixels) == bytes([1, 2, 3, 4])
+        assert r.decode_error is None
+
+    def test_corrupt_payload_becomes_error_row_not_crash(self, spark):
+        good = b"IMG:1x2x1:" + bytes([9, 9])
+        media = self._media(
+            spark,
+            [
+                (1, bytearray(good), "image/fake", len(good), "s"),
+                (2, bytearray(b"GARBAGE"), "image/fake", 7, "s"),
+                (3, bytearray(b"IMG:2x2x3:xy"), "image/fake", 12, "s"),
+                (4, None, "image/fake", 0, "s"),
+            ],
+        )
+        rows = {
+            r.media_id: r
+            for r in M.decode_media(media, decoder=self._fake_decoder).collect()
+        }
+        assert len(rows) == 4  # every input row survives
+        assert rows[1].decode_error is None and rows[1].width == 1
+        assert "corrupt media header" in rows[2].decode_error
+        assert "truncated" in rows[3].decode_error
+        assert rows[4].decode_error is not None  # empty payload: corrupt
+        assert rows[2].pixels is None and rows[2].width is None
+
+    def test_default_stub_propagates_not_swallowed(self, spark):
+        media = self._media(spark, [(1, bytearray(b"x"), "m", 1, "s")])
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            M.decode_media(media).collect()
+
+    def test_schema_is_stable(self, spark):
+        media = self._media(spark, [(1, bytearray(b"x"), "m", 1, "s")])
+        assert M.decode_media(media, decoder=self._fake_decoder).schema == M.DECODED_SCHEMA
