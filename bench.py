@@ -51,6 +51,11 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "token_count_bpe_documents",
     "llm_corpus_prep",
+    "tfidf_top_terms",
+    "exact_moment_statistics",
+    "funnel_signup_to_purchase",
+    "user_value_trends",
+    "ngram_jaccard_pairs_dfcap",
 ]
 
 
