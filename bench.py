@@ -56,6 +56,8 @@ HEADLINE = [
     "funnel_signup_to_purchase",
     "user_value_trends",
     "ngram_jaccard_pairs_dfcap",
+    "q2_min_cost_supplier",
+    "q21_last_to_ship_suppliers",
 ]
 
 

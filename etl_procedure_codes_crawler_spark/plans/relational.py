@@ -2324,3 +2324,338 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_count(s3, "3_click"))
         .unionByName(stage_count(s4, "4_purchase"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: the remaining query shapes (Q2/Q11/Q12/Q16/Q20/Q21),
+# adapted to the testdata's simplified schema (no partsupp/commitdate/
+# shipmode — FIXTURES.md §B). With these, all 22 TPC-H query SHAPES have
+# a counterpart: correlated-min subquery, scalar-subquery threshold,
+# conditional aggregation, NOT-IN + distinct-count, semi-join on an
+# aggregate predicate, and the multi-party "last to act" pattern.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT ps.l_partkey, ps.l_suppkey, ps.cost,
+               s_acctbal, s_name, n_name
+        FROM ps
+          JOIN supplier ON s_suppkey = ps.l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM eu
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_name,
+           CAST(cost AS DOUBLE) AS supply_cost
+    FROM best
+      JOIN part ON p_partkey = l_partkey
+    WHERE cost = min_cost
+      AND p_size = 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — correlated MIN subquery ("the supplier offering this
+    part cheapest in Europe"), with min unit cost per (part, supplier)
+    standing in for the missing partsupp.ps_supplycost. The correlated
+    subquery is a window MIN over partkey on the already-filtered
+    relation — one shuffle, no re-scan, and the equality check runs in
+    exact DECIMAL. Region/nation/part dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("cost")
+    )
+    eu = (
+        ps.join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(value) AS grand FROM val)
+    SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS part_value
+    FROM val, total
+    WHERE value > grand * CAST(0.005 AS DECIMAL(6,4))
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — scalar-subquery threshold ("parts worth more than a
+    fraction of total inventory value"). The 1-row grand total joins
+    back on a constant key, so the plan is a BroadcastHashJoin (not a
+    nested-loop product) and the > comparison runs in exact DECIMAL on
+    both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("value")
+    )
+    total = val.agg(F.sum("value").alias("grand")).withColumn("_k", F.lit(1))
+    return (
+        val.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .filter(F.col("value") > F.col("grand") * F.lit("0.005").cast("decimal(6,4)"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — conditional aggregation over a join ("slow" lines =
+    shipped >60 days after ordering; linestatus stands in for the
+    missing shipmode). Both date predicates push into the lineitem
+    scan; the orders join shuffles on orderkey once."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — NOT IN subquery + multi-key distinct count (negative
+    account balance stands in for the complaints filter). NOT IN
+    becomes a left_anti join (safe here: s_suppkey is non-null, so the
+    three-valued-logic trap of NOT IN doesn't bite); the distinct
+    count shuffles (brand,type,size,suppkey) once."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey, SUM(qty) AS part_qty FROM sp GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM sp
+      JOIN pt ON sp.l_partkey = pt.l_partkey
+      JOIN part ON p_partkey = sp.l_partkey
+      JOIN supplier ON s_suppkey = sp.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE 'small%'
+      AND qty > part_qty * CAST(0.5 AS DECIMAL(2,1))
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — semi-join on an aggregate predicate: suppliers who
+    shipped more than half of a small-part's 1997 volume (availqty is
+    absent, so "dominates the part's flow" replaces "holds excess
+    stock"). Two aggregations reuse the same (suppkey,partkey) →
+    (partkey) shuffle chain; the comparison is exact DECIMAL."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        sp.join(pt, "l_partkey")
+        .join(F.broadcast(part), sp.l_partkey == part.p_partkey)
+        .filter(F.col("qty") > F.col("part_qty") * F.lit("0.5").cast("decimal(2,1)"))
+        .join(F.broadcast(supplier), sp.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_last_to_ship_suppliers",
+    oracle="""
+    WITH f AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per_sup AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sup_last
+        FROM f GROUP BY l_orderkey, l_suppkey
+    ),
+    per_ord AS (
+        SELECT l_orderkey,
+               MAX(sup_last) AS ord_last,
+               COUNT(*) AS n_suppliers,
+               SUM(CASE WHEN sup_last = mx THEN 1 ELSE 0 END) AS n_last
+        FROM (
+            SELECT *, MAX(sup_last) OVER (PARTITION BY l_orderkey) AS mx
+            FROM per_sup
+        ) GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_sup
+      JOIN per_ord ON per_sup.l_orderkey = per_ord.l_orderkey
+      JOIN supplier ON s_suppkey = per_sup.l_suppkey
+    WHERE sup_last = ord_last AND n_suppliers > 1 AND n_last = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — the "kept others waiting" pattern: in finished
+    multi-supplier orders, the sole supplier whose latest shipment is
+    the order's latest (shipdate stands in for the missing
+    commit/receipt dates). The classic formulation is a correlated
+    EXISTS + NOT EXISTS pair — two extra self-joins of the fact; here
+    both conditions fold into ONE aggregation per (order, supplier)
+    plus a window over the order, which at 100 TB removes two
+    fact-sized shuffles and all correlated-subquery re-scans."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f = li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+    per_sup = f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sup_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    annotated = per_sup.withColumn("mx", F.max("sup_last").over(w))
+    per_ord = annotated.groupBy("l_orderkey").agg(
+        F.max("sup_last").alias("ord_last"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(
+            F.when(F.col("sup_last") == F.col("mx"), 1).otherwise(0)
+        ).alias("n_last"),
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        per_sup.join(per_ord, "l_orderkey")
+        .filter(
+            (F.col("sup_last") == F.col("ord_last"))
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_last") == 1)
+        )
+        .join(F.broadcast(supplier), per_sup.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -24,6 +24,11 @@ NESTED_LOOP_EXEMPT = {
     # scalar-aggregate threshold broadcast as a 1-row cross join
     "q22_global_sales_opportunity": "1-row threshold cross join",
     "tfidf_top_terms": "1-row doc-count scalar cross join",
+    # Catalyst constant-folds the literal join key away, leaving a
+    # 1-row grand-total broadcast with the non-equi threshold as the
+    # join condition — the right plan (a single-partition window
+    # alternative would funnel every part group through one task)
+    "q11_important_part_value": "1-row grand-total threshold broadcast",
 }
 
 #: iterative / streaming / ML-training queries where a single static
