@@ -217,6 +217,235 @@ def ngram_jaccard_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(documents, threshold=0.05, max_doc_freq=50)
 
 
+#: the shingle list WITHOUT dedup (duplicate shingles are the signal
+#: for repetition metrics) — DuckDB spelling of llm/dedup.shingles_column
+_SQL_ALL_SHINGLES = f"""CASE WHEN len(t) >= 3 THEN
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+     for i in generate_series(1, len(t)-2)]
+    ELSE [array_to_string(t, ' ')] END"""
+
+
+def _all_shingles(text_col: str = "text", k: int = 3):
+    """k-word shingles INCLUDING repeats (cf. dedup.shingles_column,
+    which dedups) — repetition analysis needs the multiplicities."""
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    windowed = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, windowed).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+@register(
+    "doc_repetition_metrics",
+    oracle=f"""
+    WITH x AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    y AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_uniq_tokens,
+               len({_SQL_ALL_SHINGLES}) AS n_3grams,
+               len(list_distinct({_SQL_ALL_SHINGLES})) AS n_uniq_3grams
+        FROM x
+    )
+    SELECT doc_id,
+           CAST(n_3grams AS BIGINT) AS n_3grams,
+           1.0 - CAST(n_uniq_3grams AS DOUBLE) / n_3grams
+               AS dup_3gram_frac,
+           1.0 - CAST(n_uniq_tokens AS DOUBLE) / n_tokens
+               AS dup_token_frac
+    FROM y
+    """,
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of
+    duplicate 3-gram shingles and duplicate tokens. High values mark
+    boilerplate/spam for quality filtering. Pure higher-order array
+    expressions — per-row, no shuffle at all, scan-bound at any
+    scale."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    sh = _all_shingles("text")
+    n_3g = F.size(sh)
+    return documents.select(
+        "doc_id",
+        n_3g.cast("bigint").alias("n_3grams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double") / n_3g
+        ).alias("dup_3gram_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("dup_token_frac"),
+    )
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH x AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shd AS (
+        SELECT DISTINCT doc_id, UNNEST({_SQL_ALL_SHINGLES}) AS shingle
+        FROM x
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM shd WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination_frac
+    FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for each training document, the
+    fraction of its distinct 3-gram shingles that appear anywhere in a
+    held-out "benchmark" slice (deterministically doc_id % 97 == 0 —
+    in production, the actual eval sets). Scale shape: the benchmark
+    shingle set is small and BROADCAST, so the corpus never shuffles —
+    one scan + per-doc aggregation. The standard decontamination pass
+    every LLM training pipeline runs (cf. GPT-3 appendix C)."""
+    documents = load(spark, sf_dir, "documents")
+    shd = documents.select(
+        "doc_id", F.explode(F.array_distinct(_all_shingles("text"))).alias("shingle")
+    )
+    bench = (
+        shd.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = shd.filter(F.col("doc_id") % 97 != 0)
+    hit = F.col("_hit").isNotNull()
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+#: PII patterns restricted to Java-regex ∩ RE2 (no lookaround, no
+#: backreferences) so Spark and DuckDB match identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_LONG_NUMBER = r"\b[0-9]{9,}\b"
+
+
+@register(
+    "pii_scan_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) AS BIGINT)
+               AS n_long_numbers,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) > 0
+               OR len(regexp_extract_all(text, '{PII_IPV4}')) > 0
+               OR len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) > 0
+               AS has_pii
+    FROM documents
+    """,
+)
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-filter signals: counts of email-, IPv4- and long-number-
+    shaped matches per document (the redaction/drop decision is a
+    downstream policy; the engine's job is the scan). Patterns live in
+    the Java∩RE2 subset so both engines agree exactly. Per-row regex —
+    JVM codegen, no shuffle, scan-bound."""
+    documents = load(spark, sf_dir, "documents")
+
+    def n_matches(pattern: str):
+        return F.size(
+            F.regexp_extract_all("text", F.lit(pattern), 0)
+        ).cast("bigint")
+
+    emails = n_matches(PII_EMAIL)
+    ipv4 = n_matches(PII_IPV4)
+    longnum = n_matches(PII_LONG_NUMBER)
+    return documents.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        ipv4.alias("n_ipv4"),
+        longnum.alias("n_long_numbers"),
+        ((emails > 0) | (ipv4 > 0) | (longnum > 0)).alias("has_pii"),
+    )
+
+
+@register(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    total AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_sources
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS natural_frac,
+           CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)
+               AS uniform_upweight
+    FROM per_source, total
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture bookkeeping for training-data sampling: each
+    source's natural token share and the per-example upweight that
+    would equalize sources (the degenerate DoReMi initialization).
+    The 1-row total broadcasts back onto the per-source relation."""
+    documents = load(spark, sf_dir, "documents")
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    total = per_source.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    ).withColumn("_k", F.lit(1))
+    return (
+        per_source.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+                "natural_frac"
+            ),
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_sources") * F.col("n_tokens"))
+            ).alias("uniform_upweight"),
+        )
+    )
+
+
 @register("minhash_near_dup_pairs")  # LSH: rows-only (probabilistic recall)
 def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")

@@ -29,6 +29,7 @@ NESTED_LOOP_EXEMPT = {
     # join condition — the right plan (a single-partition window
     # alternative would funnel every part group through one task)
     "q11_important_part_value": "1-row grand-total threshold broadcast",
+    "source_mixing_weights": "1-row corpus-total broadcast onto sources",
 }
 
 #: iterative / streaming / ML-training queries where a single static
