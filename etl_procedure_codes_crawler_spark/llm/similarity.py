@@ -390,16 +390,24 @@ def cosine_topk_lsh(
     )
     qn = with_norm(q, "qv").withColumnRenamed("_norm", "qn")
     cn = with_norm(c, "cv").withColumnRenamed("_norm", "cn")
-    candidates = (
+    # cosine is computed per COLLISION row (before dedup): a pair
+    # colliding in several tables computes the same dot a few extra
+    # times (64 mults each — trivial), but the multi-table dedup then
+    # shuffles only (query_id, neighbor_id, cosine) — 24 bytes/row —
+    # instead of two 64-dim vectors (~1 KB/row). max() is an exact
+    # dedup because duplicate rows carry identical cosines.
+    pairs = (
         cn.join(F.broadcast(qn), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    pairs = candidates.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
