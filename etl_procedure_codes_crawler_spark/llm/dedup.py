@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint_sha256, tokens
+from .text import fingerprint_sha256, spread_small_input, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -81,19 +81,10 @@ def shingles_column(text_col: str = "text", k: int = 3):
     )
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Repartition to core count when the source arrives NARROWER than
-    the cluster (a single small parquet file → one partition), so the
-    CPU-heavy per-row stages downstream (shingling, bit votes) use
-    every core instead of one. Measured: the sf0.1 shingle explode was
-    4.7s in one task, sub-second spread over 32. At real scale inputs
-    already have ≥cores partitions and this is a no-op — the
-    condition, not an unconditional repartition, is the point (an
-    unconditional one would add a full text shuffle at 100 TB)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+#: re-exported here for backward-compat; canonical home is text.py.
+#: Measured: the sf0.1 shingle explode was 4.7s in one task,
+#: sub-second spread over 32 cores.
+_spread_small_input = spread_small_input
 
 
 def shingle_rows(

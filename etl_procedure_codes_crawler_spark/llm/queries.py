@@ -317,7 +317,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan + per-doc aggregation. The standard decontamination pass
     every LLM training pipeline runs (cf. GPT-3 appendix C)."""
     documents = load(spark, sf_dir, "documents")
-    shd = documents.select(
+    shd = T.spread_small_input(documents).select(
         "doc_id", F.explode(F.array_distinct(_all_shingles("text"))).alias("shingle")
     )
     bench = (

@@ -255,8 +255,12 @@ def lsh_table_buckets(
     hyperplanes; a pair is a candidate if it collides in ANY table.
     Recall per table p^r compounds to 1-(1-p^r)^L overall.
     """
+    from .text import spread_small_input
+
     signature = _all_bucket_signatures(planes, num_tables, planes_per_table)
-    return df.select(
+    # spread narrow inputs so the Arrow signature batches use every
+    # core (a single parquet file otherwise pins the matmul to one)
+    return spread_small_input(df).select(
         F.col(id_alias),
         F.col(vec_col),
         F.posexplode(signature(F.col(vec_col))).alias("table", "bucket"),

@@ -26,6 +26,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def spread_small_input(df):
+    """Repartition to core count when the source arrives NARROWER than
+    the cluster (a single small parquet file → one scan partition), so
+    CPU-heavy per-row stages (shingling, signatures, bit votes) use
+    every core instead of one. At real scale inputs already have
+    ≥cores partitions and this is a no-op — the condition is the
+    point; an unconditional repartition would add a full payload
+    shuffle at 100 TB."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization."""
     return F.split(F.trim(_c(col)), r"\s+")
