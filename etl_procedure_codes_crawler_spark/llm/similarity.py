@@ -160,13 +160,15 @@ def similar_pairs_lsh(
         F.col("v").alias("vb"),
         F.col("_norm").alias("nb"),
     )
-    candidates = (
+    # cosine per COLLISION row, then groupBy-max dedup: the multi-table
+    # dedup shuffles (vec_a, vec_b, cosine) — 24 bytes/row — instead of
+    # two 64-dim vectors; duplicates carry identical cosines so max()
+    # is exact (same rationale as cosine_topk_lsh). The threshold also
+    # prunes BEFORE the dedup shuffle, shrinking it further.
+    return (
         lhs.join(rhs, ["table", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    return (
-        candidates.select(
+        .select(
             "vec_a",
             "vec_b",
             (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
@@ -174,6 +176,8 @@ def similar_pairs_lsh(
             ),
         )
         .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
     )
 
