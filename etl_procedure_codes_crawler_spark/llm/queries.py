@@ -962,6 +962,60 @@ def bigram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_typicality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]
+        )) AS bigram
+        FROM t
+    ),
+    corpus AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(cnt) AS BIGINT) AS sum_corpus_counts,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS typicality
+    FROM bg JOIN corpus USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality scoring without the LM: each document's mean
+    corpus frequency of its bigrams (a KenLM-perplexity stand-in —
+    low typicality ≈ gibberish/OCR noise, absurdly high ≈ boilerplate;
+    quality filters cut both tails). Arithmetic stays exact (integer
+    counts, one final double division) so it hash-matches the oracle —
+    the reason this uses raw frequencies and not log-probs: ln() is
+    not guaranteed identically rounded across engines. Scale shape:
+    corpus counts come from the SAME exploded relation the per-doc agg
+    consumes (one explode, one groupBy, one co-keyed join)."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = T.spread_small_input(documents).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    corpus = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bg.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("sum_corpus_counts"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "typicality"
+            ),
+        )
+    )
+
+
+@register(
     "stratified_sample_by_lang",
     oracle="""
     WITH ranked AS (
