@@ -1452,6 +1452,120 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _stage_events(sf_dir: str) -> str:
+    import shutil
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(staged, "part-000.parquet"),
+    )
+    return staged
+
+
+@register(
+    "streaming_sliding_value_averages",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL 30 MINUTE]) AS wstart
+        FROM events
+    )
+    SELECT STRFTIME(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_value_averages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OVERLAPPING (sliding) windows through the streaming engine,
+    hash-matched against a batch oracle that materializes each event's
+    two member windows explicitly (1-hour window, 30-minute slide ⇒
+    every event belongs to exactly the two windows starting at
+    floor_30(ts) and floor_30(ts)−30min — no boundary ambiguity, since
+    window membership is [start, start+1h))."""
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        sliding_value_averages,
+    )
+
+    staged = _stage_events(sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sliding_{_STREAM_SEQ[0]}"
+    query = run_to_memory(
+        sliding_value_averages(read_events_stream(spark, staged)), name
+    )
+    query.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic session windows (30-minute gap) through the streaming
+    engine vs the batch gaps-and-islands oracle. Semantics note: Spark
+    merges an event into a session while diff ≤ gap and the SQL breaks
+    on diff > gap — identical except at diff == gap exactly, which the
+    microsecond-jittered testdata cannot produce (verified 0 such gaps
+    at every sf). Second of the three streaming gate queries; state is
+    watermark-bounded so the same plan runs on an unbounded stream."""
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        user_session_windows,
+    )
+
+    staged = _stage_events(sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_session_{_STREAM_SEQ[0]}"
+    query = run_to_memory(
+        user_session_windows(read_events_stream(spark, staged)), name
+    )
+    query.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Existence subquery — TPC-H Q4 shape
 # ---------------------------------------------------------------------------

@@ -37,6 +37,8 @@ NESTED_LOOP_EXEMPT = {
 SKIP = {
     "near_dup_clusters",
     "streaming_hourly_event_counts",
+    "streaming_sliding_value_averages",
+    "streaming_session_windows",
     "ann_cosine_topk_ivf",  # plan depends on trained centroids
 }
 
