@@ -16,7 +16,11 @@ os.environ["PYTHONPATH"] = (
 from etl_procedure_codes_crawler_spark.session import get_spark  # noqa: E402
 
 TESTDATA_ROOT = "/root/testdata"
-SF_SMOKE = os.path.join(TESTDATA_ROOT, "sf0.001")
+#: override with SPARK_GRAFT_TEST_SF=sf0.01 to run the whole suite
+#: (incl. the oracle-parity replica) at the driver's gate scale
+SF_SMOKE = os.path.join(
+    TESTDATA_ROOT, os.environ.get("SPARK_GRAFT_TEST_SF", "sf0.001")
+)
 
 
 @pytest.fixture(scope="session")
