@@ -2773,3 +2773,102 @@ def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "extract_procedure_pages_fixture",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('99213', 'ok'),
+        ('J0120', 'ok'),
+        ('XXXXX', 'error_404'),
+        ('J9999', 'deleted_listing'),
+        ('0001M', 'deleted'),
+        ('0042T', 'ok'),
+        ('NOFIX', 'fetch_error')
+    ) AS t(code, status)
+    """,
+)
+def extract_procedure_pages_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE operator — fetch → parse → three-output
+    extraction (``operators/extract.py``, reference
+    ``procedure_code.py:221-661``) — in the driver gate, driven by the
+    committed fixture pages (all six page variants: normal CPT/HCPCS,
+    404, deleted, deleted-listing, empty-tabs, plus a fetch failure).
+    The oracle pins the per-code status outcomes as a VALUES literal —
+    golden results for the one operator whose semantics no SQL can
+    express (HTML parsing), so the gate still hash-checks it instead
+    of falling back to rows-only."""
+    import functools
+
+    from ..operators.extract import extract_procedure_pages
+    from ..schemas import CODES_INPUT_SCHEMA
+    from ..sources.fetcher import FixtureFetcher
+
+    fixdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "fixtures",
+    )
+    pages = {}
+    for code, name in {
+        "99213": "cpt_normal.html",
+        "J0120": "hcpcs_normal.html",
+        "XXXXX": "page_404.html",
+        "J9999": "deleted_hcpcs_listing.html",
+        "0001M": "deleted_code.html",
+        "0042T": "cpt_empty_tabs.html",
+    }.items():
+        with open(os.path.join(fixdir, name), encoding="utf-8") as handle:
+            pages[code] = handle.read()
+    urls = {
+        "99213": "https://example.test/cpt-codes/99213",
+        "0042T": "https://example.test/cpt-codes/0042T",
+        "0001M": "https://example.test/cpt-codes/0001M",
+        "J0120": "https://example.test/hcpcs-codes/J0120",
+        "J9999": "https://example.test/hcpcs-codes/J9999",
+    }
+    factory = functools.partial(FixtureFetcher, pages=pages, urls=urls)
+    codes = spark.createDataFrame(
+        [(c,) for c in ["99213", "J0120", "XXXXX", "J9999", "0001M", "0042T", "NOFIX"]],
+        CODES_INPUT_SCHEMA,
+    )
+    extracted = extract_procedure_pages(
+        codes, factory, base_url="https://example.test/cpt-codes/"
+    )
+    return extracted.select("code", "status")
+
+
+@register(
+    "streaming_distinct_user_event_types",
+    oracle="""
+    SELECT user_id, event_type
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_distinct_user_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact dedup in the gate: dropDuplicates over an
+    unbounded stream (state = one row per distinct key) must emit
+    exactly batch DISTINCT. Fourth streaming gate query — with
+    tumbling/sliding/session windows this covers every stateful
+    streaming primitive the engine claims."""
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    staged = _stage_events(sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_distinct_{_STREAM_SEQ[0]}"
+    stream = read_events_stream(spark, staged).select("user_id", "event_type")
+    query = (
+        stream.dropDuplicates(["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(60)
+    query.stop()
+    return spark.table(name)

@@ -39,6 +39,7 @@ SKIP = {
     "streaming_hourly_event_counts",
     "streaming_sliding_value_averages",
     "streaming_session_windows",
+    "streaming_distinct_user_event_types",
     "ann_cosine_topk_ivf",  # plan depends on trained centroids
 }
 
