@@ -2872,3 +2872,39 @@ def streaming_distinct_user_event_types(
     query.awaitTermination(60)
     query.stop()
     return spark.table(name)
+
+
+@register(
+    "udtf_extract_modifiers_fixture",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('25', 'Significant separately identifiable E/M service'),
+        ('59', 'Distinct procedural service')
+    ) AS t(modifier, description)
+    """,
+)
+def udtf_extract_modifiers_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text UDTF surface in the gate: ``LATERAL
+    extract_modifiers(html)`` (operators/udtf.py) over the committed
+    CPT fixture page, golden rows pinned as a VALUES oracle. Covers
+    the one-row→many-rows lateral shape from SQL, complementing the
+    mapInPandas path (extract_procedure_pages_fixture)."""
+    import uuid
+
+    from ..operators.udtf import register_udtfs
+
+    register_udtfs(spark)
+    fixdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "fixtures",
+    )
+    with open(
+        os.path.join(fixdir, "cpt_normal.html"), encoding="utf-8"
+    ) as handle:
+        html = handle.read()
+    view = f"udtf_gate_pages_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame([("99213", html)], "code string, html string").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT m.* FROM {view}, LATERAL extract_modifiers(html) m"
+    )
