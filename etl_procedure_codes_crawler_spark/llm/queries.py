@@ -1117,4 +1117,6 @@ ROWS_ONLY = {
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
+    "hll_sketch_union_users",
+    "approx_quantiles_prices",
 }

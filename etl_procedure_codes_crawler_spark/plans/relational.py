@@ -664,6 +664,44 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hll_sketch_union_users")  # rows-only: sketch bytes are engine-specific
+def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketches — the property that matters at 100 TB:
+    per-group HLL sketches (datasketches, `hll_sketch_agg`) built in
+    one pass are re-aggregated with `hll_union_agg` WITHOUT touching
+    the raw data again. The per-type estimates and the unioned global
+    estimate come out of one scan; an exact global distinct would need
+    a second full shuffle. Accuracy vs exact is pinned in
+    tests/test_sketches.py."""
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    per_type_counts = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    )
+    global_count = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    ).select(F.lit("_all_").alias("event_type"), "approx_users")
+    return per_type_counts.unionByName(global_count)
+
+
+@register("approx_quantiles_prices")  # rows-only: quantile sketches differ per engine
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketching (Greenwald-Khanna `percentile_approx`, 1%
+    accuracy): the scale path when an exact median's full sort is too
+    expensive. Exact counterpart in the gate: median_quantity_by_flag.
+    Accuracy vs exact percentiles is pinned in tests/test_sketches.py."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+    )
+    return li.groupBy("l_returnflag").agg(
+        q[0].alias("p50"), q[1].alias("p90"), q[2].alias("p99")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Explode / lateral (SURVEY §2.7 fan-out shape) + set ops
 # ---------------------------------------------------------------------------
