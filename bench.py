@@ -81,8 +81,20 @@ def main() -> None:
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     names += [n for n in extra.split(",") if n and n in QUERIES and n not in names]
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, plus the Python
+    # UDF worker pool + Arrow serialization paths (process-level
+    # startup that would otherwise be charged to whichever benched
+    # query happens to touch a pandas UDF first). The warmup query's
+    # own plan and every benched plan still compile cold.
     QUERIES[names[0]](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(32).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -19,7 +19,7 @@ functions, and joins keep everything in Tungsten.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_sha256, spread_small_input, tokens
@@ -126,23 +126,29 @@ def ngram_jaccard_pairs(
     tests/test_llm_dedup.py adversarial cases).
     """
     sh = shingle_rows(df, text_col, id_col, k)
-    if max_doc_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
     # Explicit partition count on the join key: the posting-list
     # self-join's OUTPUT is quadratic per shingle while its INPUT is
     # small, so AQE's byte-based coalescing collapses it into one
     # CPU-bound task (measured 9.4s -> ~1s at sf0.1 on local[32]).
     # A user-specified count is exempt from AQE coalescing, and both
     # join sides derive from this one relation, so they arrive
-    # co-partitioned — no extra exchange.
+    # co-partitioned — no extra exchange. Every downstream consumer
+    # (both self-join sides, the df-cap, the size aggregation) hangs
+    # off this ONE exchange, so the shingle explode is evaluated once
+    # and reused (ReuseExchange), not recomputed per branch.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sh = sh.repartition(max(parallelism, 16), "shingle")
+    if max_doc_freq is not None:
+        # document frequency as a COUNT window over the shingle
+        # partitioning we already paid for — no second aggregate, no
+        # semi-join back, no recompute of the explode for the probe side
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

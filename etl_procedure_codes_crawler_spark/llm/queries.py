@@ -794,19 +794,32 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes: language gate → length gate → exact-dedup survivors →
     per-source accounting. Every stage is an operator already proven
     individually; this query proves the COMPOSITION end-to-end against
-    one SQL oracle."""
-    documents = load(spark, sf_dir, "documents")
+    one SQL oracle.
+
+    The dedup is a min-id row_number window over the content
+    fingerprint rather than :func:`llm.dedup.drop_exact_duplicates`'s
+    generic semi-join: the semi-join plan evaluates the (expensive)
+    scoring projection twice — once per join side — and shuffles by
+    doc_id besides, while the window shape scores the corpus once,
+    shuffles once on the fingerprint, and carries only
+    (fp, doc_id, source, n_tokens) through the exchange. Same survivor
+    set (row_number ordered by doc_id asc == MIN(doc_id) per group)."""
+    documents = T.spread_small_input(load(spark, sf_dir, "documents"))
     scored = documents.select(
         "doc_id",
         "source",
-        "text",
         T.token_count("text").alias("n_tokens"),
         T.lang_id(T.tokens("text")).alias("lang_pred"),
+        T.fingerprint_sha256("text").alias("fp"),
     )
     filtered = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 20)
     )
-    survivors = D.drop_exact_duplicates(filtered, text_col="text", id_col="doc_id")
+    w = SparkWindow.partitionBy("fp").orderBy(F.asc("doc_id"))
+    survivors = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),

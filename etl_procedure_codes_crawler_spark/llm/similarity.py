@@ -252,19 +252,27 @@ def lsh_table_buckets(
     planes: list[list[float]],
     num_tables: int,
     planes_per_table: int,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, vec, table, bucket) rows — one row per LSH table.
 
     Multi-table construction: each table uses its own slice of
     hyperplanes; a pair is a candidate if it collides in ANY table.
     Recall per table p^r compounds to 1-(1-p^r)^L overall.
+
+    ``spread=False`` skips the narrow-input repartition — pass it for
+    the query side of a top-k search, which is tiny by construction
+    and about to be broadcast anyway; paying a shuffle plus a 32-batch
+    Arrow stage to fan out 20 rows costs more than the matmul saves.
     """
     from .text import spread_small_input
 
     signature = _all_bucket_signatures(planes, num_tables, planes_per_table)
     # spread narrow inputs so the Arrow signature batches use every
     # core (a single parquet file otherwise pins the matmul to one)
-    return spread_small_input(df).select(
+    if spread:
+        df = spread_small_input(df)
+    return df.select(
         F.col(id_alias),
         F.col(vec_col),
         F.posexplode(signature(F.col(vec_col))).alias("table", "bucket"),
@@ -387,6 +395,7 @@ def cosine_topk_lsh(
         planes,
         num_tables,
         planes_per_table,
+        spread=False,
     )
     c = lsh_table_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
