@@ -58,6 +58,9 @@ HEADLINE = [
     "ngram_jaccard_pairs_dfcap",
     "q2_min_cost_supplier",
     "q21_last_to_ship_suppliers",
+    "sequence_packing_stats",
+    "vocab_top_terms",
+    "passage_dedup_stats",
 ]
 
 

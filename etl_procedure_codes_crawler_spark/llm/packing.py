@@ -1,0 +1,115 @@
+"""Sequence packing: concat-and-chunk accounting for LLM training.
+
+Training pipelines concatenate tokenized documents into a stream and
+slice it into fixed-length sequences ("packing"); the bookkeeping —
+which documents land in which sequence, how many cross a boundary,
+how full each sequence is — drives shuffling, curriculum, and loss
+masking decisions downstream.
+
+Scale story: a single global concatenation order would funnel the
+whole corpus through ONE window task, so the operator packs **per
+shard** (any grouping column — source, a hash bucket, a date) with a
+deterministic in-shard order. Shards pack independently and in
+parallel — exactly how a 1000-executor run lays out a 100 TB corpus
+(each shard's stream is written by one writer task). The only data
+movement is one shuffle on the shard key; token counting happens
+map-side before it.
+
+No counterpart in the reference (`/root/reference/` has no training
+concepts); semantics follow the standard GPT-style pack-then-chunk
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document packing assignment: which sequences of a
+    ``seq_len``-token stream each document occupies.
+
+    Documents are concatenated per shard in ``id_col`` order (ties are
+    impossible: ids are unique), then the stream is cut every
+    ``seq_len`` tokens. Emits one row per (document, sequence) the
+    document overlaps:
+
+    - ``seq_id``       — 0-based sequence index within the shard;
+    - ``tokens_in_seq``— how many of the document's tokens land in
+      this sequence;
+    - ``crosses``      — true iff the document continues into another
+      sequence (boundary-crossing docs need attention masking or get
+      truncated in real runs).
+
+    The window is partitioned by shard, so the cumulative sum never
+    sees more than one shard's stream in a task.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    spans = (
+        sized.withColumn("end", F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("end") - F.col("n_tokens"))
+        .withColumn("first_seq", (F.col("start") / seq_len).cast("bigint"))
+        .withColumn(
+            "last_seq", ((F.col("end") - 1) / seq_len).cast("bigint")
+        )
+    )
+    return spans.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        "start",
+        "end",
+        (F.col("first_seq") != F.col("last_seq")).alias("crosses"),
+    ).select(
+        "shard",
+        "doc_id",
+        "seq_id",
+        (
+            F.least(F.col("end"), (F.col("seq_id") + 1) * seq_len)
+            - F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+        ).alias("tokens_in_seq"),
+        "crosses",
+    )
+
+
+def sequence_stats(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-sequence packing summary: document count, boundary-crossing
+    document count, and fill level of every packed sequence.
+
+    ``fill`` < 1 only for a shard's final sequence (the stream's tail);
+    a low average fill across shards means the shard key is too fine.
+    """
+    packed = pack_sequences(df, seq_len, shard_col, id_col, text_col)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("crosses"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_crossing_docs"),
+        F.sum("tokens_in_seq").cast("bigint").alias("n_tokens"),
+        (F.sum("tokens_in_seq") / F.lit(seq_len)).alias("fill"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..plans.relational import load, register
 from . import dedup as D
 from . import multimodal as M
+from . import packing as PK
 from . import similarity as S
 from . import text as T
 
@@ -1114,6 +1115,176 @@ def embedding_dimension_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.col("n").alias("n_vectors"),
         (F.col("s").cast("double") / F.col("n") / 1000000.0).alias("mean_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-run layout: sequence packing, vocabulary, passage dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source AS shard, doc_id, len({_TOKS}) AS n_tokens
+        FROM documents
+    ),
+    spans AS (
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS e
+        FROM sized
+    ),
+    bounds AS (
+        SELECT shard, doc_id, e - n_tokens AS s, e,
+               CAST((e - n_tokens) // 512 AS BIGINT) AS first_seq,
+               CAST((e - 1) // 512 AS BIGINT) AS last_seq
+        FROM spans
+    ),
+    packed AS (
+        SELECT shard, doc_id, s, e,
+               unnest(generate_series(first_seq, last_seq)) AS seq_id,
+               first_seq <> last_seq AS crosses
+        FROM bounds
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossing_docs,
+           CAST(SUM(LEAST(e, (seq_id + 1) * 512)
+                    - GREATEST(s, seq_id * 512)) AS BIGINT) AS n_tokens,
+           CAST(SUM(LEAST(e, (seq_id + 1) * 512)
+                    - GREATEST(s, seq_id * 512)) AS DOUBLE) / 512 AS fill
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing accounting at seq_len=512,
+    sharded by source (see llm/packing.py for the scale rationale:
+    shards pack independently, so no global-order window exists)."""
+    documents = load(spark, sf_dir, "documents")
+    return PK.sequence_stats(documents, seq_len=512, shard_col="source")
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS vocab_id
+        FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE vocab_id <= 200),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT token, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(vocab_id AS BIGINT) AS vocab_id,
+           CAST(SUM(n) OVER (ORDER BY vocab_id ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / total AS coverage
+    FROM top CROSS JOIN tot
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-200 tokens by frequency with
+    deterministic (count DESC, token ASC) ranking and running coverage
+    — the truncation curve a tokenizer build reads off. The wordcount
+    aggregation is map-side combinable (stopword skew collapses before
+    the shuffle); only the 200-row head passes through the final
+    global window, and the corpus total rides in as a broadcast 1-row
+    frame (no collect)."""
+    documents = load(spark, sf_dir, "documents")
+    tok = T.spread_small_input(documents).select(
+        F.explode(T.tokens("text")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = SparkWindow.orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        counts.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("vocab_id") <= 200)
+    )
+    cov = SparkWindow.orderBy("vocab_id").rowsBetween(
+        SparkWindow.unboundedPreceding, SparkWindow.currentRow
+    )
+    return top.join(F.broadcast(total)).select(
+        "token",
+        F.col("n").alias("n_occurrences"),
+        "vocab_id",
+        (F.sum("n").over(cov).cast("double") / F.col("total")).alias("coverage"),
+    )
+
+
+@register(
+    "passage_dedup_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, (i - 1) * 16 + 1, i * 16), ' ')
+                   AS passage
+        FROM tok,
+             LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+        SELECT passage, COUNT(*) AS pf FROM chunks GROUP BY passage
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN pf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+           CAST(SUM(CASE WHEN pf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_fraction
+    FROM chunks JOIN freq USING (passage)
+    GROUP BY doc_id
+    """,
+)
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (16-token block) corpus dedup profile: per
+    document, how many of its passages appear verbatim elsewhere in
+    the corpus — the unit-granularity dedup (CCNet/RefinedWeb-style
+    paragraph dedup) that document-level fingerprints miss. Passage
+    frequency is a COUNT window over the passage shuffle (one
+    exchange, no agg-plus-join-back); only (doc_id, passage-hash)-
+    shaped rows move. Boilerplate passages are the skew edge — the
+    window reads a posting list linearly, so unlike a self-join a
+    degenerate passage costs O(list), not O(list²)."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.spread_small_input(documents).select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size("toks") / F.lit(16.0)).cast("bigint"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("toks"), (i - 1) * 16 + 1, 16)
+                ),
+            )
+        ).alias("passage"),
+    )
+    pf = F.count(F.lit(1)).over(SparkWindow.partitionBy("passage"))
+    flagged = chunks.withColumn("is_dup", (pf > 1).cast("int"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_passages"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias(
+            "dup_fraction"
+        ),
     )
 
 

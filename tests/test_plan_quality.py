@@ -24,6 +24,7 @@ NESTED_LOOP_EXEMPT = {
     # scalar-aggregate threshold broadcast as a 1-row cross join
     "q22_global_sales_opportunity": "1-row threshold cross join",
     "tfidf_top_terms": "1-row doc-count scalar cross join",
+    "vocab_top_terms": "1-row corpus-total scalar cross join",
     # Catalyst constant-folds the literal join key away, leaving a
     # 1-row grand-total broadcast with the non-equi threshold as the
     # join condition — the right plan (a single-partition window
