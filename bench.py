@@ -61,6 +61,7 @@ HEADLINE = [
     "sequence_packing_stats",
     "vocab_top_terms",
     "passage_dedup_stats",
+    "llm_corpus_prep_v2",
 ]
 
 

@@ -1118,6 +1118,123 @@ def embedding_dimension_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_corpus_prep_v2",
+    oracle=f"""
+    WITH x AS (
+        SELECT doc_id, source, text, {_TOKS} AS t FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               len(t) AS n_tokens,
+               {T.lang_id_sql_case('t')} AS lang_pred,
+               1.0 - CAST(len(list_distinct({_SQL_ALL_SHINGLES})) AS DOUBLE)
+                   / len({_SQL_ALL_SHINGLES}) AS dup3,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) > 0
+                   OR len(regexp_extract_all(text, '{PII_IPV4}')) > 0
+                   OR len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) > 0
+                   AS has_pii,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp
+        FROM x
+    ),
+    gated AS (
+        SELECT *,
+               lang_pred = 'en' AS lang_ok,
+               lang_pred = 'en' AND n_tokens >= 20 AS len_ok,
+               lang_pred = 'en' AND n_tokens >= 20 AND dup3 <= 0.3
+                   AS rep_ok,
+               lang_pred = 'en' AND n_tokens >= 20 AND dup3 <= 0.3
+                   AND NOT has_pii AS pii_ok
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp
+                   ORDER BY CASE WHEN pii_ok THEN 0 ELSE 1 END, doc_id
+               ) AS rn
+        FROM gated
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_pass,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len_pass,
+           CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rep_pass,
+           CAST(SUM(CASE WHEN pii_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pii_pass,
+           CAST(SUM(CASE WHEN pii_ok AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_final,
+           CAST(SUM(CASE WHEN pii_ok AND rn = 1 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS total_tokens_final
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def llm_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full preprocessing funnel a production training-data run
+    logs: per source, how many documents survive each successive gate
+    — language → length → intra-doc repetition (Gopher-style dup-3gram
+    fraction) → PII → corpus-level exact dedup — plus the final token
+    yield.
+
+    ONE corpus scan computes every signal; the dedup survivor is
+    picked by ranking gate-passers first within each fingerprint
+    partition (``row_number over (fp) ORDER BY (pass first, doc_id)``)
+    so the funnel and the dedup share the same window pass: one scan,
+    one fp exchange, one source exchange — no per-gate subqueries, no
+    semi-join. At 100 TB each gate is a per-row expression riding the
+    same shuffle the dedup already pays."""
+    documents = T.spread_small_input(load(spark, sf_dir, "documents"))
+    toks = T.tokens("text")
+    sh = _all_shingles("text")
+
+    def n_matches(pattern: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pattern), 0))
+
+    scored = documents.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        T.lang_id(toks).alias("lang_pred"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+        ).alias("dup3"),
+        (
+            (n_matches(PII_EMAIL) > 0)
+            | (n_matches(PII_IPV4) > 0)
+            | (n_matches(PII_LONG_NUMBER) > 0)
+        ).alias("has_pii"),
+        T.fingerprint_sha256("text").alias("fp"),
+    )
+    gated = (
+        scored.withColumn("lang_ok", F.col("lang_pred") == "en")
+        .withColumn("len_ok", F.col("lang_ok") & (F.col("n_tokens") >= 20))
+        .withColumn("rep_ok", F.col("len_ok") & (F.col("dup3") <= 0.3))
+        .withColumn("pii_ok", F.col("rep_ok") & ~F.col("has_pii"))
+    )
+    w = SparkWindow.partitionBy("fp").orderBy(
+        F.when(F.col("pii_ok"), 0).otherwise(1), F.asc("doc_id")
+    )
+    ranked = gated.withColumn("rn", F.row_number().over(w))
+    final = F.col("pii_ok") & (F.col("rn") == 1)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("lang_ok").cast("int")).cast("bigint").alias("n_lang_pass"),
+        F.sum(F.col("len_ok").cast("int")).cast("bigint").alias("n_len_pass"),
+        F.sum(F.col("rep_ok").cast("int")).cast("bigint").alias("n_rep_pass"),
+        F.sum(F.col("pii_ok").cast("int")).cast("bigint").alias("n_pii_pass"),
+        F.sum(final.cast("int")).cast("bigint").alias("n_docs_final"),
+        F.sum(F.when(final, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("total_tokens_final"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-run layout: sequence packing, vocabulary, passage dedup
 # ---------------------------------------------------------------------------
