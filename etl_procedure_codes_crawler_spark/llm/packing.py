@@ -58,11 +58,18 @@ def pack_sequences(
         .orderBy(F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # 0-token rows must not reach the span arithmetic: start == end
+    # makes last_seq < first_seq, and Spark's sequence() generates
+    # DESCENDING for first > last (DuckDB's generate_series returns
+    # empty) — a silent cross-engine divergence. The whitespace
+    # tokenizer never yields 0 tokens (empty text still splits to one
+    # empty-string token), so this filter is a guard for other
+    # tokenizers, not a behavior change.
     sized = df.select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("doc_id"),
         token_count(text_col).alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     spans = (
         sized.withColumn("end", F.sum("n_tokens").over(w))
         .withColumn("start", F.col("end") - F.col("n_tokens"))
