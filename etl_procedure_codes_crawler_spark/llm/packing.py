@@ -98,6 +98,41 @@ def pack_sequences(
     )
 
 
+def sequence_manifest(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-sequence writer manifest: the ordered ``doc_id:token_count``
+    span list a shard writer task materializes into one training
+    sequence. String-typed (``"12:512,13:91"``) so the manifest is
+    byte-stable across engines and safe to hash-compare; ordering is
+    by doc_id inside the sequence — the same order the concatenation
+    defined. One extra aggregation over pack_sequences' assignment;
+    group width is bounded by seq_len (a sequence can hold at most
+    seq_len documents), so collect_list cannot blow up a task."""
+    packed = pack_sequences(df, seq_len, shard_col, id_col, text_col)
+    spans = F.array_sort(
+        F.collect_list(F.struct("doc_id", "tokens_in_seq"))
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.array_join(
+            F.transform(
+                spans,
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["tokens_in_seq"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("manifest"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def sequence_stats(
     df: DataFrame,
     seq_len: int,

@@ -1287,6 +1287,55 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_manifest",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source AS shard, doc_id, len({_TOKS}) AS n_tokens
+        FROM documents
+    ),
+    spans AS (
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS e
+        FROM sized
+    ),
+    bounds AS (
+        SELECT shard, doc_id, e - n_tokens AS s, e,
+               CAST((e - n_tokens) // 512 AS BIGINT) AS first_seq,
+               CAST((e - 1) // 512 AS BIGINT) AS last_seq
+        FROM spans
+    ),
+    packed AS (
+        SELECT shard, doc_id, s, e,
+               unnest(generate_series(first_seq, last_seq)) AS seq_id
+        FROM bounds
+    ),
+    slots AS (
+        SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               LEAST(e, (seq_id + 1) * 512)
+                   - GREATEST(s, seq_id * 512) AS tokens_in_seq
+        FROM packed
+    )
+    SELECT shard, seq_id,
+           string_agg(doc_id || ':' || tokens_in_seq, ','
+                      ORDER BY doc_id) AS manifest,
+           COUNT(*) AS n_docs
+    FROM slots
+    GROUP BY shard, seq_id
+    """,
+)
+def sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sequence writer manifest at seq_len=512: per
+    sequence, the ordered doc_id:token_count span list a shard writer
+    materializes (string-typed for byte-stable cross-engine compare).
+    """
+    documents = load(spark, sf_dir, "documents")
+    return PK.sequence_manifest(documents, seq_len=512, shard_col="source")
+
+
+@register(
     "vocab_top_terms",
     oracle=f"""
     WITH tok AS (

@@ -78,6 +78,14 @@ class TestSequenceStats:
         assert stats[1].n_tokens == 4
         assert stats[1].fill == 0.5
 
+    def test_manifest_spans_in_doc_order(self, spark):
+        # 6 + 6 tokens at seq_len=8: seq0 = "1:6,2:2", seq1 = "2:4"
+        df = _docs(spark, [(1, "a", _text(6)), (2, "a", _text(6))])
+        rows = {r.seq_id: r for r in PK.sequence_manifest(df, seq_len=8).collect()}
+        assert rows[0].manifest == "1:6,2:2"
+        assert rows[0].n_docs == 2
+        assert rows[1].manifest == "2:4"
+
     def test_token_conservation(self, spark):
         # every token lands in exactly one (doc, seq) slot
         df = _docs(
