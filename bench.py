@@ -98,7 +98,11 @@ def main() -> None:
     def _warm(s):
         return s * 1.0
 
-    spark.range(32).select(_warm(F.col("id").cast("double"))).count()
+    # aggregate the UDF output so Catalyst cannot column-prune the
+    # ArrowEvalPython stage away (select(udf).count() would)
+    spark.range(32).select(_warm(F.col("id").cast("double")).alias("v")).agg(
+        F.sum("v")
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in names:

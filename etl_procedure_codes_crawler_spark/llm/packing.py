@@ -70,12 +70,16 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         token_count(text_col).alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
+    # integer `div`, not `/`: Spark's `/` promotes to double, and past
+    # ~2^53 cumulative tokens per shard (reachable at corpus scale) the
+    # rounding diverges from the oracle's exact integer division
+    seq_len = int(seq_len)
     spans = (
         sized.withColumn("end", F.sum("n_tokens").over(w))
         .withColumn("start", F.col("end") - F.col("n_tokens"))
-        .withColumn("first_seq", (F.col("start") / seq_len).cast("bigint"))
+        .withColumn("first_seq", F.expr(f"start div {seq_len}").cast("bigint"))
         .withColumn(
-            "last_seq", ((F.col("end") - 1) / seq_len).cast("bigint")
+            "last_seq", F.expr(f"(end - 1) div {seq_len}").cast("bigint")
         )
     )
     return spans.select(

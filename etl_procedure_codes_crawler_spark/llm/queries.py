@@ -1419,12 +1419,15 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level (16-token block) corpus dedup profile: per
     document, how many of its passages appear verbatim elsewhere in
     the corpus — the unit-granularity dedup (CCNet/RefinedWeb-style
-    paragraph dedup) that document-level fingerprints miss. Passage
-    frequency is a COUNT window over the passage shuffle (one
-    exchange, no agg-plus-join-back); only (doc_id, passage-hash)-
-    shaped rows move. Boilerplate passages are the skew edge — the
-    window reads a posting list linearly, so unlike a self-join a
-    degenerate passage costs O(list), not O(list²)."""
+    paragraph dedup) that document-level fingerprints miss. Each
+    passage is sha2-fingerprinted BEFORE the exchange, so only
+    (doc_id, 32-byte fingerprint) rows shuffle — not the passage text
+    — and passage frequency is a COUNT window over that fingerprint
+    shuffle (one exchange, no agg-plus-join-back; same
+    content≡fingerprint convention as exact_duplicate_groups).
+    Boilerplate passages are the skew edge — the window reads a
+    posting list linearly, so unlike a self-join a degenerate passage
+    costs O(list), not O(list²)."""
     documents = load(spark, sf_dir, "documents")
     toks = T.spread_small_input(documents).select(
         "doc_id", T.tokens("text").alias("toks")
@@ -1437,13 +1440,16 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(1),
                     F.ceil(F.size("toks") / F.lit(16.0)).cast("bigint"),
                 ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("toks"), (i - 1) * 16 + 1, 16)
+                lambda i: F.sha2(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), (i - 1) * 16 + 1, 16)
+                    ),
+                    256,
                 ),
             )
-        ).alias("passage"),
+        ).alias("pfp"),
     )
-    pf = F.count(F.lit(1)).over(SparkWindow.partitionBy("passage"))
+    pf = F.count(F.lit(1)).over(SparkWindow.partitionBy("pfp"))
     flagged = chunks.withColumn("is_dup", (pf > 1).cast("int"))
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_passages"),
