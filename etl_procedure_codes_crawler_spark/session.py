@@ -61,6 +61,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # Python DataSource filter pushdown (sources/datasource.py):
+        # lets pushFilters prune the crawl set before any fetch.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
         # rejects; read as long and convert at the source (sources read
         # nanos → timestamp_micros, matching DuckDB's truncation).
