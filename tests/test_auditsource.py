@@ -1,0 +1,130 @@
+"""Tests for the audit-log Python DataSource write path
+(sinks/auditsource.py): two-phase commit semantics end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_procedure_codes_crawler_spark.sinks.auditsource import (
+    AuditLogDataSource,
+    AuditLogWriter,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(AuditLogDataSource)
+    return spark
+
+
+def _audit_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "dag_id string, task_id string, run_id string, error string"
+    )
+
+
+class TestWriteReadRoundTrip:
+    def test_append_and_read_back(self, registered, tmp_path):
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        df = _audit_df(
+            registered,
+            [("dag1", "crawl", "run-1", "boom"), ("dag1", "sink", "run-1", "disk")],
+        )
+        df.write.format("audit_log").option("path", path).mode("append").save()
+        back = (
+            registered.read.format("audit_log").option("path", path).load()
+        )
+        got = sorted((r.task_id, r.error) for r in back.collect())
+        assert got == [("crawl", "boom"), ("sink", "disk")]
+
+    def test_append_accumulates_batches(self, registered, tmp_path):
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        for run in ("run-1", "run-2"):
+            _audit_df(registered, [("d", "t", run, "e")]).write.format(
+                "audit_log"
+            ).option("path", path).mode("append").save()
+        back = registered.read.format("audit_log").option("path", path).load()
+        assert sorted(r.run_id for r in back.collect()) == ["run-1", "run-2"]
+
+    def test_no_staging_visible_after_commit(self, registered, tmp_path):
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        _audit_df(registered, [("d", "t", "r", "e")]).write.format(
+            "audit_log"
+        ).option("path", path).mode("append").save()
+        assert os.listdir(os.path.join(path, "_staging")) == []
+
+
+class TestCommitProtocol:
+    def test_commit_publishes_only_named_files(self, tmp_path):
+        """Files staged by unnamed (failed/speculative) attempts are
+        swept, not published."""
+        path = str(tmp_path / "audit")
+        staging = os.path.join(path, "_staging")
+        os.makedirs(staging)
+        w = AuditLogWriter({"path": path}, overwrite=False)
+        # a successful attempt's staged file
+        good = "part-good.jsonl"
+        with open(os.path.join(staging, good), "w") as fh:
+            fh.write(json.dumps({"dag_id": "d", "task_id": "t",
+                                 "run_id": "r", "error": "e"}) + "\n")
+        # an orphan from a failed attempt — staged but never named
+        with open(os.path.join(staging, "part-orphan.jsonl"), "w") as fh:
+            fh.write("{}\n")
+
+        from etl_procedure_codes_crawler_spark.sinks.auditsource import _StagedFile
+
+        w.commit([_StagedFile(name=good, rows=1)])
+        published = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+        assert published == [good]
+        assert os.listdir(staging) == []  # orphan swept, not published
+
+    def test_abort_sweeps_staging(self, tmp_path):
+        path = str(tmp_path / "audit")
+        staging = os.path.join(path, "_staging")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "part-x.jsonl"), "w") as fh:
+            fh.write("{}\n")
+        w = AuditLogWriter({"path": path}, overwrite=False)
+        w.abort([None])
+        assert os.listdir(staging) == []
+        assert [f for f in os.listdir(path) if f.endswith(".jsonl")] == []
+
+    def test_overwrite_mode_replaces_log(self, registered, tmp_path):
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        _audit_df(registered, [("d", "t", "old", "e")]).write.format(
+            "audit_log"
+        ).option("path", path).mode("append").save()
+        _audit_df(registered, [("d", "t", "new", "e")]).write.format(
+            "audit_log"
+        ).option("path", path).mode("overwrite").save()
+        back = registered.read.format("audit_log").option("path", path).load()
+        assert [r.run_id for r in back.collect()] == ["new"]
+
+
+class TestErrorSinkIntegration:
+    def test_register_error_rows_flow_through(self, registered, tmp_path):
+        """K8 end-to-end: the reference's Airflow run-spec JSON becomes
+        a typed row (sinks/errors.py) and lands in the audit log via
+        the DataSource write path."""
+        from etl_procedure_codes_crawler_spark.sinks.errors import error_row
+
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        spec = json.dumps(
+            {"dag_id": "crawl_dag", "task_id": "extract", "run_id": "r42"}
+        )
+        df = error_row(registered, spec, "page timeout")
+        df.write.format("audit_log").option("path", path).mode("append").save()
+        back = registered.read.format("audit_log").option("path", path).load()
+        row = back.collect()[0]
+        assert (row.dag_id, row.task_id, row.run_id) == (
+            "crawl_dag", "extract", "r42"
+        )
+        assert "timeout" in row.error
