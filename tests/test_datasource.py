@@ -173,3 +173,34 @@ class TestStreamReader:
         assert [t[0] for t in rows] == ["c"] and end == {"index": 3}
         # replay is deterministic
         assert [t[0] for t in r.readBetweenOffsets({"index": 0}, {"index": 2})] == ["a", "b"]
+
+
+class TestSourceToSqlPipeline:
+    def test_source_lateral_udtf_extraction(self, registered):
+        """The all-SQL alternative pipeline: pages relation (Python
+        DataSource) LATERAL-joined to the extraction UDTF — crawl to
+        modifier table without a line of imperative driver code."""
+        from etl_procedure_codes_crawler_spark.operators.udtf import (
+            register_udtfs,
+        )
+
+        register_udtfs(registered)
+        (
+            registered.read.format("procedure_pages")
+            .option("pages_dir", FIXTURES)
+            .option("codes", "cpt_normal,hcpcs_normal,page_404")
+            .load()
+            .createOrReplaceTempView("pages")
+        )
+        out = registered.sql(
+            """
+            SELECT p.code, m.modifier, m.description
+            FROM pages p, LATERAL extract_modifiers(p.html) m
+            WHERE p.status = 'ok'
+            ORDER BY p.code, m.modifier
+            """
+        ).collect()
+        assert len(out) > 0
+        assert all(r.modifier for r in out)
+        codes_with_modifiers = {r.code for r in out}
+        assert "cpt_normal" in codes_with_modifiers
