@@ -396,6 +396,38 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "grouped_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def grouped_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-3 as window_top3_orders_per_customer, computed by
+    the skew-safe two-phase salted aggregation (operators/topk.py)
+    instead of a full-data window — after phase 1 only
+    keys × salts × 3 rows shuffle, vs the window form moving every
+    order row. Same oracle pins exact agreement of both plans."""
+    from ..operators.topk import grouped_topk
+
+    orders = load(spark, sf_dir, "orders")
+    return grouped_topk(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@register(
     "window_order_gap_days",
     oracle="""
     SELECT o_custkey, o_orderkey,
