@@ -719,6 +719,35 @@ def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type_counts.unionByName(global_count)
 
 
+@register("heavy_hitter_tokens")  # rows-only: top-k sketch estimates are engine-specific
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the MERGEABLE approx_top_k sketch family:
+    `approx_top_k_accumulate` builds per-group sketches in one pass,
+    `approx_top_k_combine` merges them WITHOUT rescanning, and
+    `approx_top_k_estimate` reads out the global top-10 tokens — the
+    shape a 1000-executor frequency job takes (per-shard sketches up,
+    one combine down), vs an exact wordcount's full token shuffle.
+    Exact counterpart in the gate: vocab_top_terms; accuracy (the
+    estimated top-10 ⊆ exact top-30 and counts within 1%) is pinned
+    in tests/test_sketches.py."""
+    documents = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    per_source = tok.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(token, 30)").alias("sk")
+    )
+    merged = per_source.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 30), 10)").alias(
+            "top"
+        )
+    )
+    return merged.select(F.explode("top").alias("t")).select(
+        F.col("t.item").alias("token"),
+        F.col("t.count").cast("bigint").alias("approx_count"),
+    )
+
+
 @register("approx_quantiles_prices")  # rows-only: quantile sketches differ per engine
 def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketching (Greenwald-Khanna `percentile_approx`, 1%
