@@ -1475,4 +1475,5 @@ ROWS_ONLY = {
     "approx_distinct_users",
     "hll_sketch_union_users",
     "approx_quantiles_prices",
+    "heavy_hitter_tokens",
 }
