@@ -62,6 +62,8 @@ HEADLINE = [
     "vocab_top_terms",
     "passage_dedup_stats",
     "llm_corpus_prep_v2",
+    "grouped_topk_orders_per_customer",
+    "heavy_hitter_tokens",
 ]
 
 
