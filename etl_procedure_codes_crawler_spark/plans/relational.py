@@ -728,7 +728,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape a 1000-executor frequency job takes (per-shard sketches up,
     one combine down), vs an exact wordcount's full token shuffle.
     Exact counterpart in the gate: vocab_top_terms; accuracy (the
-    estimated top-10 ⊆ exact top-30 and counts within 1%) is pinned
+    estimated top-10 ⊆ exact top-30 and counts within 5%) is pinned
     in tests/test_sketches.py."""
     documents = load(spark, sf_dir, "documents")
     tok = documents.select(

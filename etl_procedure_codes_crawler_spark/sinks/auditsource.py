@@ -6,14 +6,19 @@ The reference appends audit rows with a bare ``to_sql`` (reference
 leaves partial rows behind. This sink implements the DataSource V2
 commit protocol instead:
 
-1. each task writes its rows to a *staging* JSONL file and returns the
-   file name in its :class:`WriterCommitMessage`;
+1. each task writes its rows to a *staging* JSONL file under the
+   job's own ``_staging/<job-id>/`` directory and returns the file
+   name in its :class:`WriterCommitMessage`;
 2. the driver's ``commit`` renames exactly the staged files named in
    the commit messages into the log directory — files from failed or
    speculative task attempts are never named, so they are never
-   published;
-3. ``abort`` removes every staged file; a crashed job leaves only
-   ``_staging`` garbage that the next run's commit ignores entirely.
+   published; in overwrite mode new files publish BEFORE old ones are
+   pruned, so a mid-commit crash leaves a superset visible, never an
+   emptied log;
+3. ``abort`` removes the job's staging directory; concurrent write
+   jobs stage under different job ids and cannot sweep each other's
+   files; a crashed job leaves only its own ``_staging/<job-id>``
+   garbage, which no other job's commit touches.
 
 Readers list only committed files, so the audit log is append-only
 and all-or-nothing per batch — the same atomicity discipline as
@@ -64,11 +69,20 @@ class AuditLogWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
         self.overwrite = overwrite
-        self.columns = [f.split()[0] for f in AUDIT_SCHEMA_DDL.split(", ")]
+        # per-JOB staging directory: the writer instance (and its job
+        # id) is pickled to every task, so all of this job's tasks
+        # stage under one directory that no concurrent write job
+        # touches — commit/abort can sweep it wholesale without racing
+        # another writer's staged files.
+        self.job_id = uuid.uuid4().hex
+
+    def _staging(self) -> str:
+        return os.path.join(self.path, "_staging", self.job_id)
 
     def write(self, rows: Iterator[Row]) -> _StagedFile:
-        """Task side: stage this partition's rows under _staging/."""
-        staging = os.path.join(self.path, "_staging")
+        """Task side: stage this partition's rows under the job's own
+        staging directory."""
+        staging = self._staging()
         os.makedirs(staging, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
@@ -80,27 +94,37 @@ class AuditLogWriter(DataSourceWriter):
 
     def commit(self, messages: list[_StagedFile | None]) -> None:
         """Driver side: publish exactly the files the successful task
-        attempts named — then drop whatever else is in _staging (failed
-        or speculative attempts)."""
-        staging = os.path.join(self.path, "_staging")
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, f))
+        attempts named, then drop this job's staging directory (which
+        may still hold files from failed or speculative attempts).
+
+        Overwrite order is publish-then-prune: new files land first,
+        then old files are removed — a crash mid-commit leaves readers
+        seeing old+new (a superset), never an emptied log.
+        """
+        staging = self._staging()
+        published: list[str] = []
         for msg in messages:
             if msg is not None and msg.rows > 0:
                 os.replace(
                     os.path.join(staging, msg.name),
                     os.path.join(self.path, msg.name),
                 )
-        for leftover in os.listdir(staging):
-            os.remove(os.path.join(staging, leftover))
+                published.append(msg.name)
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in published:
+                    os.remove(os.path.join(self.path, f))
+        self._sweep_staging()
 
     def abort(self, messages: list[_StagedFile | None]) -> None:
-        staging = os.path.join(self.path, "_staging")
+        self._sweep_staging()
+
+    def _sweep_staging(self) -> None:
+        staging = self._staging()
         if os.path.isdir(staging):
             for leftover in os.listdir(staging):
                 os.remove(os.path.join(staging, leftover))
+            os.rmdir(staging)
 
 
 class AuditLogReader(DataSourceReader):

@@ -28,8 +28,9 @@ Usage::
 ``pages_dir`` serves ``<code>.html`` files via FixtureFetcher; when a
 ``base_url`` option is set instead, pages are fetched over HTTP
 (HttpFetcher with bounded retry). Fetch failures become rows with
-``status='error'`` — never task failures (the reference crashed the
-chunk loop on a bad page, ``procedure_code.py:650-651``).
+``status='fetch_error'`` (the engine-wide status vocabulary,
+cf. ``operators/extract.py``) — never task failures (the reference
+crashed the chunk loop on a bad page, ``procedure_code.py:650-651``).
 """
 
 from __future__ import annotations
@@ -110,11 +111,17 @@ class ProcedurePagesReader(DataSourceReader):
             for code in partition.codes:
                 result = fetcher.fetch(code)
                 if result.error is not None:
-                    yield (code, result.url, None, "error", result.error)
+                    # "fetch_error" is the engine-wide status vocabulary
+                    # (operators/extract.py emits the same value)
+                    yield (code, result.url, None, "fetch_error", result.error)
                 else:
                     yield (code, result.url, result.html, "ok", None)
         finally:
             fetcher.close()
+
+
+class CodeListChangedError(RuntimeError):
+    """The stream's code list no longer matches the checkpointed one."""
 
 
 class ProcedurePagesStreamReader(SimpleDataSourceStreamReader):
@@ -124,13 +131,39 @@ class ProcedurePagesStreamReader(SimpleDataSourceStreamReader):
     ``batch_size`` codes; the offset is the index into the code list.
     Replayed batches (`readBetweenOffsets`) re-fetch deterministically
     from the fixture store, which is what makes the stream's
-    exactly-once sink contract testable."""
+    exactly-once sink contract testable.
+
+    Index offsets are only replay-safe while the code list is stable,
+    so every offset carries a fingerprint of the list it indexed; a
+    restart whose re-derived list (e.g. a re-listed ``pages_dir`` that
+    gained or lost files) no longer matches fails LOUDLY with
+    :class:`CodeListChangedError` instead of silently replaying the
+    wrong codes at shifted indexes. For an evolving directory, pass an
+    explicit stable ``codes`` option per run.
+    """
 
     def __init__(self, options: dict) -> None:
         self._inner = ProcedurePagesReader(options)
 
+    def _fingerprint(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(
+            "\x00".join(self._inner.codes).encode()
+        ).hexdigest()[:16]
+
+    def _check(self, offset: dict) -> None:
+        fp = offset.get("fp")
+        if fp is not None and fp != self._fingerprint():
+            raise CodeListChangedError(
+                "the code list behind this stream changed since the "
+                "checkpointed offset was written; index offsets would "
+                "replay different codes. Restart with a fresh "
+                "checkpoint, or pin an explicit stable `codes` option."
+            )
+
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"index": 0, "fp": self._fingerprint()}
 
     def _fetch(self, start: int, end: int) -> list[tuple]:
         # materialized, not a generator: the simple-stream API pickles
@@ -140,11 +173,14 @@ class ProcedurePagesStreamReader(SimpleDataSourceStreamReader):
         return list(self._inner.read(part))
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        self._check(start)
         lo = start["index"]
         hi = min(lo + self._inner.batch_size, len(self._inner.codes))
-        return self._fetch(lo, hi), {"index": hi}
+        return self._fetch(lo, hi), {"index": hi, "fp": self._fingerprint()}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        self._check(start)
+        self._check(end)
         return self._fetch(start["index"], end["index"])
 
     def commit(self, end: dict) -> None:

@@ -57,7 +57,11 @@ class TestWriteReadRoundTrip:
         _audit_df(registered, [("d", "t", "r", "e")]).write.format(
             "audit_log"
         ).option("path", path).mode("append").save()
-        assert os.listdir(os.path.join(path, "_staging")) == []
+        staging_root = os.path.join(path, "_staging")
+        # the job's own staging dir is gone; the shared root may remain
+        assert (not os.path.isdir(staging_root)) or os.listdir(
+            staging_root
+        ) == []
 
 
 class TestCommitProtocol:
@@ -65,9 +69,10 @@ class TestCommitProtocol:
         """Files staged by unnamed (failed/speculative) attempts are
         swept, not published."""
         path = str(tmp_path / "audit")
-        staging = os.path.join(path, "_staging")
-        os.makedirs(staging)
+        os.makedirs(path)
         w = AuditLogWriter({"path": path}, overwrite=False)
+        staging = w._staging()
+        os.makedirs(staging)
         # a successful attempt's staged file
         good = "part-good.jsonl"
         with open(os.path.join(staging, good), "w") as fh:
@@ -82,17 +87,53 @@ class TestCommitProtocol:
         w.commit([_StagedFile(name=good, rows=1)])
         published = [f for f in os.listdir(path) if f.endswith(".jsonl")]
         assert published == [good]
-        assert os.listdir(staging) == []  # orphan swept, not published
+        assert not os.path.isdir(staging)  # job dir swept, orphan gone
 
     def test_abort_sweeps_staging(self, tmp_path):
         path = str(tmp_path / "audit")
-        staging = os.path.join(path, "_staging")
+        os.makedirs(path)
+        w = AuditLogWriter({"path": path}, overwrite=False)
+        staging = w._staging()
         os.makedirs(staging)
         with open(os.path.join(staging, "part-x.jsonl"), "w") as fh:
             fh.write("{}\n")
-        w = AuditLogWriter({"path": path}, overwrite=False)
         w.abort([None])
-        assert os.listdir(staging) == []
+        assert not os.path.isdir(staging)
+        assert [f for f in os.listdir(path) if f.endswith(".jsonl")] == []
+
+    def test_concurrent_jobs_do_not_sweep_each_other(self, tmp_path):
+        """Job A's commit must not delete job B's staged files (the
+        shared-path race a production audit channel actually hits)."""
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        a = AuditLogWriter({"path": path}, overwrite=False)
+        b = AuditLogWriter({"path": path}, overwrite=False)
+        os.makedirs(a._staging())
+        os.makedirs(b._staging())
+        with open(os.path.join(a._staging(), "part-a.jsonl"), "w") as fh:
+            fh.write(json.dumps({"dag_id": "a", "task_id": "t",
+                                 "run_id": "r", "error": "e"}) + "\n")
+        with open(os.path.join(b._staging(), "part-b.jsonl"), "w") as fh:
+            fh.write(json.dumps({"dag_id": "b", "task_id": "t",
+                                 "run_id": "r", "error": "e"}) + "\n")
+
+        from etl_procedure_codes_crawler_spark.sinks.auditsource import _StagedFile
+
+        a.commit([_StagedFile(name="part-a.jsonl", rows=1)])
+        # B's staged file survives A's commit and then publishes fine
+        b.commit([_StagedFile(name="part-b.jsonl", rows=1)])
+        published = sorted(
+            f for f in os.listdir(path) if f.endswith(".jsonl")
+        )
+        assert published == ["part-a.jsonl", "part-b.jsonl"]
+
+    def test_commit_with_no_tasks_is_a_noop(self, tmp_path):
+        """A zero-partition write never creates staging; commit([])
+        must not crash."""
+        path = str(tmp_path / "audit")
+        os.makedirs(path)
+        w = AuditLogWriter({"path": path}, overwrite=False)
+        w.commit([])  # no staging dir exists
         assert [f for f in os.listdir(path) if f.endswith(".jsonl")] == []
 
     def test_overwrite_mode_replaces_log(self, registered, tmp_path):

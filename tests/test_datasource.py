@@ -82,7 +82,8 @@ class TestEndToEnd:
         )
         rows = {r.code: r for r in df.collect()}
         assert rows["cpt_normal"].status == "ok"
-        assert rows["DOES_NOT_EXIST"].status == "error"
+        # engine-wide status vocabulary (matches operators/extract.py)
+        assert rows["DOES_NOT_EXIST"].status == "fetch_error"
         assert rows["DOES_NOT_EXIST"].html is None
         assert "no fixture" in rows["DOES_NOT_EXIST"].error
 
@@ -167,12 +168,32 @@ class TestStreamReader:
         )
 
         r = ProcedurePagesStreamReader({"codes": "a,b,c", "batch_size": "2"})
-        rows, end = r.read({"index": 0})
-        assert [t[0] for t in rows] == ["a", "b"] and end == {"index": 2}
+        start = r.initialOffset()
+        rows, end = r.read(start)
+        assert [t[0] for t in rows] == ["a", "b"] and end["index"] == 2
         rows, end = r.read(end)
-        assert [t[0] for t in rows] == ["c"] and end == {"index": 3}
+        assert [t[0] for t in rows] == ["c"] and end["index"] == 3
         # replay is deterministic
-        assert [t[0] for t in r.readBetweenOffsets({"index": 0}, {"index": 2})] == ["a", "b"]
+        assert [t[0] for t in r.readBetweenOffsets(start, {"index": 2, "fp": end["fp"]})] == ["a", "b"]
+
+    def test_changed_code_list_fails_loudly(self):
+        """Index offsets checkpointed against one code list must not
+        silently replay different codes after the list changes."""
+        import pytest as _pytest
+
+        from etl_procedure_codes_crawler_spark.sources.datasource import (
+            CodeListChangedError,
+            ProcedurePagesStreamReader,
+        )
+
+        r1 = ProcedurePagesStreamReader({"codes": "a,b,c", "batch_size": "2"})
+        checkpointed = r1.initialOffset()
+        # restart with a different list (a file appeared in pages_dir)
+        r2 = ProcedurePagesStreamReader(
+            {"codes": "a,ZZ,b,c", "batch_size": "2"}
+        )
+        with _pytest.raises(CodeListChangedError):
+            r2.read(checkpointed)
 
 
 class TestSourceToSqlPipeline:

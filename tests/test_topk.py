@@ -67,9 +67,10 @@ class TestGroupedTopk:
         # v=999 at ids 999, 1999, 2999, ...; top-3 = smallest such ids
         assert got == [(999, 1), (1999, 2), (2999, 3)]
 
-    def test_no_window_exchange_of_full_input(self, spark, sf_dir):
-        """Plan shape: the operator must plan as aggregations, not a
-        per-key window over the whole input."""
+    def test_full_input_window_is_salted(self, spark, sf_dir):
+        """Plan shape: the window pass that sees the full input must be
+        partitioned by (key, salt) — never by the key alone, which is
+        what concentrates a hot key in one task."""
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
             "o_custkey", "o_orderkey", "o_totalprice"
         )
@@ -79,5 +80,10 @@ class TestGroupedTopk:
             .executedPlan()
             .toString()
         )
-        assert "Window" not in plan
-        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+        # the first (full-input) exchange must carry the salt column
+        first_exchange = [
+            line for line in plan.splitlines() if "hashpartitioning" in line
+        ][-1]  # plan prints top-down; the deepest exchange is phase 1
+        assert "_salt" in first_exchange, first_exchange
+        # no unspillable object-aggregation buffers anywhere
+        assert "ObjectHashAggregate" not in plan
