@@ -35,6 +35,8 @@ def _registry():
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    # legacy-encoding tolerance only; actual ts dtype is inspected at
+    # load (etl_procedure_codes_crawler_spark/functions/timestamps.py)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     queries, _ = _registry()
     return queries["q3_shipping_priority"](spark, "/root/testdata/sf0.001")

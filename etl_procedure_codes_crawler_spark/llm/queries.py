@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import epoch_micros
 from ..plans.relational import load, register
 from . import dedup as D
 from . import multimodal as M
@@ -668,7 +669,7 @@ def user_value_trends_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = SparkWindow.partitionBy("user_id")
     e = events.select(
         "user_id",
-        F.unix_micros("ts").alias("us"),
+        epoch_micros("ts").alias("us"),
         F.col("value").cast("decimal(12,2)").alias("y"),
     )
     x = (F.col("us") - F.min("us").over(w)).cast("decimal(13,0)")

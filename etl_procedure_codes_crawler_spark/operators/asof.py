@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from ..functions.timestamps import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -93,9 +95,9 @@ def asof_join(
         tol_us = int(tolerance_seconds * 1_000_000)
         matched_ts = F.col("_rpay").getField(right_ts)
         gap = (
-            F.unix_micros(F.col("_ts")) - F.unix_micros(matched_ts)
+            epoch_micros(F.col("_ts")) - epoch_micros(matched_ts)
             if direction == "backward"
-            else F.unix_micros(matched_ts) - F.unix_micros(F.col("_ts"))
+            else epoch_micros(matched_ts) - epoch_micros(F.col("_ts"))
         )
         matched = matched.withColumn(
             "_rpay", F.when(gap <= tol_us, F.col("_rpay"))

@@ -19,11 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import epoch_micros
+
 BUCKET_COLUMN = "_tbucket"
 
 
 def _bucket(col, bucket_seconds: int):
-    return (F.unix_micros(F.col(col)) / F.lit(bucket_seconds * 1_000_000)).cast(
+    return (epoch_micros(F.col(col)) / F.lit(bucket_seconds * 1_000_000)).cast(
         "long"
     )
 

@@ -29,6 +29,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import epoch_micros, normalize_event_ts
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -48,15 +50,13 @@ def register(name: str, oracle: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
-        # unless read as long (runtime-settable SQL conf — the driver's
-        # session won't have it preset).
+        # Tolerate a legacy TIMESTAMP(NANOS) encoding (read as long,
+        # runtime-settable conf — the driver's session won't have it
+        # preset); the actual dtype is inspected below, never assumed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long (see session.py) → microsecond timestamp, the
-        # same truncation DuckDB applies when reading TIMESTAMP_NS.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        df = normalize_event_ts(df)
     return df
 
 
@@ -2249,7 +2249,7 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id",
         "user_id",
         "view_event_id",
-        (F.unix_micros("ts") - F.unix_micros("view_ts"))
+        (epoch_micros("ts") - epoch_micros("view_ts"))
         .cast("bigint")
         .alias("gap_us"),
     )

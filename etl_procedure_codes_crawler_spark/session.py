@@ -64,9 +64,10 @@ def get_spark(
         # Python DataSource filter pushdown (sources/datasource.py):
         # lets pushFilters prune the crawl set before any fetch.
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
-        # rejects; read as long and convert at the source (sources read
-        # nanos → timestamp_micros, matching DuckDB's truncation).
+        # Robustness to parquet files carrying TIMESTAMP(NANOS), which
+        # Spark otherwise rejects outright: read as long; the actual
+        # dtype is then inspected and normalized at the source
+        # (functions/timestamps.py) — never assumed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -28,12 +28,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: schema of the events stream (ts arrives as nanos-int in the driver
-#: testdata; file streams require an explicit schema anyway)
+from ..functions.timestamps import normalize_event_ts
+
+#: the LEGACY int64-nanos layout of the events stream. Kept for tests
+#: that fabricate nanos-encoded files to exercise the legacy branch of
+#: ``normalize_event_ts``; ``read_events_stream`` does NOT assume it —
+#: it infers the real schema from the files present at start.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (see plans.relational.load)
+        StructField("ts", LongType()),  # epoch nanoseconds
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -47,14 +51,24 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
     New files appearing under ``events_dir`` are discovered per
     micro-batch — the streaming analog of the reference's incremental
-    LOGICAL_DATE reads."""
+    LOGICAL_DATE reads.
+
+    File streams require an explicit schema; rather than hard-code one
+    (testdata regenerations have switched ``ts`` between int64-nanos
+    and ``timestamp[us]`` encodings), the schema is taken from a batch
+    footer read of the files already present, then ``ts`` is
+    normalized to TIMESTAMP dtype-awarely — identical semantics to the
+    batch ``load`` path, so stream/batch parity holds under every
+    encoding. Later-arriving files must match the starting encoding
+    (standard file-source contract)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def hourly_event_counts(

@@ -143,10 +143,14 @@ class TestPartitionPruning:
 
         from etl_procedure_codes_crawler_spark.sources.parquet import read_testdata
 
-        path = str(tmp_path / "events_by_day")
-        events = read_testdata(spark, sf_dir, "events").withColumn(
-            "day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+        from etl_procedure_codes_crawler_spark.functions.timestamps import (
+            normalize_event_ts,
         )
+
+        path = str(tmp_path / "events_by_day")
+        events = normalize_event_ts(
+            read_testdata(spark, sf_dir, "events")
+        ).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         events.write.partitionBy("day").parquet(path)
 
         days = sorted(r.day for r in spark.read.parquet(path).select("day").distinct().collect())

@@ -47,9 +47,11 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     }
 
     # batch equivalent: plain self-join with the same range condition
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    from etl_procedure_codes_crawler_spark.functions.timestamps import (
+        normalize_event_ts,
     )
+
+    batch = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     v = batch.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("vu"), F.col("ts").alias("vts"), F.col("event_id").alias("vid")
     )

@@ -1,0 +1,115 @@
+"""Encoding-robustness net for the events ``ts`` column.
+
+The driver regenerates ``/root/testdata`` between rounds and has
+already switched the parquet encoding of ``events.ts`` once
+(TIMESTAMP(NANOS) → ``timestamp[us]`` NTZ), silently corrupting every
+timestamp 1000× in code that assumed the old layout. This test writes
+the SAME rows under all three plausible encodings and asserts that the
+batch loader and the streaming reader produce identical, correct
+results on each — so the next regeneration cannot break anything
+silently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_procedure_codes_crawler_spark.functions.timestamps import (
+    epoch_micros,
+    normalize_event_ts,
+)
+from etl_procedure_codes_crawler_spark.plans.relational import load
+from etl_procedure_codes_crawler_spark.streaming import events as E
+
+#: fixed wall-clock instants (epoch micros, UTC) spanning two hours
+_TS_US = [
+    1_700_000_000_000_000,
+    1_700_000_060_000_000,
+    1_700_003_600_000_000,
+    1_700_007_199_000_000,
+]
+_ROWS = {
+    "event_id": [1, 2, 3, 4],
+    "user_id": [10, 10, 11, 12],
+    "event_type": ["view", "purchase", "view", "view"],
+    "value": [1.5, 2.5, 3.5, 4.5],
+    "props": ["{}", "{}", "{}", "{}"],
+}
+
+ENCODINGS = {
+    # legacy: TIMESTAMP(NANOS) — Spark reads bigint under nanosAsLong
+    "nanos": pa.array([us * 1000 for us in _TS_US], pa.timestamp("ns")),
+    # current driver testdata: naive micros — Spark reads TIMESTAMP_NTZ
+    "ntz_us": pa.array(_TS_US, pa.timestamp("us")),
+    # tz-aware micros — Spark reads TIMESTAMP (LTZ)
+    "ltz_us": pa.array(_TS_US, pa.timestamp("us", tz="UTC")),
+}
+
+
+def _write(dirpath: str, encoding: str) -> str:
+    table = pa.table({**_ROWS, "ts": ENCODINGS[encoding]})
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(table, os.path.join(dirpath, "events.parquet"))
+    return dirpath
+
+
+@pytest.mark.parametrize("encoding", list(ENCODINGS))
+def test_batch_load_normalizes_every_encoding(spark, tmp_path, encoding):
+    sf_dir = _write(str(tmp_path / encoding), encoding)
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        (r.event_id, r.us)
+        for r in df.select("event_id", epoch_micros("ts").alias("us")).collect()
+    )
+    assert got == sorted(zip(_ROWS["event_id"], _TS_US))
+
+
+@pytest.mark.parametrize("encoding", list(ENCODINGS))
+def test_stream_reader_matches_batch(spark, tmp_path, encoding):
+    src = _write(str(tmp_path / encoding), encoding)
+    stream = E.read_events_stream(spark, src)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    name = f"ts_enc_{encoding}"
+    query = E.run_to_memory(E.hourly_event_counts(stream), name)
+    try:
+        got = {
+            (r.ws, r.event_type, r.n_events)
+            for r in spark.sql(
+                "SELECT date_format(window_start,'yyyy-MM-dd HH:mm:ss') ws,"
+                f"       event_type, n_events FROM {name}"
+            ).collect()
+        }
+    finally:
+        query.stop()
+    # base instant is 2023-11-14 22:13:20 UTC; +60s stays in 22:00,
+    # +3600s lands in 23:00, +7199s crosses into 2023-11-15 00:00
+    assert got == {
+        ("2023-11-14 22:00:00", "view", 1),
+        ("2023-11-14 22:00:00", "purchase", 1),
+        ("2023-11-14 23:00:00", "view", 1),
+        ("2023-11-15 00:00:00", "view", 1),
+    }
+
+
+def test_epoch_micros_accepts_ntz_and_ltz(spark):
+    df = spark.sql(
+        "SELECT TIMESTAMP'2023-11-14 22:13:20' AS ltz,"
+        "       TIMESTAMP_NTZ'2023-11-14 22:13:20' AS ntz"
+    )
+    row = df.select(
+        epoch_micros("ltz").alias("a"), epoch_micros("ntz").alias("b")
+    ).collect()[0]
+    assert row.a == row.b == 1_700_000_000_000_000
+
+
+def test_normalize_is_noop_without_ts_column(spark):
+    df = spark.range(3)
+    assert normalize_event_ts(df) is df
