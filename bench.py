@@ -92,7 +92,10 @@ def main() -> None:
     # startup that would otherwise be charged to whichever benched
     # query happens to touch a pandas UDF first). The warmup query's
     # own plan and every benched plan still compile cold.
-    QUERIES[names[0]](spark, sf_dir).count()
+    try:
+        QUERIES[names[0]](spark, sf_dir).count()
+    except Exception:  # noqa: BLE001 — the timed loop will report it
+        pass
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -106,26 +109,36 @@ def main() -> None:
         F.sum("v")
     ).collect()
 
+    # One failing query must not take down the whole suite (a crashed
+    # bench reports nothing — worse than reporting 35 good numbers and
+    # 1 error). Failures land in "errors" with the exception head; the
+    # process exits non-zero so the failure is still loud.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            continue
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time, local[%s]"
-                % os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline-suite wall time, local[%s]"
+        % os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
