@@ -51,6 +51,38 @@ def exact_duplicate_groups(
     )
 
 
+def incremental_dedup_new_docs(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a NEW document batch against an existing corpus
+    snapshot — the production shape of exact dedup for a corpus that
+    grows by crawl runs (the batch analog of the reference's
+    snapshot∪run anti-join in ``operators/dedup.py``, applied to LLM
+    corpus building).
+
+    Two steps, one shuffle layout: the batch collapses to min-id per
+    fingerprint (within-batch dedup), then a LEFT ANTI join drops
+    fingerprints the snapshot already holds. Only 32-byte sha2
+    fingerprints and ids ever shuffle — never text — and both the
+    groupBy and the anti-join hash-partition on ``fingerprint``, so
+    the second wide stage reuses the first's layout. At 100 TB the
+    snapshot side is fact-sized: no broadcast, a plain shuffled anti
+    join that AQE can skew-split.
+
+    Returns (fingerprint, first_id) — the batch rows to ingest.
+    """
+    b = batch.select(
+        fingerprint_sha256(text_col).alias("fingerprint"),
+        F.col(id_col).cast("bigint").alias("id"),
+    )
+    survivors = b.groupBy("fingerprint").agg(F.min("id").alias("first_id"))
+    snap = snapshot.select(fingerprint_sha256(text_col).alias("fingerprint"))
+    return survivors.join(snap, "fingerprint", "left_anti")
+
+
 def drop_exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

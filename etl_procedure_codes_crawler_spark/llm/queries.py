@@ -151,6 +151,40 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_documents",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    batch AS (
+        SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS first_id
+        FROM fp WHERE doc_id % 2 = 1 GROUP BY 1
+    )
+    SELECT b.fingerprint, b.first_id
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM fp s
+        WHERE s.doc_id % 2 = 0 AND s.fingerprint = b.fingerprint
+    )
+    """,
+)
+def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: odd doc_ids stand in for the new
+    crawl batch, even doc_ids for the already-ingested snapshot; keep
+    only new-batch content the snapshot doesn't hold (within-batch
+    deduped to the min-id representative). See
+    :func:`llm.dedup.incremental_dedup_new_docs` for the
+    fingerprint-only shuffle design."""
+    documents = load(spark, sf_dir, "documents")
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    snapshot = documents.filter(F.col("doc_id") % 2 == 0)
+    return D.incremental_dedup_new_docs(batch, snapshot)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -188,3 +188,30 @@ def test_jaccard_df_cap_none_matches_uncapped(spark):
         for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=10**6).collect()
     }
     assert uncapped == high_cap
+
+
+def test_incremental_dedup_new_docs(spark):
+    """New-batch survivors: within-batch dedup to min id, then drop
+    anything whose content the snapshot already holds — including
+    normalization-equal content (case/whitespace)."""
+    snapshot = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "existing snapshot document about join strategies"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (200, "THE QUICK  brown fox jumps over the lazy dog"),  # in snapshot (normalized)
+            (201, "fresh content the snapshot has never seen"),
+            (202, "fresh content the snapshot has never seen"),     # within-batch dup of 201
+            (203, "another brand new document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.first_id
+        for r in D.incremental_dedup_new_docs(batch, snapshot).collect()
+    }
+    assert kept == {201, 203}
