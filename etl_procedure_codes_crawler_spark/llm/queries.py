@@ -150,6 +150,83 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicate_groups(documents)
 
 
+_DOC_STREAM_SEQ = [0]
+
+
+@register(
+    "streaming_incremental_dedup_documents",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    batch AS (
+        SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS first_id
+        FROM fp WHERE doc_id % 2 = 1 GROUP BY 1
+    )
+    SELECT b.fingerprint, b.first_id
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM fp s
+        WHERE s.doc_id % 2 = 0 AND s.fingerprint = b.fingerprint
+    )
+    """,
+)
+def streaming_incremental_dedup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING incremental corpus dedup: new documents arrive as a
+    file stream (odd doc_ids staged as the arriving batch), the
+    already-ingested snapshot (even doc_ids) is a static side. The
+    plan is a stream-static LEFT ANTI join on the content fingerprint
+    — dropping content the snapshot holds BEFORE any state is built —
+    followed by a streaming min-id aggregation per fingerprint (state:
+    one (fingerprint, id) row per distinct surviving content, the same
+    bound as batch dedup's groupBy; deterministic min-id survivor
+    choice, unlike first-seen dropDuplicates). Hash-matches the SAME
+    oracle as the batch ``dedup_incremental_documents`` — batch/stream
+    parity for the dedup family by construction."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import run_to_memory
+    from . import text as _T
+
+    staged = tempfile.mkdtemp(prefix="docs_stream_")
+    shutil.copy(
+        _os.path.join(sf_dir, "documents.parquet"),
+        _os.path.join(staged, "part-000.parquet"),
+    )
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    batch = stream.filter(F.col("doc_id") % 2 == 1).select(
+        _T.fingerprint_sha256("text").alias("fingerprint"),
+        F.col("doc_id").cast("bigint").alias("id"),
+    )
+    snapshot = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(_T.fingerprint_sha256("text").alias("fingerprint"))
+    )
+    survivors = (
+        batch.join(snapshot, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("first_id"))
+    )
+    _DOC_STREAM_SEQ[0] += 1
+    name = f"stream_doc_dedup_{_DOC_STREAM_SEQ[0]}"
+    query = run_to_memory(survivors, name)
+    query.stop()
+    return spark.table(name)
+
+
 @register(
     "dedup_incremental_documents",
     oracle="""
