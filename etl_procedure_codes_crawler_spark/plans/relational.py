@@ -49,6 +49,11 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver's gate runs these queries in ITS session, not ours:
+    # pin the (runtime-settable) session timezone so NTZ→TIMESTAMP
+    # casts, epoch extraction, and window boundaries agree with the
+    # DuckDB oracle's naive-timestamp reading on any host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # Tolerate a legacy TIMESTAMP(NANOS) encoding (read as long,
         # runtime-settable conf — the driver's session won't have it

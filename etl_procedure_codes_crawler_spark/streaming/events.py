@@ -62,6 +62,9 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     encoding. Later-arriving files must match the starting encoding
     (standard file-source contract)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session-tz pin: window boundaries and NTZ casts must agree with
+    # the batch path (and the oracle) whatever session runs the stream
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_dir).schema
     raw = (
         spark.readStream.schema(schema)

@@ -113,3 +113,26 @@ def test_epoch_micros_accepts_ntz_and_ltz(spark):
 def test_normalize_is_noop_without_ts_column(spark):
     df = spark.range(3)
     assert normalize_event_ts(df) is df
+
+
+def test_queries_pin_utc_against_foreign_session_tz(spark, sf_dir):
+    """The driver's gate runs queries in ITS session. If that session's
+    timezone were, say, Asia/Kolkata (+5:30 — misaligns hour windows),
+    NTZ casts and window boundaries would drift from the DuckDB
+    oracle's naive reading. load()/read_events_stream pin the session
+    timezone to UTC at the seam; this sets a hostile tz and asserts
+    oracle parity anyway."""
+    from etl_procedure_codes_crawler_spark.plans.parity import compare_query
+    from etl_procedure_codes_crawler_spark.plans.relational import (
+        ORACLES,
+        QUERIES,
+    )
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for name in ("events_hourly_windows", "asof_last_view_before_purchase"):
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+            report = compare_query(spark, sf_dir, QUERIES[name], ORACLES[name])
+            assert report["values_match"], (name, report)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
