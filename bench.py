@@ -48,6 +48,7 @@ HEADLINE = [
     "range_join_purchases_within_hour_of_signup",
     "sessionize_user_events",
     "dedup_exact_documents",
+    "dedup_incremental_documents",
     "ann_cosine_topk_lsh",
     "token_count_bpe_documents",
     "llm_corpus_prep",

@@ -50,10 +50,13 @@ def register(name: str, oracle: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # The driver's gate runs these queries in ITS session, not ours:
-    # pin the (runtime-settable) session timezone so NTZ→TIMESTAMP
-    # casts, epoch extraction, and window boundaries agree with the
-    # DuckDB oracle's naive-timestamp reading on any host.
+    # pin the (runtime-settable) confs results depend on. Timezone —
+    # NTZ→TIMESTAMP casts, epoch extraction, and window boundaries
+    # must agree with the DuckDB oracle's naive-timestamp reading on
+    # any host. ANSI — cast/overflow/try_cast semantics at the Spark 4
+    # default the corpus is validated under.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     if table == "events":
         # Tolerate a legacy TIMESTAMP(NANOS) encoding (read as long,
         # runtime-settable conf — the driver's session won't have it
