@@ -51,6 +51,36 @@ def exact_duplicate_groups(
     )
 
 
+def keep_best_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup survivor by QUALITY, not arrival: per normalized
+    fingerprint keep the copy with the longest RAW text (duplicates
+    that normalize equal can differ in case/whitespace — the longest
+    raw form preserves the most formatting), min-id tiebreak.
+
+    ``max_by`` over a (length, -id) ordering struct instead of a
+    row_number window: the aggregation partial-combines map-side, so
+    only one (fingerprint, best-so-far) row per group leaves each
+    task — a window would shuffle every duplicate row to sort it.
+    """
+    return (
+        df.select(
+            fingerprint_sha256(text_col).alias("fingerprint"),
+            F.col(id_col).cast("bigint").alias("id"),
+            F.length(text_col).cast("bigint").alias("_len"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                F.col("id"),
+                F.struct(F.col("_len"), (-F.col("id")).alias("_negid")),
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def incremental_dedup_new_docs(
     batch: DataFrame,
     snapshot: DataFrame,

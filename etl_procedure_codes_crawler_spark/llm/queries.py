@@ -150,6 +150,39 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicate_groups(documents)
 
 
+@register(
+    "dedup_exact_keep_longest",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, text,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    r AS (
+        SELECT fingerprint, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fingerprint
+                   ORDER BY len(text) DESC, doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+        FROM fp
+    )
+    SELECT fingerprint, CAST(doc_id AS BIGINT) AS keep_id, n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor choice for exact-dup groups: keep the
+    longest raw copy (min-id tiebreak) via a partial-aggregatable
+    max_by instead of a window — see
+    :func:`llm.dedup.keep_best_exact`. The oracle expresses the same
+    choice as a ROW_NUMBER window, proving the aggregation form and
+    the window form agree."""
+    documents = load(spark, sf_dir, "documents")
+    return D.keep_best_exact(documents)
+
+
 _DOC_STREAM_SEQ = [0]
 
 

@@ -215,3 +215,15 @@ def test_incremental_dedup_new_docs(spark):
         for r in D.incremental_dedup_new_docs(batch, snapshot).collect()
     }
     assert kept == {201, 203}
+
+
+def test_keep_best_exact_prefers_longest_raw_copy(spark):
+    """Docs 0/1/5 normalize to the same fingerprint; doc 1 has the
+    longest raw text (double space + capitals), so it wins over the
+    lower ids."""
+    result = {
+        (r.keep_id, r.n_copies)
+        for r in D.keep_best_exact(_docs(spark)).collect()
+        if r.n_copies > 1
+    }
+    assert result == {(1, 3)}
