@@ -136,3 +136,37 @@ def test_queries_pin_utc_against_foreign_session_tz(spark, sf_dir):
             assert report["values_match"], (name, report)
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+BOUNDARY_US = [
+    -1_000_000,                 # pre-epoch: 1969-12-31 23:59:59
+    0,                          # the epoch itself
+    1,                          # first representable microsecond
+    4_102_444_800_000_000,      # 2100-01-01 (beyond any i32-seconds)
+    7_258_118_400_000_000,      # 2200-01-01 (inside the int64-nanos range)
+]
+
+
+@pytest.mark.parametrize("encoding", list(ENCODINGS))
+def test_boundary_instants_agree_across_encodings(spark, tmp_path, encoding):
+    """Whole-microsecond instants at the representation boundaries
+    (pre-epoch negatives, epoch zero, far future near the int64-nanos
+    ceiling) normalize to the identical epoch-micros under every
+    encoding — the invariant every temporal operator relies on."""
+    arr = {
+        "nanos": pa.array([us * 1000 for us in BOUNDARY_US], pa.timestamp("ns")),
+        "ntz_us": pa.array(BOUNDARY_US, pa.timestamp("us")),
+        "ltz_us": pa.array(BOUNDARY_US, pa.timestamp("us", tz="UTC")),
+    }[encoding]
+    table = pa.table(
+        {"event_id": list(range(len(BOUNDARY_US))), "ts": arr}
+    )
+    d = str(tmp_path / encoding)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    df = load(spark, d, "events")
+    got = dict(
+        (r.event_id, r.us)
+        for r in df.select("event_id", epoch_micros("ts").alias("us")).collect()
+    )
+    assert got == dict(enumerate(BOUNDARY_US))
