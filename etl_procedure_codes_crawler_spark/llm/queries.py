@@ -682,6 +682,16 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(embeddings, queries, k=5)
 
 
+@register("ann_cosine_topk_pq")  # rows-only (approximate by design)
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC lookup-table scoring — the
+    memory-side scale path (codes, not float vectors, shuffle; see
+    similarity.cosine_topk_pq)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_pq(embeddings, queries, k=5)
+
+
 @register(
     "embedding_similar_pairs",
     oracle=f"""
@@ -1613,6 +1623,7 @@ ROWS_ONLY = {
     "simhash_near_dup_pairs",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
+    "ann_cosine_topk_pq",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
     "user_value_trends_grouped_map",

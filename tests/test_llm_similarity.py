@@ -125,3 +125,42 @@ class TestSimilarPairsLsh:
         if exact:
             recall = len(approx & exact) / len(exact)
             assert recall >= 0.5, f"LSH pair recall {recall:.2f}"
+
+
+class TestPQ:
+    def test_pq_recall_against_bruteforce(self, spark, sf_dir):
+        """ADC shortlist + exact re-rank must recover most of the true
+        top-5 (quantization only shortlists; exact cosine decides)."""
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(emb, qs, k=5).collect()
+        }
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_pq(emb, qs, k=5).collect()
+        }
+        recall = len(exact & pq) / len(exact)
+        assert recall >= 0.6, f"PQ recall {recall:.2f}"
+        # per-query k results, ranks 1..5, exact-cosine scores
+        per_q: dict[int, int] = {}
+        for r in S.cosine_topk_pq(emb, qs, k=5).collect():
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+            assert 1 <= r.rank <= 5
+        assert all(n == 5 for n in per_q.values())
+
+    def test_pq_is_deterministic(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 20)
+        a = sorted(map(tuple, S.cosine_topk_pq(emb, qs, k=5).collect()))
+        b = sorted(map(tuple, S.cosine_topk_pq(emb, qs, k=5).collect()))
+        assert a == b

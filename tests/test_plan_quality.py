@@ -42,6 +42,7 @@ SKIP = {
     "streaming_session_windows",
     "streaming_distinct_user_event_types",
     "ann_cosine_topk_ivf",  # plan depends on trained centroids
+    "ann_cosine_topk_pq",  # plan depends on trained codebook
 }
 
 
