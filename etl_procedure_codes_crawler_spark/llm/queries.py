@@ -692,6 +692,16 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pq(embeddings, queries, k=5)
 
 
+@register("ann_cosine_topk_ivfpq")  # rows-only (approximate by design)
+def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN pipeline: cell-probe
+    equi-join prunes compute, ADC code scoring prunes memory, exact
+    cosine re-ranks the shortlist (see similarity.cosine_topk_ivfpq)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_ivfpq(embeddings, queries, k=5, nprobe=6)
+
+
 @register(
     "embedding_similar_pairs",
     oracle=f"""
@@ -1624,6 +1634,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
+    "ann_cosine_topk_ivfpq",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
     "user_value_trends_grouped_map",

@@ -441,50 +441,20 @@ def cosine_topk_lsh(
     )
 
 
-def cosine_topk_pq(
+def _pq_context(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    m: int = 8,
-    codebook_size: int = 64,
-    seed: int = 42,
-    max_iter: int = 5,
-    shortlist_factor: int = 10,
-) -> DataFrame:
-    """Product-quantization ANN with ADC (asymmetric distance
-    computation) scoring — the billion-scale memory/compute recipe
-    (IVF+PQ): the corpus is stored as ``m`` small codes per vector
-    instead of ``d`` floats, and each query scores a candidate with
-    ``m`` table lookups instead of ``d`` multiplies; the quantized
-    score shortlists ``k × shortlist_factor`` candidates per query,
-    then exact cosine re-ranks the shortlist (the standard two-stage
-    pipeline — quantization noise never decides the final ranking).
-
-    Spark-first construction, no state on executors:
-
-    - both sides are L2-normalized so inner product == cosine;
-    - every vector splits into ``m`` subvectors; ALL ``m·n`` slices
-      pool into ONE shared-codebook k-means (a single distributed fit
-      instead of ``m`` — shared codebooks are a standard PQ
-      simplification and keep the training cost flat in ``m``);
-    - the trained codebook rides the plan as a broadcast single-row
-      relation (``array<array<double>>``); encoding is a closed-form
-      argmin over it — JVM higher-order functions, no ML model call,
-      no Python;
-    - each query precomputes its LUT (``m·codebook_size`` inner
-      products) ONCE; a (query, candidate) score is then
-      ``sum_j LUT[j][code_j]`` — 8 lookups vs 64 multiplies here, and
-      the corpus side shuffles 8-byte code arrays, not 256-byte float
-      vectors (the 100 TB win: PQ codes for 1e9×64-dim fit in ~8 GB).
-
-    Brute ADC over all (query, candidate) pairs — at scale, compose
-    with IVF cell pruning (``cosine_topk_ivf``) so ADC scores only the
-    probed cells' members. Returns (query_id, neighbor_id, adc_score,
-    rank); approximate by design (rows-only; recall floor pinned in
-    tests/test_llm_similarity.py).
-    """
+    vec_col: str,
+    m: int,
+    codebook_size: int,
+    seed: int,
+    max_iter: int,
+):
+    """Train the shared PQ codebook and return the column builders the
+    PQ variants compose: ``unit`` (L2-normalize), ``slices`` (split
+    into ``m`` subvectors), ``code_col`` (closed-form argmin encode —
+    requires the ``cb`` column from :return:`cb` in scope),
+    ``lut_col`` (per-query lookup table), ``adc_score`` (sum of
+    ``m`` LUT lookups for a (codes, lut) pair)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -493,21 +463,21 @@ def cosine_topk_pq(
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
 
-    def _unit(v):
+    def unit(v):
         n = _norm(v)
         return F.transform(
             v, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(0.0)
         )
 
-    def _slices(v):
+    def slices(v):
         return F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda j: F.slice(v, j * sub + 1, sub),
         )
 
-    # one shared-codebook fit over all pooled slices
+    # ONE shared-codebook fit over all pooled m·n subvector slices
     pooled = corpus.select(
-        F.explode(_slices(_unit(F.col(vec_col)))).alias("s")
+        F.explode(slices(unit(F.col(vec_col)))).alias("s")
     ).select(array_to_vector("s").alias("features"))
     model = KMeans(
         k=codebook_size, seed=seed, maxIter=max_iter, initMode="random"
@@ -524,59 +494,48 @@ def cosine_topk_pq(
             lambda acc, x: acc + x,
         )
 
-    def _argmin_code(s):
+    def code_col(s):
         dists = F.transform(F.col("cb"), lambda c: _sqdist(s, c))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    coded = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _slices(_unit(F.col(vec_col))).alias("_sl"),
+    def lut_col(slices_col):
+        return F.flatten(
+            F.transform(
+                slices_col,
+                lambda s: F.transform(F.col("cb"), lambda c: _dot(s, c)),
+            )
         )
-        .crossJoin(cb)
-        .select(
-            "neighbor_id",
-            F.transform(F.col("_sl"), _argmin_code).alias("codes"),
-        )
-    )
 
-    # per-query LUT: inner products of each query slice with every
-    # codeword, flattened to one array of m*codebook_size doubles
-    lut = F.flatten(
-        F.transform(
-            F.col("_sl"),
-            lambda s: F.transform(F.col("cb"), lambda c: _dot(s, c)),
-        )
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _slices(_unit(F.col(vec_col))).alias("_sl"),
-        )
-        .crossJoin(cb)
-        .select("query_id", lut.alias("lut"))
-    )
-
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(
-                F.col("lut"), (j * codebook_size + c + 1).cast("int")
+    def adc_score(codes_col, lut_colname):
+        return F.aggregate(
+            F.zip_with(
+                codes_col,
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(
+                    F.col(lut_colname), (j * codebook_size + c + 1).cast("int")
+                ),
             ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        coded.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("adc_score"))
-    )
-    # standard PQ pipeline: the quantized ADC score only SHORTLISTS
-    # (k × shortlist_factor per query); exact cosine re-ranks the
-    # shortlist — quantization noise decides nothing final, and the
-    # exact math runs on k×factor rows per query, not the corpus
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return cb, unit, slices, code_col, lut_col, adc_score
+
+
+def _adc_shortlist_rerank(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    shortlist_factor: int,
+) -> DataFrame:
+    """Standard PQ second stage: the quantized ADC score only
+    SHORTLISTS (``k × shortlist_factor`` per query); exact cosine
+    re-ranks the shortlist — quantization noise decides nothing final,
+    and the exact math runs on k×factor rows per query, not the
+    corpus. ``pairs`` must carry (query_id, neighbor_id, adc_score)."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
     )
@@ -620,4 +579,190 @@ def cosine_topk_pq(
             F.round("cosine", 4).alias("cosine"),
             "rank",
         )
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    codebook_size: int = 64,
+    seed: int = 42,
+    max_iter: int = 5,
+    shortlist_factor: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN with ADC (asymmetric distance
+    computation) scoring: the corpus is stored as ``m`` small codes
+    per vector instead of ``d`` floats, each query scores a candidate
+    with ``m`` lookup-table adds instead of ``d`` multiplies, and the
+    quantized score shortlists ``k × shortlist_factor`` candidates
+    that exact cosine re-ranks (quantization noise never decides the
+    final ranking).
+
+    Spark-first construction, no state on executors: one
+    shared-codebook k-means over all pooled subvector slices (a single
+    distributed fit instead of ``m`` — a standard PQ simplification);
+    the codebook rides the plan as a broadcast single-row relation;
+    encoding is a closed-form argmin in JVM higher-order functions —
+    no ML model call at scoring time, no Python. The 100 TB win: the
+    corpus side of the score join carries 8-byte code arrays, not
+    256-byte float vectors (codes for 1e9×64-dim fit in ~8 GB).
+
+    Brute ADC over all (query, candidate) pairs — see
+    :func:`cosine_topk_ivfpq` for the cell-pruned composition.
+    Approximate by design (rows-only; recall floor pinned in
+    tests/test_llm_similarity.py).
+    """
+    cb, unit, slices, code_col, lut_col, adc_score = _pq_context(
+        corpus, vec_col, m, codebook_size, seed, max_iter
+    )
+    coded = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            slices(unit(F.col(vec_col))).alias("_sl"),
+        )
+        .crossJoin(cb)
+        .select("neighbor_id", F.transform(F.col("_sl"), code_col).alias("codes"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            slices(unit(F.col(vec_col))).alias("_sl"),
+        )
+        .crossJoin(cb)
+        .select("query_id", lut_col(F.col("_sl")).alias("lut"))
+    )
+    pairs = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_score(F.col("codes"), "lut").alias("adc_score"),
+        )
+    )
+    return _adc_shortlist_rerank(
+        pairs, corpus, queries, vec_col, id_col, k, shortlist_factor
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codebook_size: int = 64,
+    seed: int = 42,
+    max_iter: int = 5,
+    shortlist_factor: int = 10,
+) -> DataFrame:
+    """IVF + PQ — the canonical billion-scale ANN pipeline, composed
+    from this module's two halves:
+
+    - **IVF prunes compute**: k-means cells partition the corpus; each
+      query probes only its ``nprobe`` nearest cells, so the candidate
+      join is an EQUI-join on ``cell`` (a plain shuffled/broadcast
+      hash join) touching ~``nprobe/num_centroids`` of the corpus —
+      never an all-pairs scan;
+    - **PQ prunes memory**: within probed cells, candidates are scored
+      by ADC over 8-byte code arrays, not 256-byte float vectors;
+    - **exact re-rank**: the quantized score shortlists
+      ``k × shortlist_factor``; exact cosine decides the final top-k.
+
+    Cell centroids and the PQ codebook are both trained distributed
+    (seeded, deterministic) and folded into the plan — the scoring
+    join has no ML state, no Python, no UDFs. Approximate by design
+    (recall floor pinned in tests/test_llm_similarity.py); recall
+    knobs: ``nprobe`` (cell coverage) × ``shortlist_factor`` (rank
+    depth).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cb, unit, slices, code_col, lut_col, adc_score = _pq_context(
+        corpus, vec_col, m, codebook_size, seed, max_iter
+    )
+
+    # IVF cells on the unit vectors (cosine geometry)
+    train = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit(F.col(vec_col)).alias("_uv"),
+    ).withColumn("features", array_to_vector(F.col("_uv")))
+    ivf = KMeans(
+        k=num_centroids, seed=seed, maxIter=max_iter, initMode="random"
+    ).fit(train)
+    centroids = [c.tolist() for c in ivf.clusterCenters()]
+
+    # corpus side: cell assignment (model.transform) + PQ codes in ONE
+    # pass over the corpus — no self-join of derived relations
+    coded = (
+        ivf.transform(train)
+        .select(
+            "neighbor_id",
+            F.col("prediction").alias("cell"),
+            slices(F.col("_uv")).alias("_sl"),
+        )
+        .crossJoin(cb)
+        .select(
+            "neighbor_id",
+            "cell",
+            F.transform(F.col("_sl"), code_col).alias("codes"),
+        )
+    )
+
+    # query side: nprobe nearest cells (closed-form distance to the
+    # centroid literals, exploded) + the ADC LUT, also in one pass
+    def _csqdist(vec, center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in center]),
+                lambda x, w: (x - w) * (x - w),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cells = F.array(
+        *[
+            F.struct(
+                _csqdist(F.col("_uv"), c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            unit(F.col(vec_col)).alias("_uv"),
+        )
+        .crossJoin(cb)
+        .select(
+            "query_id",
+            lut_col(slices(F.col("_uv"))).alias("lut"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cells), 1, nprobe), lambda s: s.cell
+                )
+            ).alias("cell"),
+        )
+    )
+    pairs = (
+        coded.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_score(F.col("codes"), "lut").alias("adc_score"),
+        )
+    )
+    return _adc_shortlist_rerank(
+        pairs, corpus, queries, vec_col, id_col, k, shortlist_factor
     )

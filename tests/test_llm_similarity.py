@@ -164,3 +164,36 @@ class TestPQ:
         a = sorted(map(tuple, S.cosine_topk_pq(emb, qs, k=5).collect()))
         b = sorted(map(tuple, S.cosine_topk_pq(emb, qs, k=5).collect()))
         assert a == b
+
+
+class TestIVFPQ:
+    def test_ivfpq_recall_against_bruteforce(self, spark, sf_dir):
+        """The composed pipeline multiplies the two approximations'
+        losses (cell pruning × quantization), so the floor sits below
+        either component's — 0.5 with nprobe=6 of 16 cells (measured
+        0.71-0.72 on the testdata)."""
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(emb, qs, k=5).collect()
+        }
+        got = S.cosine_topk_ivfpq(emb, qs, k=5, nprobe=6)
+        pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        recall = len(exact & pairs) / len(exact)
+        assert recall >= 0.5, f"IVF+PQ recall {recall:.2f}"
+
+    def test_ivfpq_is_deterministic(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 20)
+        a = sorted(map(tuple, S.cosine_topk_ivfpq(emb, qs, k=5, nprobe=6).collect()))
+        b = sorted(map(tuple, S.cosine_topk_ivfpq(emb, qs, k=5, nprobe=6).collect()))
+        assert a == b

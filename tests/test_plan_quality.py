@@ -43,6 +43,7 @@ SKIP = {
     "streaming_distinct_user_event_types",
     "ann_cosine_topk_ivf",  # plan depends on trained centroids
     "ann_cosine_topk_pq",  # plan depends on trained codebook
+    "ann_cosine_topk_ivfpq",  # plan depends on trained cells + codebook
 }
 
 
