@@ -1,0 +1,84 @@
+"""Tripwire for the driver-gate sample ordering.
+
+The correctness driver hashes the FIRST 50 entries of ``queries()``; rounds
+1-4 proved that whatever falls outside that sample is where regressions hide.
+These tests pin the invariants: the priority block is exactly the gate-sample
+size, every entry exists, every entry has a DuckDB oracle (so the driver can
+emit a hash row, not a weaker rows-only row), and the first 50 returned keys
+are exactly the priority block.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_ENTRY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+
+GATE_SAMPLE = 50
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location("spark_entry_under_test", _ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_priority_is_exactly_gate_sample_size(entry):
+    assert len(entry._GATE_PRIORITY) == GATE_SAMPLE
+    assert len(set(entry._GATE_PRIORITY)) == GATE_SAMPLE
+
+
+def test_priority_names_all_registered(entry):
+    queries = entry.queries()
+    missing = [n for n in entry._GATE_PRIORITY if n not in queries]
+    assert not missing, f"gate-priority names not in registry: {missing}"
+
+
+def test_priority_names_all_oracled(entry):
+    oracles = entry.oracle_sql()
+    unoracled = [n for n in entry._GATE_PRIORITY if n not in oracles]
+    assert not unoracled, (
+        "gate-priority entries without a DuckDB oracle would waste a hash "
+        f"slot on a rows-only row: {unoracled}"
+    )
+
+
+def test_first_gate_sample_is_the_priority_block(entry):
+    assert list(entry.queries())[:GATE_SAMPLE] == entry._GATE_PRIORITY
+    assert list(entry.oracle_sql())[:GATE_SAMPLE] == entry._GATE_PRIORITY
+
+
+def test_reorder_loses_no_queries(entry):
+    from etl_procedure_codes_crawler_spark.plans import relational
+
+    assert set(entry.queries()) == set(relational.QUERIES)
+    assert set(entry.oracle_sql()) == set(relational.ORACLES)
+
+
+def test_family_coverage_in_gate_sample(entry):
+    """Every operator family has at least one hash row in the sample."""
+    sample = set(entry._GATE_PRIORITY)
+    families = {
+        "tpch": {"q1_pricing_summary", "q2_min_cost_supplier", "q21_last_to_ship_suppliers"},
+        "temporal_join": {"asof_last_view_before_purchase", "range_join_purchases_within_hour_of_signup"},
+        "funnel": {"funnel_signup_to_purchase"},
+        "distribution": {"customer_spend_deciles"},
+        "extraction": {"extract_procedure_pages_fixture", "udtf_extract_modifiers_fixture"},
+        "streaming": {"streaming_hourly_event_counts", "streaming_incremental_dedup_documents"},
+        "text": {"token_count_bpe_documents", "lang_id_documents", "text_quality_documents"},
+        "dedup": {"dedup_exact_documents", "dedup_incremental_documents"},
+        "jaccard": {"ngram_jaccard_pairs_dfcap"},
+        "safety": {"contamination_overlap", "pii_scan_documents"},
+        "ann": {"ann_cosine_topk", "embedding_similar_pairs"},
+        "multimodal": {"multimodal_payload_stats", "multimodal_decode_stats"},
+        "trends": {"user_value_trends"},
+        "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms"},
+        "packing": {"sequence_packing_stats"},
+    }
+    uncovered = [fam for fam, members in families.items() if not members & sample]
+    assert not uncovered, f"families with no gate-sample hash row: {uncovered}"
