@@ -51,3 +51,32 @@ def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
 
     # layout changed nothing about the data
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_zorder_plan_has_no_global_window(spark):
+    # the layout pass must never funnel the table through a
+    # single-partition window sort (the pre-r5 percent_rank plan);
+    # quantile edges come from one distributed agg, binning is
+    # expression-only
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    z = with_zorder(df, "a", "b", bits=6)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "z-order binning reintroduced a window"
+
+
+def test_zorder_bins_monotonic_and_skew_robust(spark):
+    # heavy skew: 90% of mass at one value — quantile edges must still
+    # spread the remaining values over distinct bins, and binning must
+    # be monotone in the raw value
+    rows = [(0,)] * 900 + [(v,) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "a int")
+    z = with_zorder(df.withColumn("b", F.col("a")), "a", "b", bits=6)
+    got = {r.a: r._zorder for r in z.select("a", "_zorder").distinct().collect()}
+    vals = sorted(got)
+    assert all(got[u] <= got[v] for u, v in zip(vals, vals[1:]))
+    # rank normalization is mass-proportional: the tail holds 10% of
+    # rows so it gets ~10% of the 64 bins — but NOT fewer (equal-width
+    # binning over the skewed raw domain would give it 1-2)
+    assert len({got[v] for v in range(1, 101)}) >= 5
+    assert got[0] < max(got.values())
