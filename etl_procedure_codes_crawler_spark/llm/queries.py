@@ -1528,28 +1528,50 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count DESC, token ASC) ranking and running coverage
     — the truncation curve a tokenizer build reads off. The wordcount
     aggregation is map-side combinable (stopword skew collapses before
-    the shuffle); only the 200-row head passes through the final
-    global window, and the corpus total rides in as a broadcast 1-row
-    frame (no collect)."""
+    the shuffle); the head is selected by ``orderBy().limit(200)``
+    (TakeOrderedAndProject: per-partition partial top-k, only 200 rows
+    per partition cross the wire — never an unpartitioned full-vocab
+    window). Rank + running coverage over the 200-row head are pure
+    array algebra (collect into ONE array, transform with index — a
+    constant-folded partition key would be optimized away and
+    reintroduce the unpartitioned WindowExec), and the corpus total
+    rides in as a broadcast 1-row frame (no driver collect)."""
     documents = load(spark, sf_dir, "documents")
     tok = T.spread_small_input(documents).select(
         F.explode(T.tokens("text")).alias("token")
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
-    w = SparkWindow.orderBy(F.desc("n"), F.asc("token"))
-    top = (
-        counts.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("vocab_id") <= 200)
+    head = counts.orderBy(F.desc("n"), F.asc("token")).limit(200)
+    # pack the head into one sorted array; (-n, token) asc == the
+    # (n desc, token asc) vocab order
+    packed = head.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n")).alias("_negn"), "token", "n"))
+        ).alias("arr")
     )
-    cov = SparkWindow.orderBy("vocab_id").rowsBetween(
-        SparkWindow.unboundedPreceding, SparkWindow.currentRow
+    items = F.transform(
+        F.col("arr"),
+        lambda s, i: F.struct(
+            s["token"].alias("token"),
+            s["n"].alias("n_occurrences"),
+            (i + 1).cast("bigint").alias("vocab_id"),
+            F.aggregate(
+                F.slice(F.col("arr"), F.lit(1), i + 1),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x["n"],
+            ).alias("_cum"),
+        ),
     )
-    return top.join(F.broadcast(total)).select(
-        "token",
-        F.col("n").alias("n_occurrences"),
-        "vocab_id",
-        (F.sum("n").over(cov).cast("double") / F.col("total")).alias("coverage"),
+    return (
+        packed.select(F.explode(items).alias("it"))
+        .join(F.broadcast(total))
+        .select(
+            F.col("it.token").alias("token"),
+            F.col("it.n_occurrences").alias("n_occurrences"),
+            F.col("it.vocab_id").alias("vocab_id"),
+            (F.col("it._cum").cast("double") / F.col("total")).alias("coverage"),
+        )
     )
 
 

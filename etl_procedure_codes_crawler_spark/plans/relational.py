@@ -2455,20 +2455,65 @@ def unpivot_monthly_status_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency binning: customers ranked into spend deciles via
-    NTILE, then per-decile summary. The window carries a total order
-    (spend, custkey) so tied spends land deterministically. The global
-    window runs on the *aggregated* per-customer frame — cardinality is
-    already reduced by the groupBy, which is what makes a partitionless
-    window tolerable here; at 100 TB the scale path is approx_percentile
-    bins instead of a single-partition NTILE sort."""
+    """Equal-frequency binning: customers ranked into spend deciles,
+    then per-decile summary — SQL NTILE(10) semantics reproduced with a
+    two-phase distributed rank instead of a single-partition window
+    (per-customer cardinality at 100 TB is billions of rows; an
+    unpartitioned NTILE sort funnels all of them through one task).
+
+    Phase 1: range-repartition on the total order (spend, custkey) and
+    sort within partitions; ``monotonically_increasing_id`` then yields
+    each row's partition-local position (its documented lower-33-bits
+    contract), with ``spark_partition_id`` as the block id.
+    Phase 2: per-partition counts (tiny: one row per partition) are
+    collected, turned into cumulative offsets, and broadcast back as a
+    literal map; global_rank = offset[pid] + local_pos + 1. The decile
+    is then exact NTILE arithmetic: with n rows, the first n%10 buckets
+    take ceil(n/10) rows, the rest floor(n/10).
+
+    Both jobs re-evaluate the range exchange; that is safe because the
+    partitioner's sampling is seeded deterministically and the sort key
+    (spend, custkey) is a total order, so ranks are stable across the
+    counts job and the final job.
+    """
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
-    ranked = spend.withColumn("decile", F.ntile(10).over(w))
-    return ranked.groupBy("decile").agg(
+    ranked = (
+        spend.repartitionByRange(F.col("spend").asc(), F.col("o_custkey").asc())
+        .sortWithinPartitions(F.col("spend").asc(), F.col("o_custkey").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_pos",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+    )
+    # metadata-sized: one row per shuffle partition
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    base, rem = divmod(n, 10)
+    cut = rem * (base + 1)  # rows in the first `rem` (larger) buckets
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    rank = F.element_at(offset_map, F.col("_pid")) + F.col("_pos") + 1
+    decile = F.when(
+        rank <= F.lit(cut),
+        F.floor((rank - 1) / F.lit(base + 1)) + 1,
+    ).otherwise(
+        # max(base,1) guards the n<10 degenerate case where this branch
+        # is never taken but ANSI mode would still reject a /0 literal
+        F.lit(rem) + F.floor((rank - F.lit(cut) - 1) / F.lit(max(base, 1))) + 1
+    )
+    return ranked.withColumn("decile", decile).groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("spend").cast("double").alias("total_spend"),
         F.min("spend").cast("double").alias("min_spend"),

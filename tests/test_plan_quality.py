@@ -72,8 +72,51 @@ def test_no_accidental_nested_loop(spark, sf_dir, name):
         ("q3_shipping_priority", "BroadcastHashJoin"),
         ("q5_local_supplier_volume", "BroadcastHashJoin"),
         ("q10_returned_items", "BroadcastHashJoin"),
+        # vocab head must be a distributed partial top-k, not a global
+        # row_number over the full vocabulary
+        ("vocab_top_terms", "TakeOrderedAndProject"),
     ],
 )
 def test_key_plan_properties(spark, sf_dir, name, expect):
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert expect in plan, f"{name}: expected {expect!r} in plan"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # two-phase distributed NTILE — a window here means the
+        # single-partition sort came back
+        "customer_spend_deciles",
+    ],
+)
+def test_no_window_at_all(spark, sf_dir, name):
+    assert "Window" not in _plan(QUERIES[name](spark, sf_dir)), (
+        f"{name} reintroduced a window"
+    )
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    # WindowExec renders "Window [fns], [partSpec], [orderSpec]";
+    # an unpartitioned window renders only two bracket groups
+    import re
+
+    # WindowGroupLimit is excluded: it renders its partition keys as the
+    # first bracket group and is a pushed-down limit, not a global sort
+    hits = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow\s+(\[.*)", line)
+        if m and len(re.findall(r"\], \[", m.group(1))) < 2:
+            hits += 1
+    return hits
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["vocab_top_terms", "customer_spend_deciles", "grouped_topk_orders_per_customer"],
+)
+def test_no_unpartitioned_window(spark, sf_dir, name):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert _unpartitioned_window_count(plan) == 0, (
+        f"{name} plans an unpartitioned (single-task) window:\n{plan}"
+    )
