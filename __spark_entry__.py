@@ -82,7 +82,7 @@ _GATE_PRIORITY = [
     "embedding_similar_pairs",
     # multimodal
     "multimodal_payload_stats",
-    "multimodal_decode_stats",
+    "multimodal_bmp_decode_stats",
     # trends / corpus prep / packing
     "user_value_trends",
     "llm_corpus_prep_v2",

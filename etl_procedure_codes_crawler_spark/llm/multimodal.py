@@ -67,12 +67,119 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Placeholder for the real decoder (PIL.Image.open / av.open /
-    soundfile.read). Not available in this environment."""
+    """Placeholder for decoders that need a codec library (JPEG/PNG/
+    MP4/...: PIL.Image.open / av.open / soundfile.read — not available
+    in this environment). BMP, binary PPM, and PCM WAV decode for real
+    via :func:`decode_bmp` / :func:`decode_ppm` / :func:`decode_wav`."""
     raise NotImplementedError(
-        "media decode requires an image/audio codec library; "
-        "inject a real decoder via decode_media(media, decoder=...)"
+        "media decode for this format requires an image/audio codec "
+        "library; inject a real decoder via decode_media(media, "
+        "decoder=...) — BMP/PPM/WAV decode natively via default_decoder"
     )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real pure-stdlib decoder for uncompressed BMP (BITMAPINFOHEADER,
+    8/24/32 bpp). Returns (width, height, channels, pixel_bytes) with
+    rows top-down and the 4-byte row padding stripped; 24-bpp pixel
+    order is BGR as stored. Raises ValueError on corrupt/truncated/
+    unsupported input — which decode_media turns into an error row."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("corrupt media header: not a BMP or truncated")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    channels = bpp // 8
+    stride = ((width * channels + 3) // 4) * 4
+    need = pix_off + stride * height
+    if len(data) < need:
+        raise ValueError(f"truncated BMP pixel data: {len(data)} < {need}")
+    row_range = range(height) if top_down else range(height - 1, -1, -1)
+    rows = [
+        data[pix_off + r * stride : pix_off + r * stride + width * channels]
+        for r in row_range
+    ]
+    return width, height, channels, b"".join(rows)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real pure-stdlib decoder for binary PPM (P6, maxval <= 255)."""
+    data = bytes(payload)
+    if data[:2] != b"P6":
+        raise ValueError("corrupt media header: not a binary PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError(f"unsupported 2-byte PPM maxval {maxval}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    need = width * height * 3
+    if len(data) - pos < need:
+        raise ValueError(f"truncated PPM pixel data: {len(data) - pos} < {need}")
+    return width, height, 3, data[pos : pos + need]
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real stdlib decoder for PCM WAV via the ``wave`` module:
+    (n_frames, 1, n_channels, sample_bytes) — audio maps onto the
+    (width, height, channels, pixels) contract as a 1-'row' signal."""
+    import io
+    import wave
+
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("corrupt media header: not a RIFF/WAVE container")
+    try:
+        with wave.open(io.BytesIO(data)) as wav:
+            n_frames = wav.getnframes()
+            n_channels = wav.getnchannels()
+            frames = wav.readframes(n_frames)
+    except wave.Error as exc:
+        raise ValueError(f"corrupt WAV: {exc}") from exc
+    return n_frames, 1, n_channels, frames
+
+
+def default_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-byte dispatch: BMP / binary-PPM / PCM-WAV decode for real
+    (pure stdlib); any other format still needs a codec library and
+    raises NotImplementedError loudly via the stub."""
+    data = bytes(payload) if payload is not None else b""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    return _decode_stub(data)
 
 
 def identity_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -85,6 +192,67 @@ def identity_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
     if not data:
         raise ValueError("empty payload")
     return 1, len(data), 1, data
+
+
+#: BMP synthesis geometry shared with the SQL oracle: 16 px × 3 B/px
+BMP_WIDTH = 16
+BMP_CORRUPT_EVERY = 50
+
+
+def documents_as_bmp(
+    documents: DataFrame,
+    width: int = BMP_WIDTH,
+    corrupt_every: int = BMP_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus: each document's utf-8
+    bytes become the pixel data of a valid 24-bpp BMP (width fixed,
+    height = ceil(bytes / (width*3)), zero-padded; width=16 keeps the
+    row stride 4-byte aligned so padded length == width*3*height).
+    Every ``corrupt_every``-th doc is truncated mid-file to exercise
+    the decode-error path. The geometry is closed-form in doc_id and
+    byte length, so a SQL oracle can mirror the decoded stats exactly.
+    """
+    import struct
+
+    row_bytes = width * 3
+    assert row_bytes % 4 == 0, "width must keep BMP stride aligned"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8")
+                height = max(1, -(-len(data) // row_bytes))
+                pix = data.ljust(row_bytes * height, b"\x00")
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII",
+                    40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0,
+                )
+                payload = header + pix
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    payload = payload[: max(2, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("image/bmp")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 DECODED_SCHEMA = StructType(
@@ -100,13 +268,14 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_media(media: DataFrame, decoder=_decode_stub) -> DataFrame:
+def decode_media(media: DataFrame, decoder=default_decoder) -> DataFrame:
     """The decode stage, with the decoder as an injectable seam.
 
     ``decoder(payload: bytes) -> (width, height, channels, pixel_bytes)``
-    — PIL/ffmpeg/soundfile in production (none are in this container,
-    so the default raises NotImplementedError AT PLAN EXECUTION, loudly,
-    not silently). Per-payload decode FAILURES (corrupt bytes) become
+    — the default handles BMP/PPM/WAV natively (pure stdlib) and raises
+    NotImplementedError AT PLAN EXECUTION, loudly not silently, for
+    formats that need a codec library (PIL/ffmpeg/soundfile are not in
+    this container). Per-payload decode FAILURES (corrupt bytes) become
     ``decode_error`` rows instead of killing the partition — the same
     error-as-data contract as the extraction operator
     (operators/extract.py); a missing decoder library

@@ -916,6 +916,46 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_bmp_decode_stats",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id,
+               doc_id % 50 = 0 AS corrupt,
+               GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 48.0)
+                                AS BIGINT)) AS h
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN NOT corrupt THEN CAST(16 AS BIGINT) END AS width,
+           CASE WHEN NOT corrupt THEN h END AS height,
+           CASE WHEN NOT corrupt THEN CAST(3 AS BIGINT) END AS channels,
+           CASE WHEN NOT corrupt THEN 48 * h END AS n_pixel_bytes,
+           NOT corrupt AS decoded_ok
+    FROM geom
+    """,
+)
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode end-to-end: documents are synthesized into
+    valid 24-bpp BMP files (width 16 → row stride 48 == width*3, so
+    decoded pixel length is closed-form), decoded by the pure-stdlib
+    BMP parser through the default magic-dispatch decoder — no
+    injected fake anywhere in this path. Every 50th doc is truncated
+    mid-file and must surface as an error ROW (decode_error non-null,
+    null geometry), not a task failure; the oracle mirrors the
+    geometry arithmetic from doc_id and utf-8 byte length."""
+    documents = load(spark, sf_dir, "documents")
+    decoded = M.decode_media(M.documents_as_bmp(documents))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.length("pixels").cast("long").alias("n_pixel_bytes"),
+        F.col("decode_error").isNull().alias("decoded_ok"),
+    )
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")

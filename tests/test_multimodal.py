@@ -173,3 +173,103 @@ class TestDecoderSeam:
     def test_schema_is_stable(self, spark):
         media = self._media(spark, [(1, bytearray(b"x"), "m", 1, "s")])
         assert M.decode_media(media, decoder=self._fake_decoder).schema == M.DECODED_SCHEMA
+
+
+class TestStdlibDecoders:
+    """Real-format decoders: pure-stdlib BMP/PPM/WAV parsing."""
+
+    @staticmethod
+    def _bmp(width, height, pixel_rows, bpp=24, top_down=False, pad=b"\x00"):
+        import struct
+
+        channels = bpp // 8
+        stride = ((width * channels + 3) // 4) * 4
+        rows = pixel_rows if top_down else list(reversed(pixel_rows))
+        body = b"".join(r + pad * (stride - len(r)) for r in rows)
+        h = -height if top_down else height
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, h, 1, bpp, 0, len(body), 0, 0, 0, 0)
+            + body
+        )
+
+    def test_bmp_roundtrip_bottom_up(self):
+        rows = [bytes(range(9)), bytes(range(9, 18))]  # 3px × 2 rows, BGR
+        payload = self._bmp(3, 2, rows)
+        w, h, c, pix = M.decode_bmp(payload)
+        assert (w, h, c) == (3, 2, 3)
+        assert pix == rows[0] + rows[1]  # storage is bottom-up; output top-down
+
+    def test_bmp_roundtrip_top_down(self):
+        rows = [bytes(range(9)), bytes(range(9, 18))]
+        w, h, c, pix = M.decode_bmp(self._bmp(3, 2, rows, top_down=True))
+        assert (w, h, c) == (3, 2, 3)
+        assert pix == rows[0] + rows[1]
+
+    def test_bmp_strips_row_padding(self):
+        # width 3 → stride 12 vs 9 data bytes; padding must not leak
+        rows = [b"\x01" * 9]
+        _, _, _, pix = M.decode_bmp(self._bmp(3, 1, rows))
+        assert pix == rows[0] and len(pix) == 9
+
+    def test_bmp_rejects_truncation_and_compression(self):
+        import pytest as _pytest
+        import struct
+
+        good = self._bmp(3, 2, [bytes(9), bytes(9)])
+        with _pytest.raises(ValueError, match="truncated"):
+            M.decode_bmp(good[: len(good) - 4])
+        with _pytest.raises(ValueError, match="not a BMP"):
+            M.decode_bmp(b"JUNK" + good[4:])
+        compressed = bytearray(good)
+        struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+        with _pytest.raises(ValueError, match="compression"):
+            M.decode_bmp(bytes(compressed))
+
+    def test_ppm_roundtrip_with_comment(self):
+        pix = bytes(range(12))  # 2x2 RGB
+        payload = b"P6\n# a comment\n2 2\n255\n" + pix
+        assert M.decode_ppm(payload) == (2, 2, 3, pix)
+
+    def test_ppm_rejects_truncation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="truncated"):
+            M.decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+
+    def test_wav_roundtrip(self):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(bytes(range(16)))
+        n, one, ch, frames = M.decode_wav(buf.getvalue())
+        assert (n, one, ch) == (4, 1, 2)  # 16 B / (2 ch × 2 B)
+        assert frames == bytes(range(16))
+
+    def test_default_decoder_dispatch(self):
+        import pytest as _pytest
+
+        w, h, c, _ = M.default_decoder(self._bmp(3, 1, [bytes(9)]))
+        assert (w, h, c) == (3, 1, 3)
+        assert M.default_decoder(b"P6\n1 1\n255\n\x00\x01\x02")[:3] == (1, 1, 3)
+        with _pytest.raises(NotImplementedError):
+            M.default_decoder(b"\x89PNG\r\n\x1a\n rest")
+
+    def test_bmp_corpus_decodes_on_spark(self, spark, sf_dir):
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        docs = load(spark, sf_dir, "documents")
+        decoded = M.decode_media(M.documents_as_bmp(docs))
+        rows = decoded.collect()
+        assert len(rows) == docs.count()
+        ok = [r for r in rows if r.decode_error is None]
+        bad = [r for r in rows if r.decode_error is not None]
+        assert ok and bad  # both paths exercised
+        assert all(r.width == 16 and r.channels == 3 for r in ok)
+        assert all(len(r.pixels) == 48 * r.height for r in ok)
+        assert all(r.media_id % 50 == 0 for r in bad)
