@@ -689,7 +689,7 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.cosine_topk_pq)."""
     embeddings = load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_pq(embeddings, queries, k=5)
+    return S.cosine_topk_pq(embeddings, queries, k=5, dim=64)
 
 
 @register("ann_cosine_topk_ivfpq")  # rows-only (approximate by design)
@@ -699,7 +699,7 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-ranks the shortlist (see similarity.cosine_topk_ivfpq)."""
     embeddings = load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_ivfpq(embeddings, queries, k=5, nprobe=6)
+    return S.cosine_topk_ivfpq(embeddings, queries, k=5, nprobe=6, dim=64)
 
 
 @register(

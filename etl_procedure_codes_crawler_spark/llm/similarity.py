@@ -448,18 +448,30 @@ def _pq_context(
     codebook_size: int,
     seed: int,
     max_iter: int,
+    dim: int | None = None,
 ):
     """Train the shared PQ codebook and return the column builders the
     PQ variants compose: ``unit`` (L2-normalize), ``slices`` (split
     into ``m`` subvectors), ``code_col`` (closed-form argmin encode —
     requires the ``cb`` column from :return:`cb` in scope),
     ``lut_col`` (per-query lookup table), ``adc_score`` (sum of
-    ``m`` LUT lookups for a (codes, lut) pair)."""
+    ``m`` LUT lookups for a (codes, lut) pair).
+
+    Pass ``dim`` explicitly (array columns don't carry a length in the
+    schema) to avoid the fallback, which launches one extra Spark job
+    just to read a row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        probe = corpus.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty corpus; pass "
+                f"dim= explicitly (corpus column: {vec_col!r})"
+            )
+        dim = len(probe[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
 
@@ -593,6 +605,7 @@ def cosine_topk_pq(
     seed: int = 42,
     max_iter: int = 5,
     shortlist_factor: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with ADC (asymmetric distance
     computation) scoring: the corpus is stored as ``m`` small codes
@@ -617,7 +630,7 @@ def cosine_topk_pq(
     tests/test_llm_similarity.py).
     """
     cb, unit, slices, code_col, lut_col, adc_score = _pq_context(
-        corpus, vec_col, m, codebook_size, seed, max_iter
+        corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim
     )
     coded = (
         corpus.select(
@@ -662,6 +675,7 @@ def cosine_topk_ivfpq(
     seed: int = 42,
     max_iter: int = 5,
     shortlist_factor: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF + PQ — the canonical billion-scale ANN pipeline, composed
     from this module's two halves:
@@ -687,7 +701,7 @@ def cosine_topk_ivfpq(
     from pyspark.ml.functions import array_to_vector
 
     cb, unit, slices, code_col, lut_col, adc_score = _pq_context(
-        corpus, vec_col, m, codebook_size, seed, max_iter
+        corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim
     )
 
     # IVF cells on the unit vectors (cosine geometry)

@@ -197,3 +197,24 @@ class TestIVFPQ:
         a = sorted(map(tuple, S.cosine_topk_ivfpq(emb, qs, k=5, nprobe=6).collect()))
         b = sorted(map(tuple, S.cosine_topk_ivfpq(emb, qs, k=5, nprobe=6).collect()))
         assert a == b
+
+
+def test_pq_dim_param_and_empty_corpus_error(spark):
+    import pytest as _pytest
+
+    from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    # inference path on an empty corpus: explicit error, not a
+    # TypeError from None[0]
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S._pq_context(empty, "embedding", 8, 4, 42, 1)
+    # explicit dim skips the probe job and trains straight away
+    tiny = spark.createDataFrame(
+        [(i, [float(i * j % 7) for j in range(64)]) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cb, unit, slices, code_col, lut_col, adc_score = S._pq_context(
+        tiny, "embedding", 8, 4, 42, 1, dim=64
+    )
+    assert cb is not None
