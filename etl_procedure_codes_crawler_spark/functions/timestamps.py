@@ -32,17 +32,55 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_event_ts", "epoch_micros"]
+__all__ = ["normalize_event_ts", "epoch_micros", "parquet_ts_unit"]
 
 
-def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
+    """Driver-side footer peek: the parquet logical-type unit ('ns',
+    'us', 'ms', 's') of ``col`` in the first parquet file under
+    ``path``, or None when the column is a plain integer (no logical
+    type) or absent. One footer read, no Spark job."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    for f in files[:1]:
+        try:
+            schema = pq.read_schema(f)
+        except Exception:
+            return None
+        if col in schema.names:
+            t = schema.field(col).type
+            if pa.types.is_timestamp(t):
+                return t.unit
+    return None
+
+
+def normalize_event_ts(
+    df: DataFrame, col: str = "ts", bigint_unit: str | None = None
+) -> DataFrame:
     """Normalize an event-timestamp column to TIMESTAMP, whatever the
     file encoding produced. Works on batch and streaming DataFrames
     (only the analyzed schema is consulted).
 
-    - ``bigint``        → interpreted as epoch *nanoseconds* (the
-      legacy ``nanosAsLong`` read path), truncated to micros — the
-      same truncation DuckDB applies to TIMESTAMP_NS;
+    - ``bigint``        → epoch integer. When the caller knows the unit
+      (``bigint_unit`` in {'ns','us','ms','s'} — e.g. from
+      :func:`parquet_ts_unit` on a TIMESTAMP(NANOS) file read under
+      ``nanosAsLong``), that is definitive, exact at every instant.
+      Otherwise the unit is *inferred from magnitude* (nanos ≥ 1e17 >
+      micros ≥ 1e14 > millis ≥ 1e11 > seconds): a regeneration writing
+      plain int64 micros/millis would also surface as bigint, and
+      assuming nanos would silently scale it 1000×. The bands are
+      unambiguous for any instant between 1973 and 5138 — pass
+      ``bigint_unit`` for near-epoch data. Either way the dispatch is
+      pure expressions (codegen'd); truncation to micros matches what
+      DuckDB applies to TIMESTAMP_NS;
     - ``timestamp_ntz`` → cast to TIMESTAMP via the session timezone
       (UTC in this engine), preserving wall-clock;
     - ``timestamp``     → already correct, untouched;
@@ -50,9 +88,23 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
-        return df.withColumn(
-            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-        )
+        v = F.col(col)
+        if bigint_unit is not None:
+            micros = {
+                "ns": F.expr(f"`{col}` div 1000"),
+                "us": v,
+                "ms": v * F.lit(1000),
+                "s": v * F.lit(1_000_000),
+            }[bigint_unit]
+        else:
+            mag = F.abs(v)
+            micros = (
+                F.when(mag >= F.lit(10**17), F.expr(f"`{col}` div 1000"))
+                .when(mag >= F.lit(10**14), v)
+                .when(mag >= F.lit(10**11), v * F.lit(1000))
+                .otherwise(v * F.lit(1_000_000))
+            )
+        return df.withColumn(col, F.timestamp_micros(micros))
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df

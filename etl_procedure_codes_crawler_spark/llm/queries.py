@@ -228,35 +228,40 @@ def streaming_incremental_dedup_documents(
     from ..streaming.events import run_to_memory
     from . import text as _T
 
+    # staging dir removed in finally — the gate may invoke this query
+    # repeatedly and each leak would be a full documents.parquet copy
     staged = tempfile.mkdtemp(prefix="docs_stream_")
-    shutil.copy(
-        _os.path.join(sf_dir, "documents.parquet"),
-        _os.path.join(staged, "part-000.parquet"),
-    )
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
-    batch = stream.filter(F.col("doc_id") % 2 == 1).select(
-        _T.fingerprint_sha256("text").alias("fingerprint"),
-        F.col("doc_id").cast("bigint").alias("id"),
-    )
-    snapshot = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select(_T.fingerprint_sha256("text").alias("fingerprint"))
-    )
-    survivors = (
-        batch.join(snapshot, "fingerprint", "left_anti")
-        .groupBy("fingerprint")
-        .agg(F.min("id").alias("first_id"))
-    )
-    _DOC_STREAM_SEQ[0] += 1
-    name = f"stream_doc_dedup_{_DOC_STREAM_SEQ[0]}"
-    query = run_to_memory(survivors, name)
-    query.stop()
+    try:
+        shutil.copy(
+            _os.path.join(sf_dir, "documents.parquet"),
+            _os.path.join(staged, "part-000.parquet"),
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        batch = stream.filter(F.col("doc_id") % 2 == 1).select(
+            _T.fingerprint_sha256("text").alias("fingerprint"),
+            F.col("doc_id").cast("bigint").alias("id"),
+        )
+        snapshot = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select(_T.fingerprint_sha256("text").alias("fingerprint"))
+        )
+        survivors = (
+            batch.join(snapshot, "fingerprint", "left_anti")
+            .groupBy("fingerprint")
+            .agg(F.min("id").alias("first_id"))
+        )
+        _DOC_STREAM_SEQ[0] += 1
+        name = f"stream_doc_dedup_{_DOC_STREAM_SEQ[0]}"
+        query = run_to_memory(survivors, name)
+        query.stop()
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
     return spark.table(name)
 
 

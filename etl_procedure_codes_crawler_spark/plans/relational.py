@@ -29,7 +29,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.timestamps import epoch_micros, normalize_event_ts
+from ..functions.timestamps import (
+    epoch_micros,
+    normalize_event_ts,
+    parquet_ts_unit,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -54,7 +58,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # NTZ→TIMESTAMP casts, epoch extraction, and window boundaries
     # must agree with the DuckDB oracle's naive-timestamp reading on
     # any host. ANSI — cast/overflow/try_cast semantics at the Spark 4
-    # default the corpus is validated under.
+    # default the corpus is validated under. NOTE this is a deliberate
+    # session-global side effect: for sessions built by
+    # session.get_spark (which pins the same values at creation) it is
+    # an idempotent no-op; for a foreign session it means "running any
+    # corpus query opts that session into UTC+ANSI semantics" — the
+    # documented contract of this query surface.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     if table == "events":
@@ -62,9 +71,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # runtime-settable conf — the driver's session won't have it
         # preset); the actual dtype is inspected below, never assumed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    df = spark.read.parquet(path)
     if table == "events":
-        df = normalize_event_ts(df)
+        # footer logical type (one driver-side read) makes the bigint
+        # unit definitive; magnitude inference only covers plain INT64
+        df = normalize_event_ts(df, bigint_unit=parquet_ts_unit(path))
     return df
 
 

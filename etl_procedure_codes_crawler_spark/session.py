@@ -60,7 +60,13 @@ def get_spark(
         # Partition-size ceiling so scans split into memory-safe tasks.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Semantics pins, set HERE for sessions this engine owns.
+        # plans.relational.load() re-pins the same two values at the
+        # query seam because the correctness gate runs queries in a
+        # session it builds itself — that re-pin is an idempotent
+        # no-op for sessions created by this factory.
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
         # Python DataSource filter pushdown (sources/datasource.py):
         # lets pushFilters prune the crawl set before any fetch.
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.timestamps import normalize_event_ts
+from ..functions.timestamps import normalize_event_ts, parquet_ts_unit
 
 #: the LEGACY int64-nanos layout of the events stream. Kept for tests
 #: that fabricate nanos-encoded files to exercise the legacy branch of
@@ -60,18 +60,23 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     normalized to TIMESTAMP dtype-awarely — identical semantics to the
     batch ``load`` path, so stream/batch parity holds under every
     encoding. Later-arriving files must match the starting encoding
-    (standard file-source contract)."""
+    (standard file-source contract). Starting on an EMPTY directory
+    falls back to ``EVENTS_RAW_SCHEMA`` (the legacy nanos layout) so a
+    stream can be wired up before its producer writes the first file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # session-tz pin: window boundaries and NTZ casts must agree with
     # the batch path (and the oracle) whatever session runs the stream
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(events_dir).schema
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except Exception:  # no files yet (AnalysisException: unable to infer)
+        schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return normalize_event_ts(raw)
+    return normalize_event_ts(raw, bigint_unit=parquet_ts_unit(events_dir))
 
 
 def hourly_event_counts(

@@ -49,6 +49,12 @@ ENCODINGS = {
     "ntz_us": pa.array(_TS_US, pa.timestamp("us")),
     # tz-aware micros — Spark reads TIMESTAMP (LTZ)
     "ltz_us": pa.array(_TS_US, pa.timestamp("us", tz="UTC")),
+    # plain int64 columns (no parquet logical type): a regeneration
+    # could write raw epoch integers in any unit — the normalizer
+    # infers the unit from magnitude instead of assuming nanos
+    "int64_us": pa.array(_TS_US, pa.int64()),
+    "int64_ms": pa.array([us // 1000 for us in _TS_US], pa.int64()),
+    "int64_s": pa.array([us // 1_000_000 for us in _TS_US], pa.int64()),
 }
 
 
@@ -147,7 +153,9 @@ BOUNDARY_US = [
 ]
 
 
-@pytest.mark.parametrize("encoding", list(ENCODINGS))
+# raw-int64 encodings are excluded: near-epoch instants are below the
+# magnitude bands' unambiguous range (1973+) by construction
+@pytest.mark.parametrize("encoding", ["nanos", "ntz_us", "ltz_us"])
 def test_boundary_instants_agree_across_encodings(spark, tmp_path, encoding):
     """Whole-microsecond instants at the representation boundaries
     (pre-epoch negatives, epoch zero, far future near the int64-nanos
@@ -170,3 +178,25 @@ def test_boundary_instants_agree_across_encodings(spark, tmp_path, encoding):
         for r in df.select("event_id", epoch_micros("ts").alias("us")).collect()
     )
     assert got == dict(enumerate(BOUNDARY_US))
+
+
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """Wiring a stream before the producer's first file must not raise
+    (falls back to EVENTS_RAW_SCHEMA); files arriving later are read."""
+    d = str(tmp_path / "empty_events")
+    os.makedirs(d, exist_ok=True)
+    stream = E.read_events_stream(spark, d)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # producer writes a nanos-encoded file after stream wiring
+    table = pa.table({**_ROWS, "ts": ENCODINGS["nanos"]})
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    name = "empty_start_probe"
+    q = E.run_to_memory(
+        stream.groupBy("event_id").agg(
+            F.min(epoch_micros("ts")).alias("us")
+        ),
+        name,
+    )
+    q.stop()
+    got = sorted((r.event_id, r.us) for r in spark.table(name).collect())
+    assert got == sorted(zip(_ROWS["event_id"], _TS_US))
