@@ -65,6 +65,13 @@ HEADLINE = [
     "llm_corpus_prep_v2",
     "grouped_topk_orders_per_customer",
     "heavy_hitter_tokens",
+    # ANN scale-path variants (brute LSH is benched above): IVF cells,
+    # PQ ADC shortlist + exact re-rank, and the composed IVF+PQ
+    # billion-scale shape — regressions in these plans must be visible
+    # round-over-round, not just recall-floored in tests.
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_pq",
+    "ann_cosine_topk_ivfpq",
 ]
 
 

@@ -205,16 +205,17 @@ def test_pq_dim_param_and_empty_corpus_error(spark):
     from etl_procedure_codes_crawler_spark.llm import similarity as S
 
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
-    # inference path on an empty corpus: explicit error, not a
-    # TypeError from None[0]
+    # training on an empty corpus: explicit error, not a numpy crash
     with _pytest.raises(ValueError, match="empty corpus"):
         S._pq_context(empty, "embedding", 8, 4, 42, 1)
-    # explicit dim skips the probe job and trains straight away
     tiny = spark.createDataFrame(
         [(i, [float(i * j % 7) for j in range(64)]) for i in range(8)],
         "vec_id bigint, embedding array<float>",
     )
-    cb, unit, slices, code_col, lut_col, adc_score = S._pq_context(
+    codebook, codes_udf, lut_udf, adc_score = S._pq_context(
         tiny, "embedding", 8, 4, 42, 1, dim=64
     )
-    assert cb is not None
+    assert codebook.shape == (4, 8)
+    # a dim that contradicts the corpus is an explicit error
+    with _pytest.raises(ValueError, match="dim=32"):
+        S._pq_context(tiny, "embedding", 8, 4, 42, 1, dim=32)
