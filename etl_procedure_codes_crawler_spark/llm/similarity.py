@@ -331,7 +331,8 @@ def _sqdist_lit(vec, center) -> "F.Column":
 def _probe_cells_col(vec, centroids: list[list[float]], nprobe: int):
     """The query side of IVF: the ``nprobe`` nearest cell ids as an
     array column ((dist, cell) structs → array_sort orders by first
-    field → slice → project the cell)."""
+    field → slice → project the cell). Ties order by cell asc (struct
+    comparison falls through to the second field)."""
     cells = F.array(
         *[
             F.struct(_sqdist_lit(vec, c).alias("d"), F.lit(i).alias("cell"))
@@ -339,6 +340,49 @@ def _probe_cells_col(vec, centroids: list[list[float]], nprobe: int):
         ]
     )
     return F.transform(F.slice(F.array_sort(cells), 1, nprobe), lambda s: s.cell)
+
+
+#: above this many embedded literals (num_centroids × dim), the probe
+#: expression tree itself becomes the bottleneck (Catalyst analysis +
+#: interpreted eval scale with tree size) — switch to the Arrow probe
+_PROBE_LITERAL_CAP = 4096
+
+
+def _ivf_probe_udf(centroids: np.ndarray, nprobe: int, normalize: bool):
+    """Arrow-batched probe for large centroid tables: nprobe nearest
+    cells per query via one matmul + stable argsort (ties order by
+    cell asc — same contract as :func:`_probe_cells_col`)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    G = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(vectors: pd.Series) -> pd.Series:
+        X = _stack_np(vectors)
+        if normalize:
+            X = _unit_np(X)
+        order = np.argsort(_sq_dists_np(X, G), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    return probe
+
+
+def _probe_cells(vec, centers: np.ndarray, nprobe: int, normalize: bool):
+    """Adaptive IVF probe: the literal JVM expression for small
+    centroid tables (no Python worker round-trip for a tiny query
+    side), the Arrow matmul above :data:`_PROBE_LITERAL_CAP`. The
+    caller passes the RAW vector column; normalization (when the cell
+    geometry is unit-space) happens inside either branch."""
+    if centers.size <= _PROBE_LITERAL_CAP:
+        if normalize:
+            n = _norm(vec)
+            vec = F.transform(
+                vec,
+                lambda x: F.when(n > 0, x.cast("double") / n).otherwise(0.0),
+            )
+        return _probe_cells_col(vec, centers.tolist(), nprobe)
+    return _ivf_probe_udf(centers, nprobe, normalize)(vec)
 
 
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -470,7 +514,6 @@ def cosine_topk_ivf(
         seed,
         max_iter,
     )
-    centroids = centers.tolist()
     cell_udf = _ivf_cell_udf(centers, normalize=False)
     # spread narrow inputs so the Arrow cell-assign batches use every
     # core (same rationale as lsh_table_buckets)
@@ -485,7 +528,7 @@ def cosine_topk_ivf(
             "query_id",
             "qv",
             F.explode(
-                _probe_cells_col(F.col("qv"), centroids, nprobe)
+                _probe_cells(F.col("qv"), centers, nprobe, normalize=False)
             ).alias("cell"),
         )
     )
@@ -741,13 +784,14 @@ def cosine_topk_pq(
     that exact cosine re-ranks (quantization noise never decides the
     final ranking).
 
-    Spark-first construction, no state on executors: one
+    Spark-first construction, no ML-model state on executors: one
     shared-codebook k-means over all pooled subvector slices of a
     bounded driver-side sample (a single fit instead of ``m`` — a
-    standard PQ simplification; see :func:`_train_vectors`);
-    the codebook rides the plan as a broadcast single-row relation;
-    encoding is a closed-form argmin in JVM higher-order functions —
-    no ML model call at scoring time, no Python. The 100 TB win: the
+    standard PQ simplification; see :func:`_train_vectors`); the
+    codebook rides the UDF closure (a few KB); encode/LUT are
+    Arrow-batched matmuls and the per-pair ADC score is a lambda-free
+    codegen-able sum — no ML model call at scoring time, no per-row
+    Python in the pair loop. The 100 TB win: the
     corpus side of the score join carries 8-byte code arrays, not
     256-byte float vectors (codes for 1e9×64-dim fit in ~8 GB).
 
@@ -833,7 +877,6 @@ def cosine_topk_ivfpq(
 
     # IVF cells on the unit vectors (cosine geometry)
     centers = _kmeans_np(_unit_np(train_X), num_centroids, seed, max_iter)
-    centroids = centers.tolist()
     cell_udf = _ivf_cell_udf(centers, normalize=True)
 
     # corpus side: Arrow-batched cell assignment + PQ codes in ONE pass
@@ -848,26 +891,17 @@ def cosine_topk_ivfpq(
         codes_udf(F.col("cv")).alias("codes"),
     )
 
-    # query side: nprobe nearest cells (closed-form distance to the
-    # centroid literals on the unit vector, exploded) + the ADC LUT,
-    # also in one pass; the query side is tiny by construction, so the
-    # JVM expression probe is fine here
-    unit_q = F.transform(
-        F.col("qv"),
-        lambda x: F.when(F.col("_qn") > 0, x.cast("double") / F.col("_qn"))
-        .otherwise(0.0),
-    )
+    # query side: nprobe nearest cells (adaptive probe in unit space —
+    # cell geometry is cosine) + the ADC LUT, in one pass
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
-        .withColumn("_qn", _norm(F.col("qv")))
-        .withColumn("_uv", unit_q)
         .select(
             "query_id",
             lut_udf(F.col("qv")).alias("lut"),
             F.explode(
-                _probe_cells_col(F.col("_uv"), centroids, nprobe)
+                _probe_cells(F.col("qv"), centers, nprobe, normalize=True)
             ).alias("cell"),
         )
     )
