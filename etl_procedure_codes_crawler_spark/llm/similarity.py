@@ -521,7 +521,17 @@ def cosine_topk_ivf(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         )
-    ).select("neighbor_id", "cv", cell_udf(F.col("cv")).alias("cell"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        # coalesce makes the join key non-nullable (the UDF never
+        # returns null — argmin is total): without it Spark inserts an
+        # isnotnull(cell) filter under the join whose UDF extraction
+        # runs the cell assignment TWICE (two stacked ArrowEvalPython
+        # stages over the full corpus); plan pinned in
+        # tests/test_plan_quality.py
+        F.coalesce(cell_udf(F.col("cv")), F.lit(-1)).alias("cell"),
+    )
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .select(
@@ -737,7 +747,11 @@ def _adc_shortlist_rerank(
         "qv",
     ).withColumnRenamed("_norm", "qn")
     reranked = (
-        short.join(cn, "neighbor_id")
+        # the shortlist is queries × k × factor rows — broadcast it so
+        # the corpus re-read streams map-side instead of sort-merging
+        # (AQE would usually rescue this, but the initial plan should
+        # already be right)
+        cn.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qn), "query_id")
         .select(
             "query_id",
@@ -887,7 +901,10 @@ def cosine_topk_ivfpq(
         )
     ).select(
         "neighbor_id",
-        cell_udf(F.col("cv")).alias("cell"),
+        # non-nullable join key — see cosine_topk_ivf: keeps both UDFs
+        # in ONE ArrowEvalPython stage instead of an extra full-corpus
+        # cell pass under the join's null filter
+        F.coalesce(cell_udf(F.col("cv")), F.lit(-1)).alias("cell"),
         codes_udf(F.col("cv")).alias("codes"),
     )
 

@@ -120,3 +120,77 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
     assert _unpartitioned_window_count(plan) == 0, (
         f"{name} plans an unpartitioned (single-task) window:\n{plan}"
     )
+
+
+class TestAnnPlans:
+    """ANN physical plans pinned on a constructed corpus (the generic
+    parametrized tests SKIP these because the plan embeds trained
+    centroids/codebooks — here we train on a fixed tiny corpus and pin
+    the structure that matters at scale)."""
+
+    def _corpus(self, spark, n=200):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(64)]) for i in range(n)],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_ivf_single_python_stage_and_hash_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        corpus = self._corpus(spark)
+        out = S.cosine_topk_ivf(
+            corpus, corpus.filter(F.col("vec_id") < 5), k=3,
+            num_centroids=8, nprobe=4,
+        )
+        plan = self._plan(out)
+        # ONE Arrow stage for the corpus cell assignment — a second one
+        # means the join's null filter re-extracted the UDF and the
+        # whole corpus makes two Python round-trips
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pq_no_sort_merge_rerank(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        corpus = self._corpus(spark)
+        out = S.cosine_topk_pq(
+            corpus, corpus.filter(F.col("vec_id") < 5), k=3, dim=64
+        )
+        plan = self._plan(out)
+        # corpus codes + query lut: exactly two Arrow stages
+        assert plan.count("ArrowEvalPython") == 2, plan
+        # the brute ADC cross-score is the one deliberate BNLJ
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        # shortlist re-rank must broadcast the shortlist, not sort-merge
+        # the corpus against it
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_ivfpq_structure(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        corpus = self._corpus(spark)
+        out = S.cosine_topk_ivfpq(
+            corpus, corpus.filter(F.col("vec_id") < 5), k=3, nprobe=4,
+            dim=64,
+        )
+        plan = self._plan(out)
+        # corpus (cell+codes batched together) + query (lut): two
+        assert plan.count("ArrowEvalPython") == 2, plan
+        # cell-probe candidate join and both rerank joins are hash joins
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
