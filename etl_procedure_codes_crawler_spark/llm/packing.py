@@ -159,3 +159,117 @@ def sequence_stats(
         F.sum("tokens_in_seq").cast("bigint").alias("n_tokens"),
         (F.sum("tokens_in_seq") / F.lit(seq_len)).alias("fill"),
     )
+
+
+#: Lehmer / MINSTD constants — prime modulus so low bits are as well
+#: mixed as high bits (a power-of-two modulus LCG has short-period low
+#: bits, which would stripe consecutive ids across shards)
+_SHUFFLE_M = 2147483647  # 2^31 - 1, prime
+_SHUFFLE_A = 48271
+
+
+def shuffle_key(id_col, seed: int = 1):
+    """Deterministic pseudo-random permutation key for a bigint id:
+    TWO Lehmer steps, ``g(g((id + seed) mod M))`` with
+    ``g(x) = x·A mod M``.
+
+    Two steps, not one: for ids below M/A ≈ 44k a single step never
+    wraps the modulus, so the "key" is just ``(id+seed)·A`` —
+    monotonic in id (no shuffle at all) and tiny relative to M (every
+    id passes any fractional threshold). The second multiplication
+    wraps thousands of times and scrambles; the order/uniformity
+    properties are pinned in tests/test_packing.py.
+
+    Every intermediate stays far below int64 overflow for ANY bigint
+    id (each pmod caps at 2^31, times 48271 ≈ 1e14), so the
+    expression is ANSI-safe, and DuckDB computes it bit-identically —
+    the permutation is cross-engine reproducible, which is the whole
+    point: a training run restarted on different infrastructure must
+    see the same data order."""
+    x = F.pmod(id_col + F.lit(seed), F.lit(_SHUFFLE_M))
+    for _ in range(2):
+        x = F.pmod(x * F.lit(_SHUFFLE_A), F.lit(_SHUFFLE_M))
+    return x
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """Reproducible global shuffle of a corpus into training shards:
+    each row gets (shard, pos) — its shard and its position within the
+    shard's read order — forming a deterministic pseudo-random
+    permutation of the whole corpus without a global sort.
+
+    Scale shape: ONE hash exchange on ``shard`` plus a per-shard local
+    sort (that is all `row_number over (partition by shard)` plans).
+    With ``num_shards`` at or above cluster parallelism each task
+    sorts ~n/num_shards rows; no single-partition window exists at any
+    corpus size. Epoch reshuffles are a seed change, not a data move:
+    the manifest is tiny (id, shard, pos) and the heavy rows are
+    joined to it lazily by the reader."""
+    key = shuffle_key(F.col(id_col), seed)
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+    ).withColumn("shard", F.pmod(F.col("_key"), F.lit(num_shards)))
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def upsample_manifest(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic fractional upsampling for corpus mixing: a doc
+    from a source with weight ``w`` appears ``floor(w)`` times, plus
+    one more with probability ``frac(w)`` — decided by the doc's own
+    Lehmer key, so the choice is reproducible (no rand()) and
+    cross-engine checkable. Output is one row per (doc, copy).
+
+    Scale shape: a map-side CASE over the broadcast weight table and a
+    bounded explode (``ceil(max weight)`` copies max) — no shuffle at
+    all; the downstream :func:`training_shuffle` keyed on (id, copy)
+    spreads repeats across shards."""
+    key = shuffle_key(F.col(id_col), seed)
+
+    # thresholds are exact integers so Spark and an external oracle
+    # agree bit-for-bit: key < round(frac * M)
+    def _copies(w: float):
+        whole, fr = int(w), w - int(w)
+        extra = (
+            (key < F.lit(int(round(fr * _SHUFFLE_M)))).cast("int")
+            if fr > 0
+            else F.lit(0)
+        )
+        return F.lit(whole) + extra
+
+    n_copies = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, _copies(w))
+            for s, w in weights.items()
+        ],
+        _copies(default),
+    ).alias("n_copies") if weights else _copies(default).alias("n_copies")
+    return (
+        df.select(F.col(id_col), F.col(source_col), n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            source_col,
+            "n_copies",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("copy"),
+        )
+    )

@@ -1692,6 +1692,75 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "training_shuffle_manifest",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+                   * 48271 % 2147483647 AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(key % 8 AS BIGINT) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY key % 8 ORDER BY key, doc_id
+           ) AS pos
+    FROM keyed
+    """,
+)
+def training_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training shuffle: a deterministic Lehmer
+    permutation assigns every document a (shard, pos) read order —
+    bit-identical across engines and restarts (the oracle recomputes
+    the exact permutation in SQL). One hash exchange + per-shard local
+    sort; no global-order window (see llm/packing.training_shuffle)."""
+    documents = load(spark, sf_dir, "documents")
+    return PK.training_shuffle(documents, num_shards=8, seed=1)
+
+
+@register(
+    "corpus_upsample_manifest",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               (((doc_id + 7) % 2147483647) * 48271 % 2147483647)
+                   * 48271 % 2147483647 AS key
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, source,
+               CASE source
+                   WHEN 'src1' THEN 2 + (
+                       CASE WHEN key < CAST(ROUND(0.5 * 2147483647) AS BIGINT)
+                            THEN 1 ELSE 0 END)
+                   WHEN 'src2' THEN (
+                       CASE WHEN key < CAST(ROUND(0.25 * 2147483647) AS BIGINT)
+                            THEN 1 ELSE 0 END)
+                   WHEN 'src3' THEN 0
+                   ELSE 1
+               END AS n_copies
+        FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_copies AS INT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+    FROM copies WHERE n_copies > 0
+    """,
+)
+def corpus_upsample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling for training-mix epochs:
+    weight 2.5 for src1, 0.25 for src2, 0 for src3 (dropped), default
+    1.0 — a doc's fractional extra
+    copy is decided by its own Lehmer key (no rand(), reproducible,
+    oracle-checkable). Map-side CASE + bounded explode; zero shuffles
+    (see llm/packing.upsample_manifest)."""
+    documents = load(spark, sf_dir, "documents")
+    return PK.upsample_manifest(
+        documents, {"src1": 2.5, "src2": 0.25, "src3": 0.0}, seed=7
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design

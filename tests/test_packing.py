@@ -97,3 +97,109 @@ class TestSequenceStats:
         assert (
             packed.agg(F.sum("n_tokens")).collect()[0][0] == total_tokens
         )
+
+
+class TestTrainingShuffle:
+    def _docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, f"src{i % 4}") for i in range(n)],
+            "doc_id bigint, source string",
+        )
+
+    def test_permutation_complete_and_deterministic(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = self._docs(spark)
+        a = PK.training_shuffle(docs, num_shards=8, seed=1).collect()
+        b = PK.training_shuffle(docs, num_shards=8, seed=1).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # every doc exactly once
+        assert sorted(r.doc_id for r in a) == list(range(400))
+        # pos is 1..n_shard within each shard, no gaps
+        by_shard: dict[int, list[int]] = {}
+        for r in a:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_shards_balanced_and_order_scrambled(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        out = PK.training_shuffle(self._docs(spark), num_shards=8, seed=1)
+        rows = out.collect()
+        sizes = {}
+        for r in rows:
+            sizes[r.shard] = sizes.get(r.shard, 0) + 1
+        assert len(sizes) == 8
+        # Lehmer keys spread evenly: no shard more than 2x the mean
+        assert max(sizes.values()) <= 2 * (400 // 8)
+        # the read order inside a shard is NOT id order (it's a shuffle)
+        shard0 = [r.doc_id for r in sorted(
+            (r for r in rows if r.shard == 0), key=lambda r: r.pos)]
+        assert shard0 != sorted(shard0)
+
+    def test_seed_changes_permutation(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = self._docs(spark)
+        a = {(r.doc_id, r.shard, r.pos)
+             for r in PK.training_shuffle(docs, seed=1).collect()}
+        b = {(r.doc_id, r.shard, r.pos)
+             for r in PK.training_shuffle(docs, seed=2).collect()}
+        assert a != b
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        plan = (
+            PK.training_shuffle(self._docs(spark), num_shards=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow\s+(\[.*)", line)
+            if m:
+                assert len(re.findall(r"\], \[", m.group(1))) >= 2, line
+
+
+class TestUpsampleManifest:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"src{i % 4}") for i in range(200)],
+            "doc_id bigint, source string",
+        )
+
+    def test_copy_counts_follow_weights(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        out = PK.upsample_manifest(
+            self._docs(spark),
+            {"src1": 2.5, "src2": 0.25, "src3": 0.0},
+            seed=7,
+        ).collect()
+        per_source: dict[str, int] = {}
+        for r in out:
+            per_source[r.source] = per_source.get(r.source, 0) + 1
+            assert 1 <= r.copy <= r.n_copies
+        # default weight 1.0: every src0 doc exactly once
+        assert per_source["src0"] == 50
+        # weight 0: dropped entirely
+        assert "src3" not in per_source
+        # weight 2.5: between 2x and 3x, near 2.5x for 50 docs
+        assert 2 * 50 <= per_source["src1"] <= 3 * 50
+        # weight 0.25: strict subset
+        assert 0 < per_source["src2"] < 50
+
+    def test_deterministic_and_shuffle_free(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = self._docs(spark)
+        out = PK.upsample_manifest(docs, {"src1": 2.5}, seed=7)
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, PK.upsample_manifest(
+            docs, {"src1": 2.5}, seed=7).collect()))
+        assert a == b
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # map-side only: explode + project, no exchange anywhere
+        assert "Exchange" not in plan, plan
