@@ -273,3 +273,34 @@ def upsample_manifest(
             ).alias("copy"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 1,
+) -> None:
+    """Materialize the :func:`training_shuffle` as a physical layout:
+    one parquet partition directory per shard, rows stored in shard
+    read order (``pos`` ascending) so a trainer streams each shard
+    sequentially with zero seek-time shuffling at read time.
+
+    Scale shape — the write IS the shuffle: ``repartition(shard)``
+    is the single hash exchange, ``sortWithinPartitions`` sorts each
+    shard locally (n/num_shards rows per task), and
+    ``partitionBy("shard")`` maps each task to exactly one output
+    directory (task partitioning == directory partitioning, so no
+    small-file explosion: one file per shard per write). Epoch
+    re-shuffles rewrite only (id, shard, pos) ordering — the seed is
+    the epoch number."""
+    manifest = training_shuffle(df, id_col, num_shards, seed)
+    (
+        df.join(manifest, id_col)
+        .repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

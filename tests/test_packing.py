@@ -203,3 +203,36 @@ class TestUpsampleManifest:
         plan = out._jdf.queryExecution().executedPlan().toString()
         # map-side only: explode + project, no exchange anywhere
         assert "Exchange" not in plan, plan
+
+
+class TestWriteTrainingShards:
+    def test_layout_order_and_completeness(self, spark, tmp_path):
+        import glob
+        import os
+
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", f"src{i % 3}") for i in range(300)],
+            "doc_id bigint, text string, source string",
+        )
+        path = str(tmp_path / "shards")
+        PK.write_training_shards(docs, path, num_shards=4, seed=1)
+
+        shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+        assert len(shard_dirs) == 4
+        seen = []
+        for d in shard_dirs:
+            # one writer task per shard → one data file per shard
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+            rows = spark.read.parquet(d).collect()
+            # rows stream back in shard read order (pos ascending)
+            poss = [r.pos for r in rows]
+            assert poss == sorted(poss) == list(range(1, len(rows) + 1))
+            seen.extend(r.doc_id for r in rows)
+        # the shards together are exactly the corpus
+        assert sorted(seen) == list(range(300))
+        # payload columns rode along
+        row = spark.read.parquet(path).filter("doc_id = 7").first()
+        assert row.text == "text 7" and row.source == "src1"
