@@ -72,6 +72,9 @@ HEADLINE = [
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
     "ann_cosine_topk_ivfpq",
+    # training-layout family representative: one hash exchange +
+    # per-shard sort — the reproducible global shuffle
+    "training_shuffle_manifest",
 ]
 
 

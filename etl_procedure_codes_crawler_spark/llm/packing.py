@@ -304,3 +304,76 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 3,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by the document's own
+    Lehmer key — membership is a pure function of (id, seed), so the
+    split survives reprocessing, corpus growth (existing docs never
+    change split), and engine changes (bit-identical in SQL).
+
+    ``fractions`` maps split name → target fraction, in priority
+    order; thresholds are cumulative integer cut-points on the key
+    space. Map-side only — no shuffle, no sampling state."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    key = shuffle_key(F.col(id_col), seed)
+    out = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        edge = F.lit(int(round(acc * _SHUFFLE_M)))
+        branch = F.when(key < edge, F.lit(name))
+        out = branch if out is None else out.when(key < edge, F.lit(name))
+    split = (
+        out.otherwise(F.lit(names[-1]))
+        if out is not None
+        else F.lit(names[-1])
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
+def training_shuffle_incremental(
+    new_df: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """Extend an existing training-shard manifest with newly arrived
+    documents (the production shape for a corpus growing by crawl
+    runs — same pattern as llm/dedup.dedup_incremental): each new doc
+    gets its shard from the SAME permutation key as the original
+    shuffle, and its ``pos`` continues after the shard's current max,
+    so already-written shard files never move.
+
+    Docs already present in the snapshot are skipped (left-anti on
+    id). Scale shape: the snapshot contributes only a per-shard MAX —
+    num_shards rows, broadcast — plus an id anti-join that shares the
+    new batch's hash partitioning; the heavy relation shuffles once."""
+    key = shuffle_key(F.col(id_col), seed)
+    fresh = new_df.select(F.col(id_col)).join(
+        snapshot.select(id_col), id_col, "left_anti"
+    )
+    keyed = fresh.select(
+        F.col(id_col), key.alias("_key")
+    ).withColumn("shard", F.pmod(F.col("_key"), F.lit(num_shards)))
+    base = snapshot.groupBy("shard").agg(F.max("pos").alias("_base"))
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        keyed.withColumn("_rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(base), "shard", "left")
+        .select(
+            id_col,
+            "shard",
+            (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_rank")).alias(
+                "pos"
+            ),
+        )
+    )

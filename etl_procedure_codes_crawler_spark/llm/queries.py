@@ -1761,6 +1761,94 @@ def corpus_upsample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "corpus_holdout_split",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               (((doc_id + 3) % 2147483647) * 48271 % 2147483647)
+                   * 48271 % 2147483647 AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE
+               WHEN key < CAST(ROUND(0.90 * 2147483647) AS BIGINT)
+                   THEN 'train'
+               WHEN key < CAST(ROUND(0.95 * 2147483647) AS BIGINT)
+                   THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM keyed
+    """,
+)
+def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by each doc's
+    own Lehmer key: membership is a pure function of (id, seed) —
+    stable under reprocessing and corpus growth, bit-identical in SQL
+    (see llm/packing.holdout_split). Map-side, zero shuffles."""
+    documents = load(spark, sf_dir, "documents")
+    return PK.holdout_split(
+        documents, {"train": 0.90, "val": 0.05, "test": 0.05}, seed=3
+    )
+
+
+@register(
+    "training_shuffle_incremental",
+    oracle="""
+    WITH old_keyed AS (
+        SELECT doc_id,
+               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+                   * 48271 % 2147483647 AS key
+        FROM documents WHERE doc_id < 300
+    ),
+    snapshot AS (
+        SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key % 8 ORDER BY key, doc_id
+               ) AS pos
+        FROM old_keyed
+    ),
+    new_keyed AS (
+        SELECT doc_id,
+               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+                   * 48271 % 2147483647 AS key
+        FROM documents WHERE doc_id >= 300
+    ),
+    base AS (
+        SELECT shard, MAX(pos) AS b FROM snapshot GROUP BY shard
+    ),
+    ranked AS (
+        SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key % 8 ORDER BY key, doc_id
+               ) AS r
+        FROM new_keyed
+    )
+    SELECT ranked.doc_id, ranked.shard,
+           COALESCE(base.b, 0) + ranked.r AS pos
+    FROM ranked LEFT JOIN base ON ranked.shard = base.shard
+    """,
+)
+def training_shuffle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental manifest growth: docs >= 300 (the "new crawl") are
+    appended to the shard manifest of docs < 300 (the "snapshot") —
+    same permutation key, pos continuing after each shard's max, so
+    written shard files never move (llm/packing
+    .training_shuffle_incremental; same production shape as
+    dedup_incremental_documents)."""
+    documents = load(spark, sf_dir, "documents")
+    snapshot = PK.training_shuffle(
+        documents.filter(F.col("doc_id") < 300), num_shards=8, seed=1
+    )
+    return PK.training_shuffle_incremental(
+        documents.filter(F.col("doc_id") >= 300),
+        snapshot,
+        num_shards=8,
+        seed=1,
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design

@@ -236,3 +236,84 @@ class TestWriteTrainingShards:
         # payload columns rode along
         row = spark.read.parquet(path).filter("doc_id = 7").first()
         assert row.text == "text 7" and row.source == "src1"
+
+
+class TestHoldoutSplit:
+    def test_fractions_and_stability_under_growth(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        small = spark.createDataFrame(
+            [(i,) for i in range(500)], "doc_id bigint"
+        )
+        grown = spark.createDataFrame(
+            [(i,) for i in range(1000)], "doc_id bigint"
+        )
+        fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+        a = {r.doc_id: r.split
+             for r in PK.holdout_split(small, fr, seed=3).collect()}
+        b = {r.doc_id: r.split
+             for r in PK.holdout_split(grown, fr, seed=3).collect()}
+        # growth never reassigns an existing doc
+        assert all(b[i] == a[i] for i in a)
+        # proportions roughly honored on the grown corpus
+        n = len(b)
+        counts = {}
+        for s in b.values():
+            counts[s] = counts.get(s, 0) + 1
+        assert abs(counts["train"] / n - 0.9) < 0.05
+        assert counts["val"] > 0 and counts["test"] > 0
+
+    def test_fractions_must_sum_to_one(self, spark):
+        import pytest as _pytest
+
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        df = spark.createDataFrame([(1,)], "doc_id bigint")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            PK.holdout_split(df, {"train": 0.5, "val": 0.1})
+
+
+class TestIncrementalShuffle:
+    def test_extends_without_moving_snapshot(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(400)], "doc_id bigint"
+        )
+        old = docs.filter("doc_id < 250")
+        new = docs.filter("doc_id >= 250")
+        snap = PK.training_shuffle(old, num_shards=4, seed=1)
+        inc = PK.training_shuffle_incremental(
+            new, snap, num_shards=4, seed=1
+        )
+        snap_rows = snap.collect()
+        inc_rows = inc.collect()
+        # new docs only, each exactly once
+        assert sorted(r.doc_id for r in inc_rows) == list(range(250, 400))
+        # same shard the full-shuffle would assign (same key)
+        full = {
+            r.doc_id: r.shard
+            for r in PK.training_shuffle(docs, num_shards=4, seed=1).collect()
+        }
+        assert all(full[r.doc_id] == r.shard for r in inc_rows)
+        # pos strictly continues after the snapshot max per shard
+        base = {}
+        for r in snap_rows:
+            base[r.shard] = max(base.get(r.shard, 0), r.pos)
+        by_shard = {}
+        for r in inc_rows:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for shard, poss in by_shard.items():
+            lo = base.get(shard, 0)
+            assert sorted(poss) == list(range(lo + 1, lo + 1 + len(poss)))
+
+    def test_already_assigned_docs_skipped(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(100)], "doc_id bigint"
+        )
+        snap = PK.training_shuffle(docs, num_shards=4, seed=1)
+        # replaying the same batch adds nothing
+        inc = PK.training_shuffle_incremental(docs, snap, num_shards=4, seed=1)
+        assert inc.count() == 0
