@@ -230,12 +230,20 @@ def _kmeans_np(
         d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         labels = d.argmin(axis=1)
         nearest = d[np.arange(n), labels]
+        empties = []
         for j in range(k):
             mask = labels == j
             if mask.any():
                 centers[j] = X[mask].mean(axis=0)
             else:
-                centers[j] = X[nearest.argmax()]
+                empties.append(j)
+        if empties:
+            # DISTINCT farthest points per empty cluster — one shared
+            # reseed point would return duplicate centroids (dead PQ
+            # codes / permanently empty IVF cells)
+            order = np.argsort(-nearest, kind="stable")
+            for i, j in enumerate(empties):
+                centers[j] = X[order[i % n]]
     return centers
 
 
@@ -661,13 +669,8 @@ def _pq_context(
     (n·m, sub) @ (sub, k) matmul per Arrow batch. The codebook rides
     the closure (a few KB), not a crossJoined relation."""
     if train_X is None:
-        try:
-            train_X = _train_vectors(corpus, vec_col, train_sample)
-        except ValueError:
-            raise ValueError(
-                f"cannot train a PQ codebook on an empty corpus; "
-                f"(corpus column: {vec_col!r})"
-            ) from None
+        # an empty corpus raises _train_vectors' ValueError directly
+        train_X = _train_vectors(corpus, vec_col, train_sample)
     if dim is None:
         dim = train_X.shape[1]
     elif dim != train_X.shape[1]:

@@ -62,8 +62,13 @@ def _quantile_edges(df: DataFrame, cols: list[str], bits: int) -> dict[str, list
 
 
 def _count_le(arr: Column, value: Column) -> Column:
-    """#{e in arr : e <= value} as a single codegen'd fold (null/NaN
-    values compare false everywhere → bin 0)."""
+    """#{e in arr : e <= value} as a single codegen'd fold.
+
+    Null values compare null everywhere → bin 0. NaN takes the TOP
+    bin: Spark's comparison semantics order NaN greater than every
+    numeric (``edge <= NaN`` is true for all edges) — the same place a
+    sort-based layout would put NaN rows, so the z-curve stays
+    consistent with Spark ordering. Pinned in tests/test_zorder.py."""
     return F.aggregate(
         arr,
         F.lit(0),

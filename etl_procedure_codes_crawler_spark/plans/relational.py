@@ -2473,50 +2473,63 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-customer cardinality at 100 TB is billions of rows; an
     unpartitioned NTILE sort funnels all of them through one task).
 
-    Phase 1: range-repartition on the total order (spend, custkey) and
-    sort within partitions; ``monotonically_increasing_id`` then yields
-    each row's partition-local position (its documented lower-33-bits
-    contract), with ``spark_partition_id`` as the block id.
-    Phase 2: per-partition counts (tiny: one row per partition) are
-    collected, turned into cumulative offsets, and broadcast back as a
-    literal map; global_rank = offset[pid] + local_pos + 1. The decile
-    is then exact NTILE arithmetic: with n rows, the first n%10 buckets
-    take ceil(n/10) rows, the rest floor(n/10).
-
-    Both jobs re-evaluate the range exchange; that is safe because the
-    partitioner's sampling is seeded deterministically and the sort key
-    (spend, custkey) is a total order, so ranks are stable across the
-    counts job and the final job.
+    Phase 1: bin rows by quantile-edge comparison — the edges come
+    from ONE approx_percentile job, collected and folded into the plan
+    as literals, so a row's bin is a pure function of its value and
+    identical in every job that evaluates it (repartitionByRange is
+    NOT usable here: its range bounds come from per-execution
+    reservoir sampling, and this query's counts job and final job
+    would re-execute the exchange with different bounds — rows near a
+    bound would shift blocks between jobs and silently corrupt
+    ranks). Binning by value respects the (spend, custkey) total
+    order: lower spend → same-or-lower bin, ties share a bin.
+    Phase 2: a per-bin row_number window gives local positions; the
+    per-bin counts (metadata-sized) are collected, turned into
+    cumulative offsets, and broadcast back as a literal map;
+    global_rank = offset[bin] + local_pos. The decile is then exact
+    NTILE arithmetic: with n rows, the first n%10 buckets take
+    ceil(n/10) rows, the rest floor(n/10).
     """
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend")
     )
-    ranked = (
-        spend.repartitionByRange(F.col("spend").asc(), F.col("o_custkey").asc())
-        .sortWithinPartitions(F.col("spend").asc(), F.col("o_custkey").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_pos",
-            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
-        )
+    num_bins = max(spark.sparkContext.defaultParallelism, 16)
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    edge_row = spend.select(
+        F.percentile_approx(
+            F.col("spend").cast("double"), F.array(*[F.lit(f) for f in fracs]),
+            F.lit(10_000),
+        ).alias("edges")
+    ).first()
+    edges = sorted(set(edge_row["edges"] or []))
+    spend_d = F.col("spend").cast("double")
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + (spend_d > F.lit(e)).cast("int")
+    w_bin = Window.partitionBy("_bin").orderBy(
+        F.col("spend").asc(), F.col("o_custkey").asc()
     )
-    # metadata-sized: one row per shuffle partition
+    ranked = spend.withColumn("_bin", bin_col).withColumn(
+        "_pos", F.row_number().over(w_bin)
+    )
+    # metadata-sized: one row per bin; deterministic because _bin is a
+    # literal-edge comparison, not a sampled partitioner
     counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        (r["_bin"], r["cnt"])
+        for r in ranked.groupBy("_bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
     n = sum(c for _, c in counts)
     offsets, acc = {}, 0
-    for pid, c in counts:
-        offsets[pid] = acc
+    for b, c in counts:
+        offsets[b] = acc
         acc += c
     base, rem = divmod(n, 10)
     cut = rem * (base + 1)  # rows in the first `rem` (larger) buckets
     offset_map = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
     )
-    rank = F.element_at(offset_map, F.col("_pid")) + F.col("_pos") + 1
+    rank = F.element_at(offset_map, F.col("_bin")) + F.col("_pos")
     decile = F.when(
         rank <= F.lit(cut),
         F.floor((rank - 1) / F.lit(base + 1)) + 1,

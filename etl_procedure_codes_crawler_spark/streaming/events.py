@@ -67,16 +67,24 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     # session-tz pin: window boundaries and NTZ casts must agree with
     # the batch path (and the oracle) whatever session runs the stream
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.errors import AnalysisException
+
+    bigint_unit = parquet_ts_unit(events_dir)
     try:
         schema = spark.read.parquet(events_dir).schema
-    except Exception:  # no files yet (AnalysisException: unable to infer)
+    except AnalysisException:  # no files yet: unable to infer schema
         schema = EVENTS_RAW_SCHEMA
+        # the fallback schema IS the legacy nanos layout — pin the
+        # unit rather than leaving later-arriving files to magnitude
+        # inference (near-epoch nanos instants would land in the
+        # wrong magnitude band and scale 1000×)
+        bigint_unit = "ns"
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return normalize_event_ts(raw, bigint_unit=parquet_ts_unit(events_dir))
+    return normalize_event_ts(raw, bigint_unit=bigint_unit)
 
 
 def hourly_event_counts(

@@ -260,3 +260,21 @@ def test_adaptive_probe_paths_agree(spark):
     # a pandas-UDF column stringifies with the udf name, a literal
     # expression with array_sort — cheap structural check
     assert "probe" in str(col).lower()
+
+
+def test_kmeans_np_empty_clusters_reseed_distinct():
+    """Several clusters emptying in one Lloyd iteration must be
+    re-seeded to DISTINCT points — duplicate centroids are dead PQ
+    codes / permanently empty IVF cells."""
+    import numpy as np
+
+    from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+    # two tight blobs force most of k=8 clusters empty
+    rng = np.random.RandomState(0)
+    X = np.vstack(
+        [rng.randn(50, 4) * 0.01, rng.randn(50, 4) * 0.01 + 100.0]
+    )
+    centers = S._kmeans_np(X, k=8, seed=1, max_iter=5)
+    uniq = np.unique(np.round(centers, 9), axis=0)
+    assert len(uniq) == len(centers), "duplicate centroids returned"

@@ -82,18 +82,16 @@ def test_key_plan_properties(spark, sf_dir, name, expect):
     assert expect in plan, f"{name}: expected {expect!r} in plan"
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        # two-phase distributed NTILE — a window here means the
-        # single-partition sort came back
-        "customer_spend_deciles",
-    ],
-)
-def test_no_window_at_all(spark, sf_dir, name):
-    assert "Window" not in _plan(QUERIES[name](spark, sf_dir)), (
-        f"{name} reintroduced a window"
-    )
+def test_deciles_no_range_exchange(spark, sf_dir):
+    """customer_spend_deciles must not use repartitionByRange: its
+    bounds come from per-execution reservoir sampling, and the query
+    evaluates its lineage in two jobs (counts collect + final agg) —
+    sampled bounds could differ between them and silently corrupt
+    ranks. Bins must be literal-edge comparisons (deterministic), and
+    the rank window must be partitioned by bin (checked by
+    test_no_unpartitioned_window)."""
+    plan = _plan(QUERIES["customer_spend_deciles"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
 
 
 def _unpartitioned_window_count(plan: str) -> int:

@@ -200,3 +200,35 @@ def test_stream_starts_on_empty_directory(spark, tmp_path):
     q.stop()
     got = sorted((r.event_id, r.us) for r in spark.table(name).collect())
     assert got == sorted(zip(_ROWS["event_id"], _TS_US))
+
+
+def test_stream_empty_start_near_epoch_nanos(spark, tmp_path):
+    """The empty-dir fallback schema IS the nanos layout, so the
+    stream must pin unit='ns' rather than magnitude-infer: a
+    near-epoch instant (1970-01-02, 8.64e13 ns) sits in the 'ms'
+    magnitude band and would silently scale 1000x under inference."""
+    d = str(tmp_path / "empty_events_boundary")
+    os.makedirs(d, exist_ok=True)
+    stream = E.read_events_stream(spark, d)
+    day2_us = 86_400_000_000  # 1970-01-02 00:00:00 in epoch micros
+    table = pa.table(
+        {
+            "event_id": [1],
+            "user_id": [10],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+            "ts": pa.array([day2_us * 1000], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    name = "empty_start_boundary_probe"
+    q = E.run_to_memory(
+        stream.groupBy("event_id").agg(
+            F.min(epoch_micros("ts")).alias("us")
+        ),
+        name,
+    )
+    q.stop()
+    got = {r.event_id: r.us for r in spark.table(name).collect()}
+    assert got == {1: day2_us}

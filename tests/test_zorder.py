@@ -80,3 +80,26 @@ def test_zorder_bins_monotonic_and_skew_robust(spark):
     # binning over the skewed raw domain would give it 1-2)
     assert len({got[v] for v in range(1, 101)}) >= 5
     assert got[0] < max(got.values())
+
+
+def test_zorder_null_and_nan_placement(spark):
+    # contract pinned: null → bin 0 (bottom corner of the z-curve),
+    # NaN → top bin (Spark orders NaN greater than every numeric, and
+    # the z-curve stays consistent with that sort order)
+    # hold b constant so _zorder differences come only from a's bin
+    rows = [(float(v), 1.0) for v in range(32)]
+    df = spark.createDataFrame(
+        rows + [(None, 1.0), (float("nan"), 1.0)], "a double, b double"
+    )
+    z = with_zorder(df, "a", "b", bits=4)
+    by_a = {}
+    for r in z.collect():
+        key = (
+            "null" if r.a is None
+            else "nan" if r.a != r.a
+            else r.a
+        )
+        by_a[key] = r._zorder
+    numeric_bins = [v for k, v in by_a.items() if k not in ("null", "nan")]
+    assert by_a["null"] <= min(numeric_bins)
+    assert by_a["nan"] >= max(numeric_bins)
