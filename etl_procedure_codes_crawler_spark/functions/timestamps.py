@@ -29,6 +29,8 @@ other columns.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,26 +41,42 @@ def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
     """Driver-side footer peek: the parquet logical-type unit ('ns',
     'us', 'ms', 's') of ``col`` in the first parquet file under
     ``path``, or None when the column is a plain integer (no logical
-    type) or absent. One footer read, no Spark job."""
+    type) or absent. One footer read, no Spark job — and cached per
+    (file, mtime, col): the unit is a schema property, so repeated
+    loads of the same file (every event query in a session) skip the
+    pyarrow open. An appended file with a DIFFERENT encoding than its
+    siblings is already outside the file-source contract; the mtime
+    key still invalidates on rewrite."""
     import glob
     import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     else:
         files = [path]
-    for f in files[:1]:
-        try:
-            schema = pq.read_schema(f)
-        except Exception:
-            return None
-        if col in schema.names:
-            t = schema.field(col).type
-            if pa.types.is_timestamp(t):
-                return t.unit
+    if not files:
+        return None
+    f = files[0]
+    try:
+        mtime = os.stat(f).st_mtime_ns
+    except OSError:
+        return None
+    return _ts_unit_read(f, mtime, col)
+
+
+@lru_cache(maxsize=256)
+def _ts_unit_read(f: str, mtime_ns: int, col: str) -> str | None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return None
+    if col in schema.names:
+        t = schema.field(col).type
+        if pa.types.is_timestamp(t):
+            return t.unit
     return None
 
 
