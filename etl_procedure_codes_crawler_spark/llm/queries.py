@@ -14,7 +14,7 @@ from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 from ..functions.timestamps import epoch_micros
-from ..plans.relational import load, register
+from ..plans.relational import ORACLES, load, register
 from . import dedup as D
 from . import multimodal as M
 from . import packing as PK
@@ -1847,6 +1847,70 @@ def training_shuffle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_shards=8,
         seed=1,
     )
+
+
+
+@register(
+    "streaming_training_shuffle_documents",
+    oracle=ORACLES["training_shuffle_incremental"],
+)
+def streaming_training_shuffle_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING manifest growth: the new docs (>= 300) arrive as a
+    file stream and are assigned (shard, pos) slots extending the
+    pre-seeded manifest of docs < 300 via foreachBatch (rank windows
+    are unsupported on streams; see
+    streaming/incremental.stream_training_shuffle). Hash-matches the
+    SAME oracle as the batch ``training_shuffle_incremental`` —
+    batch/stream parity for the training-layout family, the same twin
+    structure as the dedup family."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..streaming.incremental import stream_training_shuffle
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="shuffle_stream_")
+    try:
+        source = _os.path.join(root, "incoming")
+        manifest = _os.path.join(root, "manifest")
+        ckpt = _os.path.join(root, "ckpt")
+        _os.makedirs(source)
+        # pre-seed the manifest with the snapshot (docs < 300)
+        PK.training_shuffle(
+            documents.filter(F.col("doc_id") < 300), num_shards=8, seed=1
+        ).write.parquet(manifest)
+        # stage the arriving batch as one flat file
+        staging = _os.path.join(root, "staging")
+        documents.filter(F.col("doc_id") >= 300).select(
+            "doc_id", "text"
+        ).coalesce(1).write.parquet(staging)
+        import glob as _glob
+
+        part = _glob.glob(_os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, _os.path.join(source, "batch.parquet"))
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        q = stream_training_shuffle(
+            spark, source, schema, manifest, ckpt, num_shards=8, seed=1
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(manifest)
+            .filter(F.col("doc_id") >= 300)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 #: queries intentionally registered WITHOUT an oracle (rows-only check);

@@ -71,3 +71,68 @@ def stream_incremental_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_training_shuffle(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    manifest_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 1,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous manifest growth: newly arriving corpus files are
+    assigned (shard, pos) read-order slots that extend the live
+    manifest at ``manifest_path`` — the streaming twin of
+    ``llm.packing.training_shuffle_incremental``, with the same
+    written-files-never-move guarantee.
+
+    Rank windows are unsupported on streaming DataFrames, so the
+    assignment runs inside ``foreachBatch`` (the sanctioned escape
+    hatch, as in :func:`stream_incremental_append`): each micro-batch
+    anti-joins the manifest snapshot (skipping replayed ids — that is
+    also what makes a crash-replayed batch idempotent), takes each
+    shard's current MAX pos (num_shards rows, broadcast), and appends
+    only the new assignments. The checkpoint makes file progress
+    durable across restarts."""
+    from pyspark.sql.types import LongType, StructField
+
+    from ..llm.packing import training_shuffle_incremental
+
+    manifest_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("shard", LongType()),
+            StructField("pos", LongType()),
+        ]
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        snapshot = read_table_or_empty(spark, manifest_path, manifest_schema)
+        fresh = training_shuffle_incremental(
+            batch.select(id_col).dropDuplicates([id_col]),
+            snapshot,
+            id_col,
+            num_shards,
+            seed,
+        )
+        if not fresh.isEmpty():
+            fresh.write.mode("append").option(
+                "compression", "snappy"
+            ).parquet(manifest_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

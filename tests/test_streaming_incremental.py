@@ -93,3 +93,84 @@ def test_replayed_batch_is_idempotent(spark, dirs):
     _run(spark, replay)
     rows = spark.read.parquet(dirs["warehouse"]).collect()
     assert sorted(r.code for r in rows) == ["a", "b"]
+
+
+class TestStreamTrainingShuffle:
+    DOC_SCHEMA = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def _drop_docs(self, spark, source_dir, name, ids):
+        import glob
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in ids], self.DOC_SCHEMA
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(source_dir, f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _run(self, spark, dirs):
+        from etl_procedure_codes_crawler_spark.streaming.incremental import (
+            stream_training_shuffle,
+        )
+
+        q = stream_training_shuffle(
+            spark,
+            dirs["source"],
+            self.DOC_SCHEMA,
+            dirs["warehouse"],
+            dirs["checkpoint"],
+            num_shards=4,
+            seed=1,
+        )
+        q.awaitTermination()
+
+    def test_batches_extend_manifest_and_match_batch_twin(self, spark, dirs):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        self._drop_docs(spark, dirs["source"], "b1", range(0, 120))
+        self._run(spark, dirs)
+        self._drop_docs(spark, dirs["source"], "b2", range(120, 200))
+        self._run(spark, dirs)
+
+        manifest = spark.read.parquet(dirs["warehouse"]).collect()
+        # every doc exactly once, pos contiguous per shard
+        assert sorted(r.doc_id for r in manifest) == list(range(200))
+        by_shard = {}
+        for r in manifest:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+        # shard assignment identical to the batch operator (same key)
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(200)], self.DOC_SCHEMA
+        )
+        full = {
+            r.doc_id: r.shard
+            for r in PK.training_shuffle(docs, num_shards=4, seed=1).collect()
+        }
+        assert all(full[r.doc_id] == r.shard for r in manifest)
+        # batch-1 docs kept the pos they were assigned before batch 2
+        # (written shard files never move): every batch-1 doc's pos is
+        # <= the batch-1 per-shard count
+        b1_counts = {}
+        for r in manifest:
+            if r.doc_id < 120:
+                b1_counts[r.shard] = b1_counts.get(r.shard, 0) + 1
+        for r in manifest:
+            if r.doc_id < 120:
+                assert r.pos <= b1_counts[r.shard]
+
+    def test_replayed_ids_are_skipped(self, spark, dirs):
+        self._drop_docs(spark, dirs["source"], "b1", range(0, 50))
+        self._run(spark, dirs)
+        # same ids arrive again in a new file (e.g. upstream re-crawl)
+        self._drop_docs(spark, dirs["source"], "b1_replay", range(0, 50))
+        self._run(spark, dirs)
+        manifest = spark.read.parquet(dirs["warehouse"]).collect()
+        assert sorted(r.doc_id for r in manifest) == list(range(50))
