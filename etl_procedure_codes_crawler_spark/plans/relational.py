@@ -2491,9 +2491,14 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n/10) rows, the rest floor(n/10).
     """
     orders = load(spark, sf_dir, "orders")
+    # materialize the per-customer aggregate ONCE: three downstream
+    # jobs consume it (quantile edges, per-bin counts, final ranks) —
+    # without the checkpoint each would re-scan and re-aggregate the
+    # orders fact (3× the heavy work at 100 TB); the checkpointed
+    # relation is per-customer, orders-of-magnitude smaller
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend")
-    )
+    ).localCheckpoint(eager=True)
     num_bins = max(spark.sparkContext.defaultParallelism, 16)
     fracs = [i / num_bins for i in range(1, num_bins)]
     edge_row = spend.select(
