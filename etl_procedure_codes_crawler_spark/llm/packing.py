@@ -239,8 +239,10 @@ def upsample_manifest(
 
     Scale shape: a map-side CASE over the broadcast weight table and a
     bounded explode (``ceil(max weight)`` copies max) — no shuffle at
-    all; the downstream :func:`training_shuffle` keyed on (id, copy)
-    spreads repeats across shards."""
+    all. To spread a doc's repeats across shards, feed the downstream
+    :func:`training_shuffle` a synthetic id folding the copy in (e.g.
+    ``doc_id * ceil(max_weight) + copy`` — still a bigint, still
+    deterministic)."""
     key = shuffle_key(F.col(id_col), seed)
 
     # thresholds are exact integers so Spark and an external oracle
