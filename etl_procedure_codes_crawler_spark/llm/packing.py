@@ -379,3 +379,82 @@ def training_shuffle_incremental(
             ),
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Select documents in quality order (best first, id tiebreak)
+    until the running token total reaches ``budget`` — "fill a
+    10B-token training budget with the best docs", the selection step
+    between quality scoring and packing.
+
+    Scale shape (same two-phase trick as the deciles query, cumsum
+    instead of rank): a global ORDER BY cumsum would funnel the corpus
+    through one window task, so rows are binned by broadcast
+    quantile-edge literals on the quality key (a pure function of the
+    row — deterministic in every job), each bin computes a LOCAL
+    running sum in parallel, and the per-bin totals (metadata-sized)
+    are collected once, turned into cumulative offsets, and added
+    back. ``global_cum = offset[bin] + local_cum`` is exact because
+    binning respects the quality order (ties share a bin).
+
+    The scored input is localCheckpoint'ed: three jobs consume it
+    (edges, bin totals, final selection) and re-scoring the corpus 3×
+    would triple the heavy scan."""
+    spark = df.sparkSession
+    scored = df.select(
+        F.col(id_col),
+        F.col(quality_col).cast("double").alias("_q"),
+        F.col(tokens_col).cast("bigint").alias("_n"),
+    ).localCheckpoint(eager=True)
+    # ascending order key: negated quality (best doc = smallest key)
+    keyed = scored.withColumn("_neg", -F.col("_q"))
+    if num_bins is None:
+        num_bins = max(spark.sparkContext.defaultParallelism, 16)
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    edge_row = keyed.select(
+        F.percentile_approx(
+            F.col("_neg"), F.array(*[F.lit(f) for f in fracs]), F.lit(10_000)
+        ).alias("edges")
+    ).first()
+    edges = sorted(set(edge_row["edges"] or []))
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + (F.col("_neg") > F.lit(float(e))).cast("int")
+    binned = keyed.withColumn("_bin", bin_col)
+    w = (
+        Window.partitionBy("_bin")
+        .orderBy(F.col("_neg").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = binned.withColumn("_local_cum", F.sum("_n").over(w))
+    totals = sorted(
+        (r["_bin"], r["tot"])
+        for r in binned.groupBy("_bin")
+        .agg(F.sum("_n").alias("tot"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for b, t in totals:
+        offsets[b] = acc
+        acc += t
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    cum = F.element_at(offset_map, F.col("_bin")) + F.col("_local_cum")
+    return (
+        local.withColumn("cum_tokens", cum.cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            id_col,
+            F.col("_q").alias("quality"),
+            F.col("_n").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )

@@ -1913,6 +1913,106 @@ def streaming_training_shuffle_documents(
     return out
 
 
+
+@register(
+    "pii_redact_documents",
+    oracle=f"""
+    WITH red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_IPV4}', '[IP]', 'g'),
+                   '{PII_LONG_NUMBER}', '[NUM]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                    + len(regexp_extract_all(text, '{PII_IPV4}'))
+                    + len(regexp_extract_all(text, '{PII_LONG_NUMBER}'))
+                    AS BIGINT) AS n_redactions
+        FROM documents
+    )
+    SELECT doc_id, redacted, n_redactions FROM red
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforcement half of the PII story (scan half:
+    ``pii_scan_documents``): emails → [EMAIL], IPv4 → [IP], long
+    digit runs → [NUM], applied in that fixed order so both engines
+    transform identically; emits every document's redacted text plus
+    the replacement count (unfiltered, so the oracle hash covers the
+    full transform output — clean documents must round-trip
+    byte-identically). Chained regexp_replace — JVM codegen, no
+    shuffle, scan-bound; at 100 TB this is a pure map stage that
+    rides whatever partitioning the scan has."""
+    documents = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_IPV4,
+            "[IP]",
+        ),
+        PII_LONG_NUMBER,
+        "[NUM]",
+    )
+
+    def n_matches(pattern: str):
+        return F.size(
+            F.regexp_extract_all("text", F.lit(pattern), 0)
+        ).cast("bigint")
+
+    n_red = n_matches(PII_EMAIL) + n_matches(PII_IPV4) + n_matches(
+        PII_LONG_NUMBER
+    )
+    return documents.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_red.alias("n_redactions"),
+    )
+
+
+
+@register(
+    "corpus_token_budget_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS quality,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t
+    ),
+    running AS (
+        SELECT doc_id, quality, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running WHERE cum_tokens <= 10000
+    """,
+)
+def corpus_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 10k-token training budget with the highest-quality
+    documents (quality = type-token ratio, doc_id tiebreak): the
+    selection step between scoring and packing. The oracle's global
+    ORDER BY cumsum window is reproduced scale-safely by
+    llm/packing.budget_select — quantile-edge binning + per-bin local
+    running sums + broadcast offsets, no single-partition window."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks).cast("bigint")
+    scored = documents.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("quality"),
+        n.alias("n_tokens"),
+    )
+    return PK.budget_select(
+        scored, "quality", "n_tokens", budget=10_000
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design

@@ -227,3 +227,36 @@ def test_keep_best_exact_prefers_longest_raw_copy(spark):
         if r.n_copies > 1
     }
     assert result == {(1, 3)}
+
+
+def test_pii_redact_transform(spark):
+    """Redaction on constructed PII (the driver corpus is clean, so
+    the gate row only proves identity round-trip; this pins the
+    actual transform)."""
+    from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+    import etl_procedure_codes_crawler_spark.llm.queries as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.org or 10.0.0.1 ok"),
+            (2, "card 4111111111111111 twice 123456789"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    from pyspark.sql import functions as F
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), Q.PII_EMAIL, "[EMAIL]"),
+            Q.PII_IPV4,
+            "[IP]",
+        ),
+        Q.PII_LONG_NUMBER,
+        "[NUM]",
+    )
+    got = {r.doc_id: r.red for r in df.select("doc_id", redacted.alias("red")).collect()}
+    assert got[1] == "mail me at [EMAIL] or [IP] ok"
+    assert got[2] == "card [NUM] twice [NUM]"
+    assert got[3] == "nothing sensitive here"

@@ -317,3 +317,45 @@ class TestIncrementalShuffle:
         # replaying the same batch adds nothing
         inc = PK.training_shuffle_incremental(docs, snap, num_shards=4, seed=1)
         assert inc.count() == 0
+
+
+class TestBudgetSelect:
+    def test_boundary_order_and_exactness(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        # quality descending: doc 3 (0.9), doc 1 (0.8), doc 2 (0.8),
+        # doc 0 (0.1); tokens 40 each; budget 100 → first TWO fit
+        # (cum 40, 80), doc 2 would hit 120 > 100 → excluded
+        docs = spark.createDataFrame(
+            [(0, 0.1, 40), (1, 0.8, 40), (2, 0.8, 40), (3, 0.9, 40)],
+            "doc_id bigint, quality double, n_tokens bigint",
+        )
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in PK.budget_select(
+                docs, "quality", "n_tokens", budget=100
+            ).collect()
+        }
+        # tie at 0.8 broken by doc_id asc → doc 1 before doc 2
+        assert got == {3: 40, 1: 80}
+
+    def test_scales_without_unpartitioned_window(self, spark):
+        import re
+
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i, float(i % 97) / 97, 10 + i % 7) for i in range(500)],
+            "doc_id bigint, quality double, n_tokens bigint",
+        )
+        out = PK.budget_select(docs, "quality", "n_tokens", budget=1500)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow\s+(\[.*)", line)
+            if m:
+                assert len(re.findall(r"\], \[", m.group(1))) >= 2, line
+        # selection is exactly the top-quality prefix
+        rows = sorted(out.collect(), key=lambda r: r.cum_tokens)
+        qualities = [r.quality for r in rows]
+        assert qualities == sorted(qualities, reverse=True) or len(set(qualities)) < len(qualities)
+        assert rows[-1].cum_tokens <= 1500
