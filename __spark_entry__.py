@@ -59,19 +59,22 @@ _GATE_PRIORITY = [
     "customer_spend_deciles",
     "date_spine_daily_revenue",
     "exact_moment_statistics",
-    "unpivot_monthly_status_revenue",
+
     # §2.7 extraction goldens
     "extract_procedure_pages_fixture",
     "udtf_extract_modifiers_fixture",
     "streaming_distinct_user_event_types",
+    # round-5 training-layout + PII-enforcement families
+    "training_shuffle_manifest",
+    "corpus_holdout_split",
+    "pii_redact_documents",
     # LLM text analysis
     "token_count_bpe_documents",
     "text_quality_documents",
     "lang_id_documents",
-    "doc_fingerprints",
+
     # LLM dedup family
     "dedup_exact_documents",
-    "dedup_exact_keep_longest",
     "dedup_incremental_documents",
     "streaming_incremental_dedup_documents",
     "ngram_jaccard_pairs_dfcap",
