@@ -2013,6 +2013,108 @@ def corpus_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+@register(
+    "dq_integrity_report",
+    oracle="""
+    SELECT 'customer_pk_dups' AS check_name,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey) d
+    WHERE n > 1
+    UNION ALL
+    SELECT 'orders_pk_dups',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) d
+    WHERE n > 1
+    UNION ALL
+    SELECT 'lineitem_pk_dups',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber) d
+    WHERE n > 1
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderdate IS NULL
+    UNION ALL
+    SELECT 'customer_null_nationkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_nationkey IS NULL
+    """,
+)
+def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality audit in one result set: duplicate
+    primary keys (excess rows beyond the first), orphan foreign keys
+    (anti joins), and null-rate checks — the report a pipeline runs
+    before trusting a load.
+
+    Scale shape: each PK check is a groupBy on the key (partial
+    count map-side, only keys with n>1 survive to the tiny agg);
+    each FK check is a LEFT ANTI join where the dimension side
+    broadcasts (customer) or shares the fact's key partitioning
+    (orders⋈lineitem on l_orderkey); null checks are scan-local
+    counts. Seven independent checks union into one metadata-sized
+    result."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def pk_dups(name: str, df: DataFrame, keys: list[str]):
+        return (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+
+    def orphans(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return (
+            child.join(
+                parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+            ).agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+            )
+        )
+
+    def nulls(name: str, df: DataFrame, col: str):
+        return df.filter(F.col(col).isNull()).agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        pk_dups("customer_pk_dups", customer, ["c_custkey"]),
+        pk_dups("orders_pk_dups", orders, ["o_orderkey"]),
+        pk_dups("lineitem_pk_dups", lineitem, ["l_orderkey", "l_linenumber"]),
+        orphans("orders_orphan_custkey", orders, "o_custkey", customer, "c_custkey"),
+        orphans("lineitem_orphan_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+        nulls("orders_null_orderdate", orders, "o_orderdate"),
+        nulls("customer_null_nationkey", customer, "c_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
