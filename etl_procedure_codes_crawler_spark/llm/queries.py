@@ -2058,7 +2058,10 @@ def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse data-quality audit in one result set: duplicate
     primary keys (excess rows beyond the first), orphan foreign keys
     (anti joins), and null-rate checks — the report a pipeline runs
-    before trusting a load.
+    before trusting a load. Non-vacuous on the driver testdata: the
+    generator does not enforce line-number uniqueness, so
+    ``lineitem_pk_dups`` reports thousands of excess rows (both
+    engines agree on the exact count).
 
     Scale shape: each PK check is a groupBy on the key (partial
     count map-side, only keys with n>1 survive to the tiny agg);
