@@ -360,8 +360,13 @@ def training_shuffle_incremental(
     num_shards rows, broadcast — plus an id anti-join that shares the
     new batch's hash partitioning; the heavy relation shuffles once."""
     key = shuffle_key(F.col(id_col), seed)
-    fresh = new_df.select(F.col(id_col)).join(
-        snapshot.select(id_col), id_col, "left_anti"
+    # NULL ids can never match the anti join and would re-enter the
+    # manifest on every call — drop them (a manifest slot requires an
+    # identity)
+    fresh = (
+        new_df.select(F.col(id_col))
+        .where(F.col(id_col).isNotNull())
+        .join(snapshot.select(id_col), id_col, "left_anti")
     )
     keyed = fresh.select(
         F.col(id_col), key.alias("_key")

@@ -37,10 +37,16 @@ def merge_upsert(
     ``delete_col`` is given, update rows with it true remove the key.
     Updates must be unique per key (enforced). Returns the row count
     of the merged dataset."""
+    recover_interrupted_swap(spark, target_path)
     dup = updates.groupBy(key).count().filter(F.col("count") > 1)
     if not dup.isEmpty():
         sample = [r[key] for r in dup.limit(5).collect()]
         raise ValueError(f"updates contain duplicate keys, e.g. {sample}")
+    if not updates.filter(F.col(key).isNull()).isEmpty():
+        # an anti-join can never match a NULL key, so a NULL-key update
+        # would APPEND on every apply instead of replacing — reject it
+        # rather than silently accumulate duplicates
+        raise ValueError("updates contain a NULL merge key")
 
     survivors = updates
     if delete_col is not None:
@@ -59,6 +65,24 @@ def merge_upsert(
     return n
 
 
+def recover_interrupted_swap(spark: SparkSession, target_path: str) -> bool:
+    """Restore the dataset if a prior swap crashed in its one
+    dangerous window — between renaming ``dst`` aside to ``._previous``
+    and renaming the staged result in. In that state ``dst`` is
+    MISSING and the backup holds the only surviving copy; any caller
+    that reads the target (or clears "stale" paths) before restoring
+    would silently treat the warehouse as empty and then delete the
+    backup. Must run before any read of ``target_path`` in a
+    maintenance operation; returns True if a restore happened."""
+    fs, hpath = hadoop_fs(spark, target_path)
+    dst = hpath(target_path)
+    backup = hpath(target_path.rstrip("/") + "._previous")
+    if (not fs.exists(dst)) and fs.exists(backup):
+        checked_rename(fs, backup, dst)
+        return True
+    return False
+
+
 def replace_dataset_atomically(
     spark: SparkSession, target_path: str, df: DataFrame
 ) -> None:
@@ -71,9 +95,16 @@ def replace_dataset_atomically(
     dst = hpath(target_path)
     tmp_p = hpath(tmp)
     backup = hpath(target_path.rstrip("/") + "._previous")
-    # A crashed prior run can leave ._staging/._previous behind; either
-    # would make the renames below fail (occupied destination). Clear
-    # them before writing — dst itself is still the last good dataset.
+    # Crash recovery ordering matters: if a prior run died between its
+    # two renames, ._previous is the ONLY copy — restore it before
+    # treating it as stale. (Callers that READ the target must have
+    # called recover_interrupted_swap before their read; this repeat
+    # is defense in depth for direct callers.)
+    if (not fs.exists(dst)) and fs.exists(backup):
+        checked_rename(fs, backup, dst)
+    # Now any remaining ._staging/._previous is genuinely stale (dst
+    # exists, or never existed); either would make the renames below
+    # fail (occupied destination). Clear them before writing.
     remove_stale(fs, tmp_p, backup)
     df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
     if fs.exists(dst):

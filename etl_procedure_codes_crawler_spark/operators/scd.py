@@ -42,10 +42,17 @@ def scd2_apply(
     """Apply one batch of updates (unique per key, with an
     ``effective_ts`` timestamp column) to the SCD2 dataset at
     ``target_path``. Returns the dataset's new row count."""
+    from .merge import recover_interrupted_swap
+
+    recover_interrupted_swap(spark, target_path)
     dup = updates.groupBy(key).count().filter(F.col("count") > 1)
     if not dup.isEmpty():
         sample = [r[key] for r in dup.limit(5).collect()]
         raise ValueError(f"updates contain duplicate keys, e.g. {sample}")
+    if not updates.filter(F.col(key).isNull()).isEmpty():
+        # the full-outer key join can never match a NULL key; such an
+        # update would be silently dropped — reject it loudly instead
+        raise ValueError("updates contain a NULL SCD key")
 
     attrs = [c for c in updates.columns if c not in (key, effective_ts)]
     upd = updates.select(

@@ -77,10 +77,8 @@ def write_single_file_parquet(df: DataFrame, path: str) -> None:
 
 def delete_path(spark, path: str) -> bool:
     """K6: explicit cleanup (``utils/s3.py:12-24``) via Hadoop FS."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
+    fs, hpath = hadoop_fs(spark, path)
+    p = hpath(path)
     if fs.exists(p):
         return bool(fs.delete(p, True))
     return False
@@ -146,16 +144,20 @@ def compact_dataset(
     count."""
     fs, hpath = hadoop_fs(spark, path)
     src = hpath(path)
-    total_bytes = fs.getContentSummary(src).getLength()
-    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
-
     tmp = path.rstrip("/") + "._compacting"
     tmp_p = hpath(tmp)
     backup = hpath(path.rstrip("/") + "._precompact")
-    # Leftovers from a crashed earlier compaction would occupy the
-    # rename destinations below; the source dataset is still intact,
-    # so they are safe to discard.
+    # Crash recovery first: a prior compaction that died between its
+    # two renames left src MISSING and ._precompact holding the only
+    # original — restore it before any cleanup (conservative choice:
+    # the original, not the half-swapped compacted copy).
+    if (not fs.exists(src)) and fs.exists(backup):
+        checked_rename(fs, backup, src)
+    # Remaining leftovers would occupy the rename destinations below;
+    # src exists again, so they are safe to discard.
     remove_stale(fs, tmp_p, backup)
+    total_bytes = fs.getContentSummary(src).getLength()
+    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 
     df = spark.read.parquet(path)
     writer = (
@@ -167,10 +169,18 @@ def compact_dataset(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
+    # The dangerous window (src renamed away, replacement not yet in
+    # place) mirrors replace_dataset_atomically; a crash here is
+    # healed by the recovery block at the top of the next call.
     checked_rename(fs, src, backup)
     checked_rename(fs, tmp_p, src)
     fs.delete(backup, True)
-    out_files = [
-        f for f in fs.listStatus(src) if f.getPath().getName().endswith(".parquet")
-    ]
-    return len(out_files)
+    # listStatus is non-recursive: with partition_by the data files
+    # live under partition directories, so walk with listFiles(...,
+    # recursive) for a correct count
+    out_files = 0
+    it = fs.listFiles(src, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            out_files += 1
+    return out_files

@@ -115,7 +115,12 @@ class HttpFetcher:
                 return FetchResult(html=response.text, url=str(response.url))
             except Exception as exc:
                 last_error = repr(exc)
-                time.sleep(self.backoff * (2**attempt))
+                # no sleep after the FINAL attempt: the longest backoff
+                # would otherwise be spent immediately before returning
+                # the error (hours of dead time across a partition of
+                # permanently-failing codes)
+                if attempt < self.max_retries - 1:
+                    time.sleep(self.backoff * (2**attempt))
         return FetchResult(error=last_error, url=url)
 
     def close(self) -> None:

@@ -51,7 +51,7 @@ def _exists(path: str) -> bool:
     spark = _S.getActiveSession()
     if spark is None:
         return False
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+    from ..sinks.fsutil import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
+    return fs.exists(hpath(path))

@@ -46,7 +46,11 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     New files appearing under ``events_dir`` are discovered per
@@ -79,9 +83,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         # inference (near-epoch nanos instants would land in the
         # wrong magnitude band and scale 1000×)
         bigint_unit = "ns"
+    # default 1 keeps tests deterministic (one batch per file); a
+    # production directory with thousands of files should raise this
+    # so the backlog drains in a handful of micro-batches
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
     return normalize_event_ts(raw, bigint_unit=bigint_unit)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.dedup import anti_join_on_key
@@ -51,9 +52,17 @@ def stream_incremental_append(
         if transform is not None:
             rows = transform(rows)
         existing = read_table_or_empty(spark, warehouse_path, rows.schema)
+        # NULL keys can never match the anti join, so a NULL-key row
+        # would re-append on EVERY batch (and on crash replay) —
+        # breaking both dedup and the exactly-once story. Same guard
+        # as the batch path's incremental_new_rows.
+        rows = rows.filter(F.col(key).isNotNull())
         fresh = anti_join_on_key(
             rows.dropDuplicates([key]), existing, key
         )
+        # materialize once: isEmpty would otherwise run the whole
+        # anti-join plan and the write would run it AGAIN from scratch
+        fresh = fresh.localCheckpoint(eager=True)
         if not fresh.isEmpty():
             fresh.write.mode("append").option(
                 "compression", "snappy"
@@ -120,6 +129,9 @@ def stream_training_shuffle(
             num_shards,
             seed,
         )
+        # materialize once (isEmpty + write would otherwise each run
+        # the anti-join + rank window + max-pos join from scratch)
+        fresh = fresh.localCheckpoint(eager=True)
         if not fresh.isEmpty():
             fresh.write.mode("append").option(
                 "compression", "snappy"

@@ -114,3 +114,42 @@ def test_failed_rename_raises_not_silent(spark, tmp_path):
     dest = hpath(str(tmp_path / "dest"))
     with pytest.raises(IOError, match="rename failed"):
         checked_rename(fs, src, dest)
+
+
+def test_crash_between_renames_recovers_from_backup(spark, tmp_path):
+    """The one dangerous swap window: a crash AFTER dst was renamed to
+    ._previous but BEFORE the staged result moved in leaves dst
+    missing and the backup holding the ONLY copy. The next merge must
+    restore it — not read an empty target and then delete the backup
+    (which would silently reduce the warehouse to the new batch)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA).write.parquet(path)
+    # simulate the crash window: dst moved aside, replacement missing
+    shutil.move(path, path + "._previous")
+    assert not os.path.exists(path)
+
+    n = merge_upsert(
+        spark, path, spark.createDataFrame([("c", 3)], SCHEMA), "code"
+    )
+    assert n == 3
+    assert _read(spark, path) == {"a": 1, "b": 2, "c": 3}
+    assert os.listdir(str(tmp_path)) == ["t"]
+
+
+def test_null_update_key_rejected(spark, tmp_path):
+    """A NULL merge key can never match the anti join — it would
+    append a duplicate on every apply. Reject it loudly."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1)], SCHEMA).write.parquet(path)
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(None, 9)], SCHEMA),
+            "code",
+        )
+    # and the warehouse is untouched
+    assert _read(spark, path) == {"a": 1}

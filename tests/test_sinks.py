@@ -180,3 +180,48 @@ class TestSchemaEvolution:
         assert set(merged.columns) == {"code", "v1", "v2"}
         rows = {r.code: r.v2 for r in merged.collect()}
         assert rows == {"a": None, "b": "extra"}
+
+
+class TestCompactionRound5:
+    def test_partitioned_compaction_counts_files_recursively(
+        self, spark, tmp_path
+    ):
+        """listStatus is non-recursive: with partition_by the data
+        files live under partition dirs and the pre-fix count was 0."""
+        import os
+
+        from etl_procedure_codes_crawler_spark.sinks.parquet import compact_dataset
+
+        path = str(tmp_path / "frag")
+        df = spark.range(200).selectExpr("id AS v", "id % 3 AS part")
+        for _ in range(3):
+            df.repartition(4).write.mode("append").partitionBy(
+                "part"
+            ).parquet(path)
+
+        n_files = compact_dataset(
+            spark, path, target_file_mb=128, partition_by=["part"]
+        )
+        assert n_files >= 3  # at least one file per partition value
+        assert spark.read.parquet(path).count() == 600
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("part=")
+        ) == ["part=0", "part=1", "part=2"]
+
+    def test_compact_crash_window_recovers_original(self, spark, tmp_path):
+        """Crash after src was renamed to ._precompact but before the
+        compacted copy moved in: the next call must restore the
+        original, not fail or discard it."""
+        import shutil
+
+        from etl_procedure_codes_crawler_spark.sinks.parquet import compact_dataset
+
+        path = str(tmp_path / "frag")
+        df = spark.range(120).withColumnRenamed("id", "v")
+        for _ in range(3):
+            df.repartition(4).write.mode("append").parquet(path)
+        # simulate the window: dataset moved aside, replacement missing
+        shutil.move(path, path + "._precompact")
+
+        compact_dataset(spark, path, target_file_mb=128)
+        assert spark.read.parquet(path).count() == 360

@@ -174,3 +174,18 @@ class TestStreamTrainingShuffle:
         self._run(spark, dirs)
         manifest = spark.read.parquet(dirs["warehouse"]).collect()
         assert sorted(r.doc_id for r in manifest) == list(range(50))
+
+
+def test_null_key_rows_do_not_reappend(spark, dirs):
+    """A NULL-key row can never match the anti join; without the
+    guard it would re-append on every micro-batch that carries one
+    (and on crash replay), breaking dedup and exactly-once."""
+    _drop(spark, dirs["source"], "b1", [("a", 1), (None, 99)])
+    _run(spark, dirs)
+    _drop(spark, dirs["source"], "b2", [("b", 2), (None, 99)])
+    _run(spark, dirs)
+    rows = spark.read.parquet(dirs["warehouse"]).collect()
+    codes = sorted((r.code or "<null>") for r in rows)
+    # NULL-key rows dropped entirely (matching incremental_new_rows);
+    # real keys appended exactly once
+    assert codes == ["a", "b"]
