@@ -463,3 +463,39 @@ def budget_select(
             "cum_tokens",
         )
     )
+
+
+def curriculum_manifest(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 1,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum read order: shards are still assigned by the Lehmer
+    permutation (each shard stays a diverse corpus sample), but WITHIN
+    a shard documents are ordered by ``score_col`` (easy→hard for
+    ascending difficulty curricula) instead of the shuffle key — the
+    standard curriculum-learning layout where every worker sees the
+    same difficulty ramp over its own shard.
+
+    Same scale shape as :func:`training_shuffle`: one hash exchange on
+    shard + a per-shard local sort; deterministic (score ties break on
+    id)."""
+    key = shuffle_key(F.col(id_col), seed)
+    keyed = df.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("_score"),
+    ).withColumn("shard", F.pmod(key, F.lit(num_shards)))
+    order = [
+        F.col("_score").asc() if ascending else F.col("_score").desc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy("shard").orderBy(*order)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        F.col("_score").alias("score"),
+    )

@@ -2118,6 +2118,35 @@ def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+@register(
+    "training_curriculum_manifest",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+                   * 48271 % 2147483647 AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(key % 8 AS BIGINT) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY key % 8 ORDER BY n_chars ASC, doc_id ASC
+           ) AS pos,
+           CAST(n_chars AS DOUBLE) AS score
+    FROM keyed
+    """,
+)
+def training_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: Lehmer-permuted shards (diverse samples),
+    short-to-long read order within each shard (n_chars as the
+    difficulty proxy) — see llm/packing.curriculum_manifest."""
+    documents = load(spark, sf_dir, "documents")
+    return PK.curriculum_manifest(
+        documents, "n_chars", num_shards=8, seed=1, ascending=True
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design

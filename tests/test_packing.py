@@ -359,3 +359,50 @@ class TestBudgetSelect:
         qualities = [r.quality for r in rows]
         assert qualities == sorted(qualities, reverse=True) or len(set(qualities)) < len(qualities)
         assert rows[-1].cum_tokens <= 1500
+
+
+class TestCurriculumManifest:
+    def test_within_shard_difficulty_order_and_shard_diversity(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i, (i * 37) % 101) for i in range(300)],
+            "doc_id bigint, difficulty bigint",
+        )
+        out = PK.curriculum_manifest(
+            docs, "difficulty", num_shards=4, seed=1
+        ).collect()
+        # shard assignment matches the plain shuffle (same key/seed) —
+        # curricula change READ ORDER, not shard membership
+        full = {
+            r.doc_id: r.shard
+            for r in PK.training_shuffle(docs, num_shards=4, seed=1).collect()
+        }
+        assert all(full[r.doc_id] == r.shard for r in out)
+        # within a shard: score ascending, contiguous pos from 1
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r.pos)
+            scores = [r.score for r in rows]
+            assert scores == sorted(scores), shard
+            assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+
+    def test_descending_order(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i, i % 11) for i in range(100)],
+            "doc_id bigint, difficulty bigint",
+        )
+        out = PK.curriculum_manifest(
+            docs, "difficulty", num_shards=2, seed=1, ascending=False
+        ).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.pos)
+            scores = [r.score for r in rows]
+            assert scores == sorted(scores, reverse=True)
