@@ -1,0 +1,261 @@
+"""Persisted IVF+PQ vector index: build once, query many, append new.
+
+The in-memory ANN operators (:mod:`.similarity`) train quantizers per
+call — right for ad-hoc analytics, wrong for serving: at corpus scale
+an index is BUILT once (train, encode, lay out), then queried many
+times and grown incrementally. This module persists the composed
+IVF+PQ structure as plain parquet:
+
+    <path>/meta/    one JSON row: centroids, codebook, m, sub, dims
+    <path>/coded/   (id, codes, vector) PARTITIONED BY cell
+
+The cell partitioning is the point: a query probes ``nprobe`` of
+``num_centroids`` cells, and because probe cells are computed
+driver-side (the query set is small by construction), the scan carries
+a static ``cell IN (...)`` predicate — **partition pruning skips the
+un-probed cells' files entirely**, so query cost scales with
+``nprobe/num_centroids`` of the index at the FILE level, not just the
+compute level. The exact vectors ride along in the coded table but in
+a separate parquet column: the ADC scoring pass never reads them
+(column pruning), only the final shortlist re-rank scan does.
+
+Determinism contract: building with the same corpus/params/seed and
+querying equals the one-shot :func:`..similarity.cosine_topk_ivfpq`
+output exactly (same sample, same Lloyd iterations, same tie rules) —
+pinned in tests/test_ann_index.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _ivf_cell_udf,
+    _kmeans_np,
+    _pq_codes_udf,
+    _pq_context,
+    _sq_dists_np,
+    _train_vectors,
+    _unit_np,
+    with_norm,
+    _dot,
+)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    m: int = 8,
+    codebook_size: int = 64,
+    seed: int = 42,
+    max_iter: int = 5,
+    train_sample: int = 1 << 16,
+    dim: int | None = None,
+) -> None:
+    """Train quantizers (bounded driver-side sample, seeded numpy
+    Lloyd), encode the corpus in ONE pass (Arrow-batched cell+codes),
+    and lay it out partitioned by cell. The encode scan is the only
+    full pass over the corpus; everything else is metadata-sized."""
+    from .text import spread_small_input
+
+    train_X = _train_vectors(corpus, vec_col, train_sample)
+    codebook, codes_udf, _lut_udf, _adc = _pq_context(
+        corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
+        train_X=train_X,
+    )
+    centroids = _kmeans_np(_unit_np(train_X), num_centroids, seed, max_iter)
+    cell_udf = _ivf_cell_udf(centroids, normalize=True)
+
+    coded = spread_small_input(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+        )
+    ).select(
+        "id",
+        "vector",
+        F.coalesce(cell_udf(F.col("vector")), F.lit(-1)).alias("cell"),
+        codes_udf(F.col("vector")).alias("codes"),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        path.rstrip("/") + "/coded"
+    )
+
+    meta = {
+        "centroids": centroids.tolist(),
+        "codebook": np.asarray(codebook).tolist(),
+        "m": m,
+        "sub": int(np.asarray(codebook).shape[1]),
+        "codebook_size": codebook_size,
+        "num_centroids": num_centroids,
+        "dim": int(train_X.shape[1]),
+        "seed": seed,
+    }
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(meta),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def load_index_meta(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(path.rstrip("/") + "/meta").first()
+    return json.loads(row["meta"])
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> int:
+    """Grow the index without retraining: encode new vectors with the
+    STORED quantizers (quantizer drift is a rebuild decision, not an
+    append side effect), skip ids already present, append to the cell
+    partitions (dynamic partition append — existing files never
+    rewritten). Returns the number of vectors appended."""
+    from .text import spread_small_input
+
+    meta = load_index_meta(spark, path)
+    centroids = np.asarray(meta["centroids"])
+    codebook = np.asarray(meta["codebook"])
+    codes_udf = _pq_codes_udf(codebook, meta["m"], meta["sub"])
+    cell_udf = _ivf_cell_udf(centroids, normalize=True)
+
+    existing = spark.read.parquet(path.rstrip("/") + "/coded").select("id")
+    fresh = (
+        new_vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+        )
+        .where(F.col("id").isNotNull())
+        .join(existing, "id", "left_anti")
+    )
+    coded = spread_small_input(fresh).select(
+        "id",
+        "vector",
+        F.coalesce(cell_udf(F.col("vector")), F.lit(-1)).alias("cell"),
+        codes_udf(F.col("vector")).alias("codes"),
+    ).localCheckpoint(eager=True)  # lineage reads the path being appended
+    n = coded.count()
+    if n:
+        coded.write.mode("append").partitionBy("cell").parquet(
+            path.rstrip("/") + "/coded"
+        )
+    return n
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist_factor: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against the persisted index. The query side is collected
+    (a serving query set is small by construction) and its probe
+    cells / ADC lookup tables are computed in one numpy pass; the
+    resulting static ``cell IN (...)`` predicate PARTITION-PRUNES the
+    coded scan to the probed cells' files. ADC scoring reads only
+    (id, codes) — column pruning keeps the vectors on disk — and the
+    exact re-rank re-reads just (id, vector) of the probed cells for
+    the shortlist join. Same output contract as
+    :func:`..similarity.cosine_topk_ivfpq`."""
+    meta = load_index_meta(spark, path)
+    m, sub, K = meta["m"], meta["sub"], meta["codebook_size"]
+    G = np.asarray(meta["centroids"])
+    C = np.asarray(meta["codebook"])
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    qids = [r["query_id"] for r in q_rows]
+    Q = _unit_np(
+        np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    )
+    luts = (Q.reshape(len(Q), m, sub) @ C.T).reshape(len(Q), -1)
+    order = np.argsort(_sq_dists_np(Q, G), axis=1, kind="stable")
+    probe_cells = order[:, :nprobe]
+
+    probes = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in lut], int(cell))
+            for qid, lut, cells in zip(qids, luts, probe_cells)
+            for cell in cells
+        ],
+        "query_id bigint, lut array<double>, cell int",
+    )
+    cells_needed = sorted({int(c) for row in probe_cells for c in row})
+
+    coded = spark.read.parquet(path.rstrip("/") + "/coded").where(
+        F.col("cell").isin(cells_needed)  # static partition pruning
+    )
+    terms = [
+        F.element_at(
+            F.col("lut"),
+            F.lit(j * K + 1) + F.element_at(F.col("codes"), j + 1),
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    pairs = (
+        coded.select("id", "cell", "codes")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), adc.alias("adc_score")
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("_arank", F.row_number().over(w_adc))
+        .filter(F.col("_arank") <= k * shortlist_factor)
+        .select("query_id", "neighbor_id")
+    )
+    cn = with_norm(
+        coded.select(F.col("id").alias("neighbor_id"), F.col("vector").alias("cv")),
+        "cv",
+    ).withColumnRenamed("_norm", "cn")
+    qn = with_norm(
+        spark.createDataFrame(
+            [(int(qid), [float(x) for x in r["qv"]]) for qid, r in zip(qids, q_rows)],
+            "query_id bigint, qv array<double>",
+        ),
+        "qv",
+    ).withColumnRenamed("_norm", "qn")
+    reranked = (
+        cn.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )

@@ -2147,6 +2147,35 @@ def training_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register("ann_index_ivfpq_query")  # rows-only (approximate by design)
+def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of ANN: build the persisted IVF+PQ index
+    (coded corpus partitioned by cell — the probe predicate
+    partition-prunes the scan to nprobe/num_centroids of the FILES),
+    then query it. Output equals cosine_topk_ivfpq exactly
+    (tests/test_ann_index.py pins the equality); llm/index.py."""
+    import shutil
+    import tempfile
+
+    from . import index as IX
+
+    embeddings = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="annix_")
+    try:
+        IX.build_ivfpq_index(embeddings, root, num_centroids=16, seed=42)
+        out = IX.query_ivfpq_index(
+            spark,
+            root,
+            embeddings.filter(F.col("vec_id") < 20),
+            k=5,
+            nprobe=6,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
@@ -2157,6 +2186,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
     "ann_cosine_topk_ivfpq",
+    "ann_index_ivfpq_query",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
     "user_value_trends_grouped_map",
