@@ -75,6 +75,10 @@ HEADLINE = [
     # training-layout family representative: one hash exchange +
     # per-shard sort — the reproducible global shuffle
     "training_shuffle_manifest",
+    # the ANN serving shape: persisted index build + partition-pruned
+    # query (cost includes the one-time build; the query alone is the
+    # pruned-scan fraction)
+    "ann_index_ivfpq_query",
 ]
 
 
