@@ -1888,7 +1888,7 @@ def streaming_training_shuffle_documents(
         staging = _os.path.join(root, "staging")
         documents.filter(F.col("doc_id") >= 300).select(
             "doc_id", "text"
-        ).coalesce(1).write.parquet(staging)
+        ).repartition(1).write.parquet(staging)
         import glob as _glob
 
         part = _glob.glob(_os.path.join(staging, "part-*.parquet"))[0]
