@@ -2176,6 +2176,37 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+@register("neardup_incremental_documents")  # rows-only (xxhash64 sigs)
+def neardup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup at ingest: even doc_ids are the persisted
+    snapshot (a MinHash signature store — 256 bytes/doc, no text in
+    the dedup path), odd doc_ids the arriving batch; new docs that
+    LSH-collide with stored ones and clear the signature-agreement
+    estimate are reported (llm/neardup_store.py). The fuzzy companion
+    of dedup_incremental_documents."""
+    import shutil
+    import tempfile
+
+    from . import neardup_store as NS
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="ndstore_")
+    try:
+        NS.build_minhash_store(
+            documents.filter(F.col("doc_id") % 2 == 0), root
+        )
+        out = NS.near_dups_against_store(
+            spark,
+            root,
+            documents.filter(F.col("doc_id") % 2 == 1),
+            threshold=0.35,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
@@ -2187,6 +2218,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_pq",
     "ann_cosine_topk_ivfpq",
     "ann_index_ivfpq_query",
+    "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
     "user_value_trends_grouped_map",
