@@ -148,3 +148,76 @@ def stream_training_shuffle(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_with_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The full corpus ingest gate as one continuous pipeline: each
+    arriving batch is (1) id-deduped against the warehouse (replay
+    safety + exact re-crawls), (2) NEAR-dup-gated against the
+    persisted MinHash store (fuzzy re-crawls and boilerplate variants
+    never enter the corpus), and (3) survivors are appended to the
+    warehouse AND their signatures to the store — so the next batch
+    is judged against everything accepted so far.
+
+    Build the store first (``neardup_store.build_minhash_store`` — an
+    empty corpus is fine). Crash semantics: the id anti-join makes a
+    replayed batch a no-op on the warehouse, and the store append is
+    itself id-idempotent, so the two writes cannot double-apply even
+    when a crash lands between them."""
+    from ..llm.neardup_store import (
+        append_to_minhash_store,
+        near_dups_against_store,
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.filter(F.col(id_col).isNotNull())
+            .dropDuplicates([id_col])
+        )
+        existing = read_table_or_empty(spark, warehouse_path, rows.schema)
+        fresh = rows.join(
+            existing.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # two consumers below
+        if fresh.isEmpty():
+            return
+        near = (
+            near_dups_against_store(
+                spark, store_path, fresh, threshold, text_col, id_col
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        accepted = fresh.join(near, id_col, "left_anti").localCheckpoint(
+            eager=True  # written to two stores; lineage reads both
+        )
+        if not accepted.isEmpty():
+            accepted.write.mode("append").option(
+                "compression", "snappy"
+            ).parquet(warehouse_path)
+            append_to_minhash_store(
+                spark, store_path, accepted, text_col, id_col
+            )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

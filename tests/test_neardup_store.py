@@ -89,3 +89,89 @@ def test_store_parameters_come_from_meta(spark, tmp_path):
         spark, path, _docs(spark, [(50, BASE)]), threshold=0.9
     )
     assert {(r.new_id, r.snapshot_id) for r in hits.collect()} == {(50, 0)}
+
+
+class TestStreamIngestWithNearDup:
+    SCHEMA = "doc_id bigint, text string"
+
+    def _drop(self, spark, source_dir, name, rows):
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        spark.createDataFrame(rows, self.SCHEMA).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(source_dir, f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _run(self, spark, dirs):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from etl_procedure_codes_crawler_spark.streaming.incremental import (
+            stream_ingest_with_neardup,
+        )
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        q = stream_ingest_with_neardup(
+            spark,
+            dirs["source"],
+            schema,
+            dirs["warehouse"],
+            dirs["store"],
+            dirs["checkpoint"],
+            threshold=0.5,
+        )
+        q.awaitTermination()
+
+    def test_gate_rejects_near_dups_accepts_fresh(self, spark, tmp_path):
+        import os
+
+        source = tmp_path / "incoming"
+        source.mkdir()
+        dirs = {
+            "source": str(source),
+            "warehouse": str(tmp_path / "wh"),
+            "store": str(tmp_path / "store"),
+            "checkpoint": str(tmp_path / "ckpt"),
+        }
+        # empty store to start
+        NS.build_minhash_store(
+            spark.createDataFrame([], self.SCHEMA), dirs["store"]
+        )
+
+        self._drop(spark, dirs["source"], "b1", [(1, BASE)])
+        self._run(spark, dirs)
+        # batch 2: a near-dup of doc 1, a replay of doc 1, and fresh text
+        self._drop(
+            spark,
+            dirs["source"],
+            "b2",
+            [
+                (2, BASE.replace("lazy", "sleepy")),
+                (1, BASE),
+                (3, "entirely novel corpus content nothing shared at all"),
+            ],
+        )
+        self._run(spark, dirs)
+
+        wh = {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()}
+        assert wh == {1, 3}, wh  # near-dup 2 gated out, replay 1 skipped
+        # the store grew with exactly the accepted docs
+        sigs = {
+            r.id
+            for r in spark.read.parquet(
+                os.path.join(dirs["store"], "signatures")
+            ).collect()
+        }
+        assert sigs == {1, 3}, sigs
