@@ -85,6 +85,10 @@ def connected_components(
             .filter(F.col("new.label") != F.col("old.label"))
             .count()
         )
+        # release the superseded round's checkpoint blocks — without
+        # this, max_iter full (vertex, label) snapshots stay pinned in
+        # executor storage simultaneously
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -220,9 +220,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    # no broadcast hint on sizes: it has one row per corpus DOCUMENT —
+    # forcing a broadcast would collect the whole per-doc table to the
+    # driver at real scale. AQE still auto-broadcasts it when it is
+    # genuinely small; otherwise this is a plain shuffled join on the
+    # (already much smaller) pair relation.
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -427,9 +432,14 @@ def minhash_near_dup_pairs(
     )
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    # no broadcast hint on sizes: it has one row per corpus DOCUMENT —
+    # forcing a broadcast would collect the whole per-doc table to the
+    # driver at real scale. AQE still auto-broadcasts it when it is
+    # genuinely small; otherwise this is a plain shuffled join on the
+    # (already much smaller) pair relation.
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -146,6 +146,12 @@ def append_to_ivfpq_index(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
         )
         .where(F.col("id").isNotNull())
+        # within-batch dedup: a replayed row concatenated into the same
+        # batch would otherwise pass the anti join twice and the
+        # duplicate coded rows would occupy multiple top-k slots at
+        # query time (conflicting vectors per id are an upstream
+        # integrity error — dq_integrity_report's territory)
+        .dropDuplicates(["id"])
         .join(existing, "id", "left_anti")
     )
     coded = spread_small_input(fresh).select(

@@ -38,7 +38,13 @@ from .dedup import minhash_signatures
 def _sig_array(
     df: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int
 ) -> DataFrame:
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    # one row per id: minhash groups shingles by id, so duplicate ids
+    # (even with identical text) must collapse BEFORE signing — two
+    # different texts sharing an id would merge into one garbage
+    # signature matching neither
+    sig = minhash_signatures(
+        df.dropDuplicates([id_col]), text_col, id_col, k, num_hashes
+    )
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -109,6 +115,11 @@ def append_to_minhash_store(
     existing = spark.read.parquet(path.rstrip("/") + "/signatures").select("id")
     fresh = (
         new_docs.where(F.col(id_col).isNotNull())
+        # one row per id BEFORE signing: minhash groups shingles by id,
+        # so two different texts sharing an id would otherwise merge
+        # into one garbage signature (the min over the UNION of both
+        # shingle sets) that matches neither document
+        .dropDuplicates([id_col])
         .join(existing.withColumnRenamed("id", id_col), id_col, "left_anti")
     )
     signed = _sig_array(

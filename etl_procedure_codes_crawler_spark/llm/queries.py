@@ -841,7 +841,11 @@ def user_value_trends_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_micros("ts").alias("us"),
         F.col("value").cast("decimal(12,2)").alias("y"),
     )
-    x = (F.col("us") - F.min("us").over(w)).cast("decimal(13,0)")
+    # 19 digits mirrors the oracle's int128-backed decimal: a span
+    # cast to decimal(13,0) would ANSI-overflow past ~115 days of
+    # microseconds; at (19,0) the x*x products land in decimal(38,0)
+    # and stay exact for any realistic event span
+    x = (F.col("us") - F.min("us").over(w)).cast("decimal(19,0)")
     xs = e.select("user_id", x.alias("x"), "y")
     s = xs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),

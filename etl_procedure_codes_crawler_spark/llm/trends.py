@@ -22,7 +22,13 @@ TREND_SCHEMA = (
 
 
 def _fit_trend(group: pd.DataFrame) -> pd.DataFrame:
-    """Least-squares slope of value over event time for one user."""
+    """Least-squares slope of value over event time for one user.
+
+    Sorted HERE, inside the grouped-map fn: rows arrive in
+    shuffle-fetch order (a sortWithinPartitions before the groupBy
+    does not survive the exchange), and polyfit's floating-point
+    accumulation order must be fixed for run-to-run determinism."""
+    group = group.sort_values(["ts"], kind="stable")
     hours = group["ts"].astype("int64").to_numpy() / 1e9 / 3600.0
     values = group["value"].to_numpy(dtype="float64")
     if len(group) >= 2 and np.ptp(hours) > 0:
@@ -41,7 +47,8 @@ def _fit_trend(group: pd.DataFrame) -> pd.DataFrame:
 
 def user_value_trends(events: DataFrame) -> DataFrame:
     """Per-user value-over-time regression: one shuffle on user_id,
-    one numpy fit per group, deterministic (polyfit on sorted input)."""
+    one numpy fit per group, deterministic (the grouped-map fn sorts
+    its slice; pre-shuffle order cannot survive the exchange)."""
     ordered = events.select("user_id", "ts", "value").sortWithinPartitions(
         "user_id", "ts"
     )

@@ -77,8 +77,17 @@ def compare_query(
     )
     report["values_match"] = spark_rows == oracle_rows
     if not report["values_match"]:
-        diffs = [
-            (s, o) for s, o in zip(spark_rows, oracle_rows) if s != o
-        ][:5]
-        report["first_diffs"] = diffs
+        # multiset diff, not positional zip: one extra row at the top
+        # of the sorted order would misalign every later pair and point
+        # debugging at rows that actually match
+        from collections import Counter
+
+        s_extra = Counter(map(tuple, spark_rows)) - Counter(
+            map(tuple, oracle_rows)
+        )
+        o_extra = Counter(map(tuple, oracle_rows)) - Counter(
+            map(tuple, spark_rows)
+        )
+        report["only_in_spark"] = list(s_extra.elements())[:5]
+        report["only_in_oracle"] = list(o_extra.elements())[:5]
     return report

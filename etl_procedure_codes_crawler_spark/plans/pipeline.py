@@ -51,6 +51,17 @@ class CrawlResult:
     modifiers: DataFrame
     ndc: DataFrame
     observation: Observation | None = field(default=None, compare=False)
+    #: the shared persisted extraction feeding all three relations —
+    #: call :meth:`release` once the outputs are materialized, or the
+    #: cached page payloads stay pinned for the session's lifetime
+    cached_extraction: DataFrame | None = field(default=None, compare=False)
+
+    def release(self) -> None:
+        """Drop the shared extraction cache (safe after the three
+        outputs are checkpointed/written; a later collect on
+        un-checkpointed outputs would refetch)."""
+        if self.cached_extraction is not None:
+            self.cached_extraction.unpersist()
 
     @property
     def extract_metrics(self) -> dict:
@@ -114,6 +125,7 @@ def run_crawl_pipeline(
         ),
         ndc=incremental_new_rows(new_ndc, existing_ndc, "ndc_alternate_id"),
         observation=observation,
+        cached_extraction=extracted,
     )
 
 
@@ -165,4 +177,9 @@ def run_and_sink(
             mode="append",
             partition_by=["load_date"],
         )
+    # outputs are checkpointed and written — the shared extraction
+    # cache (full page payloads) is now dead weight; a long-lived
+    # session running incremental crawls would otherwise accumulate
+    # one pinned extraction per run
+    result.release()
     return CrawlResult(*pinned, observation=result.observation)

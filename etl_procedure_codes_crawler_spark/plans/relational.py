@@ -1311,7 +1311,7 @@ def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER w IS NULL
-                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
@@ -1334,6 +1334,9 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via ``session_window`` (30-minute gap) —
     the same declarative operator the streaming module uses, checked
     against the classic gaps-and-islands SQL (lag + running flag sum).
+    Boundary semantics verified empirically: Spark MERGES an event at
+    exactly gap distance (diff <= gap joins the session), so the SQL
+    breaks on diff > gap — pinned in tests/test_session_boundary.py.
     One shuffle on user_id either way; session_window just says it in
     one operator instead of three windows."""
     events = load(spark, sf_dir, "events")
@@ -1544,25 +1547,21 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     the BATCH oracle — stream/batch parity as a checked invariant, not
     a claim. Uses a staged file-source directory (file streams read
     directories) and a memory sink."""
-    import shutil
-    import tempfile
-
     from ..streaming.events import (
         hourly_event_counts,
         read_events_stream,
         run_to_memory,
     )
 
-    staged = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(staged, "part-000.parquet"),
-    )
+    staged = _stage_events(sf_dir)
     _STREAM_SEQ[0] += 1
     name = f"stream_hourly_{_STREAM_SEQ[0]}"
-    stream = read_events_stream(spark, staged)
-    query = run_to_memory(hourly_event_counts(stream), name)
-    query.stop()
+    try:
+        stream = read_events_stream(spark, staged)
+        query = run_to_memory(hourly_event_counts(stream), name)
+        query.stop()
+    finally:
+        _cleanup_staged(staged)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -1572,6 +1571,10 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _stage_events(sf_dir: str) -> str:
+    """Stage events.parquet into a fresh dir (file streams read
+    directories). Callers remove it via :func:`_cleanup_staged` in a
+    finally once the stream has drained — the gate may invoke a query
+    repeatedly, and each leak would be a full events.parquet copy."""
     import shutil
     import tempfile
 
@@ -1581,6 +1584,12 @@ def _stage_events(sf_dir: str) -> str:
         os.path.join(staged, "part-000.parquet"),
     )
     return staged
+
+
+def _cleanup_staged(staged: str) -> None:
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 @register(
@@ -1619,10 +1628,13 @@ def streaming_sliding_value_averages(
     staged = _stage_events(sf_dir)
     _STREAM_SEQ[0] += 1
     name = f"stream_sliding_{_STREAM_SEQ[0]}"
-    query = run_to_memory(
-        sliding_value_averages(read_events_stream(spark, staged)), name
-    )
-    query.stop()
+    try:
+        query = run_to_memory(
+            sliding_value_averages(read_events_stream(spark, staged)), name
+        )
+        query.stop()
+    finally:
+        _cleanup_staged(staged)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -1657,11 +1669,12 @@ def streaming_sliding_value_averages(
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic session windows (30-minute gap) through the streaming
-    engine vs the batch gaps-and-islands oracle. Semantics note: Spark
-    merges an event into a session while diff ≤ gap and the SQL breaks
-    on diff > gap — identical except at diff == gap exactly, which the
-    microsecond-jittered testdata cannot produce (verified 0 such gaps
-    at every sf). Second of the three streaming gate queries; state is
+    engine vs the batch gaps-and-islands oracle. Boundary semantics:
+    Spark merges an event at exactly gap distance (diff ≤ gap joins),
+    so the SQL breaks on diff > gap — the two agree at EVERY diff,
+    including the boundary (pinned empirically in
+    tests/test_session_boundary.py). Second of the three streaming
+    gate queries; state is
     watermark-bounded so the same plan runs on an unbounded stream."""
     from ..streaming.events import (
         read_events_stream,
@@ -1672,10 +1685,13 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_events(sf_dir)
     _STREAM_SEQ[0] += 1
     name = f"stream_session_{_STREAM_SEQ[0]}"
-    query = run_to_memory(
-        user_session_windows(read_events_stream(spark, staged)), name
-    )
-    query.stop()
+    try:
+        query = run_to_memory(
+            user_session_windows(read_events_stream(spark, staged)), name
+        )
+        query.stop()
+    finally:
+        _cleanup_staged(staged)
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -3095,17 +3111,22 @@ def streaming_distinct_user_event_types(
     staged = _stage_events(sf_dir)
     _STREAM_SEQ[0] += 1
     name = f"stream_distinct_{_STREAM_SEQ[0]}"
-    stream = read_events_stream(spark, staged).select("user_id", "event_type")
-    query = (
-        stream.dropDuplicates(["user_id", "event_type"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(60)
-    query.stop()
+    try:
+        stream = read_events_stream(spark, staged).select(
+            "user_id", "event_type"
+        )
+        query = (
+            stream.dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(60)
+        query.stop()
+    finally:
+        _cleanup_staged(staged)
     return spark.table(name)
 
 
