@@ -283,3 +283,102 @@ def query_ivfpq_index(
             "rank",
         )
     )
+
+
+def query_ivfpq_index_distributed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist_factor: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against the persisted index for a LARGE query batch
+    (offline re-ranking, corpus-vs-corpus linking): the query side
+    stays a DataFrame — probe cells and lookup tables come from the
+    same Arrow-batched UDFs the build used, with the stored quantizers
+    in their closures. No driver collect, so no static partition
+    pruning (every probed cell is data-dependent); the candidate join
+    is still the (cell) equi-join with the query side broadcast when
+    small, shuffled when not — AQE's call. Use
+    :func:`query_ivfpq_index` for serving-sized query sets, where the
+    driver-computed cell predicate prunes the scan to files."""
+    from .similarity import _ivf_probe_udf, _pq_lut_udf
+
+    meta = load_index_meta(spark, path)
+    m, sub, K = meta["m"], meta["sub"], meta["codebook_size"]
+    G = np.asarray(meta["centroids"])
+    C = np.asarray(meta["codebook"])
+
+    lut_udf = _pq_lut_udf(C, m, sub)
+    probe_udf = _ivf_probe_udf(G, nprobe, normalize=True)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lut_udf(F.col(vec_col)).alias("lut"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+
+    coded = spark.read.parquet(path.rstrip("/") + "/coded")
+    terms = [
+        F.element_at(
+            F.col("lut"),
+            F.lit(j * K + 1) + F.element_at(F.col("codes"), j + 1),
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    pairs = (
+        coded.select("id", "cell", "codes")
+        .join(probes.select("query_id", "lut", "cell"), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), adc.alias("adc_score")
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("_arank", F.row_number().over(w_adc))
+        .filter(F.col("_arank") <= k * shortlist_factor)
+        .select("query_id", "neighbor_id")
+    )
+    cn = with_norm(
+        coded.select(F.col("id").alias("neighbor_id"), F.col("vector").alias("cv")),
+        "cv",
+    ).withColumnRenamed("_norm", "cn")
+    qn = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+    ).withColumnRenamed("_norm", "qn")
+    reranked = (
+        cn.join(short, "neighbor_id")
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )

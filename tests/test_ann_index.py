@@ -83,3 +83,24 @@ def test_empty_query_set_rejected(spark, emb, tmp_path):
         IX.query_ivfpq_index(
             spark, path, emb.filter(F.col("vec_id") < 0), k=3
         )
+
+
+def test_distributed_query_path_equals_driver_path(spark, emb, tmp_path):
+    """The DataFrame query path (large batches, no driver collect)
+    must return exactly what the collect-based serving path returns —
+    same quantizers, same tie rules."""
+    path = str(tmp_path / "ix")
+    IX.build_ivfpq_index(emb, path, num_centroids=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    a = sorted(
+        map(tuple, IX.query_ivfpq_index(spark, path, queries, k=5, nprobe=6).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            IX.query_ivfpq_index_distributed(
+                spark, path, queries, k=5, nprobe=6
+            ).collect(),
+        )
+    )
+    assert a == b
