@@ -101,3 +101,80 @@ def test_funnel_counts_monotonic(spark, rows):
         ]
         assert all(a >= b for a, b in zip(chain, chain[1:])), chain
         assert r.total_tokens_final >= 0
+
+
+# ---------------------------------------------------------------------------
+# Lehmer shuffle-key properties (pure expression math — verified via
+# numpy replica, no Spark job per example)
+# ---------------------------------------------------------------------------
+
+_M = 2147483647
+_A = 48271
+
+
+def _key_py(i: int, seed: int) -> int:
+    x = (i + seed) % _M
+    for _ in range(2):
+        x = (x * _A) % _M
+    return x
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=_M - 2),
+        min_size=2,
+        max_size=200,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=200, deadline=None)
+def test_lehmer_key_is_injective_below_modulus(ids, seed):
+    """g(x)=xA mod M is a bijection on [0, M) for prime M with A
+    coprime — distinct ids below M must get distinct keys (collisions
+    would merge shuffle positions and bias shard sizes)."""
+    keys = [_key_py(i, seed) for i in ids]
+    assert len(set(keys)) == len(ids)
+
+
+@given(seed=st.integers(min_value=0, max_value=1000))
+@settings(max_examples=50, deadline=None)
+def test_lehmer_key_spark_matches_python_replica(spark, seed):
+    """The Spark expression and the plain-Python replica (the same
+    arithmetic every SQL oracle embeds) must agree bit-for-bit."""
+    ids = [0, 1, 2, 43_999, 44_000, 44_001, 10**6, 10**9, _M - 1, _M, 2 * _M + 7]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id", PK.shuffle_key(F.col("doc_id"), seed).alias("k")
+        ).collect()
+    }
+    assert got == {i: _key_py(i, seed) for i in ids}
+
+
+def test_holdout_split_is_order_independent(spark):
+    """Membership is a pure function of (id, seed): shuffling the
+    input rows or partitioning differently cannot move a doc across
+    splits."""
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ids = list(range(300))
+    a = {
+        r.doc_id: r.split
+        for r in PK.holdout_split(
+            spark.createDataFrame([(i,) for i in ids], "doc_id bigint"),
+            fr,
+            seed=3,
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in PK.holdout_split(
+            spark.createDataFrame(
+                [(i,) for i in reversed(ids)], "doc_id bigint"
+            ).repartition(7),
+            fr,
+            seed=3,
+        ).collect()
+    }
+    assert a == b
