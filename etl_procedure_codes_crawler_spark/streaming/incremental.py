@@ -173,9 +173,16 @@ def stream_ingest_with_neardup(
 
     Build the store first (``neardup_store.build_minhash_store`` — an
     empty corpus is fine). Crash semantics: the id anti-join makes a
-    replayed batch a no-op on the warehouse, and the store append is
-    itself id-idempotent, so the two writes cannot double-apply even
-    when a crash lands between them."""
+    replayed batch a no-op on the warehouse, and the store side is
+    RECONCILED rather than blindly appended — after the optional
+    warehouse write, every batch doc the warehouse holds is offered
+    to the store (whose own id anti-join no-ops the already-signed
+    ones). A crash landing between the two writes therefore heals on
+    replay: the warehouse write is skipped, the missing signatures
+    are back-filled — pinned by the crash test in
+    tests/test_neardup_store.py (a naive accepted-only append would
+    permanently lose the crashed batch's signatures, because the
+    replay's empty fresh set short-circuits before reaching them)."""
     from ..llm.neardup_store import (
         append_to_minhash_store,
         near_dups_against_store,
@@ -185,30 +192,38 @@ def stream_ingest_with_neardup(
         rows = (
             batch.filter(F.col(id_col).isNotNull())
             .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # consumed up to three times
         )
         existing = read_table_or_empty(spark, warehouse_path, rows.schema)
         fresh = rows.join(
             existing.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # two consumers below
-        if fresh.isEmpty():
-            return
-        near = (
-            near_dups_against_store(
-                spark, store_path, fresh, threshold, text_col, id_col
+        if not fresh.isEmpty():
+            near = (
+                near_dups_against_store(
+                    spark, store_path, fresh, threshold, text_col, id_col
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
             )
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        accepted = fresh.join(near, id_col, "left_anti").localCheckpoint(
-            eager=True  # written to two stores; lineage reads both
-        )
-        if not accepted.isEmpty():
-            accepted.write.mode("append").option(
-                "compression", "snappy"
-            ).parquet(warehouse_path)
-            append_to_minhash_store(
-                spark, store_path, accepted, text_col, id_col
+            accepted = fresh.join(near, id_col, "left_anti").localCheckpoint(
+                eager=True  # lineage reads the warehouse being appended
             )
+            if not accepted.isEmpty():
+                accepted.write.mode("append").option(
+                    "compression", "snappy"
+                ).parquet(warehouse_path)
+        # store reconciliation: sign every batch doc the warehouse now
+        # holds (append_to_minhash_store anti-joins the store's own ids,
+        # so steady state signs only the newly accepted docs)
+        warehoused = rows.join(
+            read_table_or_empty(spark, warehouse_path, rows.schema).select(
+                id_col
+            ),
+            id_col,
+            "left_semi",
+        )
+        append_to_minhash_store(spark, store_path, warehoused, text_col, id_col)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -175,3 +175,67 @@ class TestStreamIngestWithNearDup:
             ).collect()
         }
         assert sigs == {1, 3}, sigs
+
+
+def test_ingest_gate_crash_between_writes_recovers(spark, tmp_path, monkeypatch):
+    """The gate's documented crash contract: a failure AFTER the
+    warehouse append but BEFORE the store append must heal on replay —
+    no duplicate warehouse rows, store catches up to the accepted
+    set."""
+    import os
+
+    from etl_procedure_codes_crawler_spark.streaming import incremental as INC
+
+    source = tmp_path / "incoming"
+    source.mkdir()
+    dirs = {
+        "source": str(source),
+        "warehouse": str(tmp_path / "wh"),
+        "store": str(tmp_path / "store"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    schema_str = "doc_id bigint, text string"
+    NS.build_minhash_store(spark.createDataFrame([], schema_str), dirs["store"])
+
+    helper = TestStreamIngestWithNearDup()
+    helper._drop(
+        spark,
+        dirs["source"],
+        "b1",
+        [(1, BASE), (2, "independent corpus text with zero shared shingles")],
+    )
+
+    # first run: the store append blows up AFTER the warehouse write
+    import etl_procedure_codes_crawler_spark.llm.neardup_store as NSmod
+
+    real_append = NSmod.append_to_minhash_store
+
+    def exploding_append(*a, **kw):
+        raise RuntimeError("simulated crash between the two writes")
+
+    # the gate imports append_to_minhash_store inside the sink body,
+    # so patching the module attribute takes effect per batch
+    monkeypatch.setattr(NSmod, "append_to_minhash_store", exploding_append)
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException):
+        helper._run(spark, dirs)
+    # warehouse got the rows; the store did not
+    assert {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()} == {1, 2}
+
+    # restore and replay (new checkpoint dir simulates the restart
+    # re-reading the unacknowledged file)
+    monkeypatch.setattr(NSmod, "append_to_minhash_store", real_append)
+    dirs["checkpoint"] = str(tmp_path / "ckpt2")
+    helper._run(spark, dirs)
+
+    wh = [r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()]
+    assert sorted(wh) == [1, 2], wh  # no double append on replay
+    sigs = {
+        r.id
+        for r in spark.read.parquet(
+            os.path.join(dirs["store"], "signatures")
+        ).collect()
+    }
+    assert sigs == {1, 2}, sigs  # store caught up
