@@ -196,9 +196,15 @@ def query_ivfpq_index(
     G = np.asarray(meta["centroids"])
     C = np.asarray(meta["codebook"])
 
-    q_rows = queries.select(
+    q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
+    )
+    # the probe/re-rank relations are rebuilt driver-side, so they must
+    # carry the CALLER's id type — hard-coding bigint would crash a
+    # string-id corpus (the one-shot operators and the distributed twin
+    # are id-type agnostic; this path must be too)
+    id_type = dict(q_side.dtypes)["query_id"]
+    q_rows = q_side.collect()
     if not q_rows:
         raise ValueError("empty query set")
     qids = [r["query_id"] for r in q_rows]
@@ -211,11 +217,11 @@ def query_ivfpq_index(
 
     probes = spark.createDataFrame(
         [
-            (int(qid), [float(x) for x in lut], int(cell))
+            (qid, [float(x) for x in lut], int(cell))
             for qid, lut, cells in zip(qids, luts, probe_cells)
             for cell in cells
         ],
-        "query_id bigint, lut array<double>, cell int",
+        f"query_id {id_type}, lut array<double>, cell int",
     )
     cells_needed = sorted({int(c) for row in probe_cells for c in row})
 
@@ -254,8 +260,8 @@ def query_ivfpq_index(
     ).withColumnRenamed("_norm", "cn")
     qn = with_norm(
         spark.createDataFrame(
-            [(int(qid), [float(x) for x in r["qv"]]) for qid, r in zip(qids, q_rows)],
-            "query_id bigint, qv array<double>",
+            [(qid, [float(x) for x in r["qv"]]) for qid, r in zip(qids, q_rows)],
+            f"query_id {id_type}, qv array<double>",
         ),
         "qv",
     ).withColumnRenamed("_norm", "qn")

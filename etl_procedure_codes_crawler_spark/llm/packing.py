@@ -181,12 +181,16 @@ def shuffle_key(id_col, seed: int = 1):
     properties are pinned in tests/test_packing.py.
 
     Every intermediate stays far below int64 overflow for ANY bigint
-    id (each pmod caps at 2^31, times 48271 ≈ 1e14), so the
-    expression is ANSI-safe, and DuckDB computes it bit-identically —
-    the permutation is cross-engine reproducible, which is the whole
+    id: the id is reduced mod M BEFORE the seed is added (adding
+    first would ANSI-overflow for ids within ``seed`` of 2^63-1),
+    then each pmod caps at 2^31 and ×48271 ≈ 1e14. The expression is
+    ANSI-safe, and DuckDB computes it bit-identically — the
+    permutation is cross-engine reproducible, which is the whole
     point: a training run restarted on different infrastructure must
-    see the same data order."""
-    x = F.pmod(id_col + F.lit(seed), F.lit(_SHUFFLE_M))
+    see the same data order. For ids that never wrap (id + seed <
+    2^63) the two forms agree exactly, so the reduction changes no
+    existing permutation."""
+    x = F.pmod(F.pmod(id_col, F.lit(_SHUFFLE_M)) + F.lit(seed), F.lit(_SHUFFLE_M))
     for _ in range(2):
         x = F.pmod(x * F.lit(_SHUFFLE_A), F.lit(_SHUFFLE_M))
     return x
@@ -411,13 +415,30 @@ def budget_select(
 
     The scored input is localCheckpoint'ed: three jobs consume it
     (edges, bin totals, final selection) and re-scoring the corpus 3×
-    would triple the heavy scan."""
+    would triple the heavy scan.
+
+    NULL contract: a NULL quality or token count would otherwise
+    propagate through the bin expression and the ``cum_tokens <=
+    budget`` filter and the row would *silently vanish* (and a NULL
+    token count additionally skews the per-bin offsets). Like
+    merge_upsert's NULL-key rule, that is an upstream data-integrity
+    error, so this raises rather than guessing — score/count first,
+    or filter explicitly before calling."""
     spark = df.sparkSession
     scored = df.select(
         F.col(id_col),
         F.col(quality_col).cast("double").alias("_q"),
         F.col(tokens_col).cast("bigint").alias("_n"),
     ).localCheckpoint(eager=True)
+    # cheap: a limit-1 scan of the already-materialized checkpoint
+    if not scored.where(
+        F.col("_q").isNull() | F.col("_n").isNull()
+    ).isEmpty():
+        raise ValueError(
+            f"budget_select: NULL {quality_col!r} or {tokens_col!r} rows "
+            "present — they would be dropped silently; filter or impute "
+            "upstream"
+        )
     # ascending order key: negated quality (best doc = smallest key)
     keyed = scored.withColumn("_neg", -F.col("_q"))
     if num_bins is None:

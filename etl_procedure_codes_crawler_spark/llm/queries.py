@@ -1702,7 +1702,7 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id,
-               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+               ((((doc_id % 2147483647) + 1) % 2147483647) * 48271 % 2147483647)
                    * 48271 % 2147483647 AS key
         FROM documents
     )
@@ -1729,7 +1729,7 @@ def training_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id, source,
-               (((doc_id + 7) % 2147483647) * 48271 % 2147483647)
+               ((((doc_id % 2147483647) + 7) % 2147483647) * 48271 % 2147483647)
                    * 48271 % 2147483647 AS key
         FROM documents
     ),
@@ -1771,7 +1771,7 @@ def corpus_upsample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id,
-               (((doc_id + 3) % 2147483647) * 48271 % 2147483647)
+               ((((doc_id % 2147483647) + 3) % 2147483647) * 48271 % 2147483647)
                    * 48271 % 2147483647 AS key
         FROM documents
     )
@@ -1802,7 +1802,7 @@ def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH old_keyed AS (
         SELECT doc_id,
-               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+               ((((doc_id % 2147483647) + 1) % 2147483647) * 48271 % 2147483647)
                    * 48271 % 2147483647 AS key
         FROM documents WHERE doc_id < 300
     ),
@@ -1815,7 +1815,7 @@ def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     new_keyed AS (
         SELECT doc_id,
-               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+               ((((doc_id % 2147483647) + 1) % 2147483647) * 48271 % 2147483647)
                    * 48271 % 2147483647 AS key
         FROM documents WHERE doc_id >= 300
     ),
@@ -2128,7 +2128,7 @@ def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id, n_chars,
-               (((doc_id + 1) % 2147483647) * 48271 % 2147483647)
+               ((((doc_id % 2147483647) + 1) % 2147483647) * 48271 % 2147483647)
                    * 48271 % 2147483647 AS key
         FROM documents
     )

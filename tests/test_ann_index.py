@@ -104,3 +104,23 @@ def test_distributed_query_path_equals_driver_path(spark, emb, tmp_path):
         )
     )
     assert a == b
+
+
+def test_string_id_corpus_round_trips(spark, emb, tmp_path):
+    """The serving path must carry the CALLER's id type end-to-end —
+    it rebuilds the probe/re-rank relations driver-side, and a
+    hard-coded bigint schema would crash a string-id corpus."""
+    semb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    path = str(tmp_path / "ix_str")
+    IX.build_ivfpq_index(semb, path, num_centroids=8, seed=42)
+    queries = semb.limit(5)
+    out = IX.query_ivfpq_index(spark, path, queries, k=3, nprobe=4)
+    rows = out.collect()
+    assert rows and all(isinstance(r.query_id, str) for r in rows)
+    assert all(isinstance(r.neighbor_id, str) for r in rows)
+    # and it agrees with the id-type-agnostic distributed twin
+    dist = IX.query_ivfpq_index_distributed(spark, path, queries, k=3, nprobe=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, dist.collect()))

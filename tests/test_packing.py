@@ -7,6 +7,8 @@ per-shard independence) is checked against exact expected rows.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_procedure_codes_crawler_spark.llm import packing as PK
@@ -406,3 +408,25 @@ class TestCurriculumManifest:
             rows.sort(key=lambda r: r.pos)
             scores = [r.score for r in rows]
             assert scores == sorted(scores, reverse=True)
+
+
+class TestBudgetSelectNullContract:
+    def test_null_quality_raises(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(0, 0.5, 40), (1, None, 40)],
+            "doc_id bigint, quality double, n_tokens bigint",
+        )
+        with pytest.raises(ValueError, match="NULL 'quality'"):
+            PK.budget_select(docs, "quality", "n_tokens", budget=100)
+
+    def test_null_tokens_raises(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(0, 0.5, 40), (1, 0.9, None)],
+            "doc_id bigint, quality double, n_tokens bigint",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            PK.budget_select(docs, "quality", "n_tokens", budget=100)

@@ -113,7 +113,9 @@ _A = 48271
 
 
 def _key_py(i: int, seed: int) -> int:
-    x = (i + seed) % _M
+    # id reduced mod M BEFORE the seed add — int64-overflow-safe for
+    # ids near 2^63-1 (matches shuffle_key and every SQL oracle twin)
+    x = (i % _M + seed) % _M
     for _ in range(2):
         x = (x * _A) % _M
     return x
@@ -142,7 +144,8 @@ def test_lehmer_key_is_injective_below_modulus(ids, seed):
 def test_lehmer_key_spark_matches_python_replica(spark, seed):
     """The Spark expression and the plain-Python replica (the same
     arithmetic every SQL oracle embeds) must agree bit-for-bit."""
-    ids = [0, 1, 2, 43_999, 44_000, 44_001, 10**6, 10**9, _M - 1, _M, 2 * _M + 7]
+    ids = [0, 1, 2, 43_999, 44_000, 44_001, 10**6, 10**9, _M - 1, _M,
+           2 * _M + 7, 2**63 - 1]  # the boundary id ANSI-overflowed pre-fix
     df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
     got = {
         r.doc_id: r.k
