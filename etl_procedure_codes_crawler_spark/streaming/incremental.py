@@ -165,11 +165,23 @@ def stream_ingest_with_neardup(
 ):
     """The full corpus ingest gate as one continuous pipeline: each
     arriving batch is (1) id-deduped against the warehouse (replay
-    safety + exact re-crawls), (2) NEAR-dup-gated against the
+    safety + exact re-crawls), (2) near-dup-collapsed WITHIN the batch
+    (a crawl burst fetching the same boilerplate page under many URLs
+    arrives in one micro-batch — the store can't gate those because
+    none of them is in the store yet), (3) NEAR-dup-gated against the
     persisted MinHash store (fuzzy re-crawls and boilerplate variants
-    never enter the corpus), and (3) survivors are appended to the
+    never enter the corpus), and (4) survivors are appended to the
     warehouse AND their signatures to the store — so the next batch
     is judged against everything accepted so far.
+
+    Intra-batch collapse rule, deterministic and conservative: verify
+    LSH candidates with exact Jaccard (``minhash_near_dup_pairs``,
+    banding params from the store's meta) and drop every doc that is
+    the GREATER id of any qualifying pair. In a near-dup chain
+    a~b~c with a≁c this drops both b and c — acceptable for a gate
+    whose job is "never let two near-dups of one page into the
+    corpus"; the kept doc is always the cluster's minimum id, so a
+    replayed batch collapses identically.
 
     Build the store first (``neardup_store.build_minhash_store`` — an
     empty corpus is fine). Crash semantics: the id anti-join makes a
@@ -183,8 +195,10 @@ def stream_ingest_with_neardup(
     tests/test_neardup_store.py (a naive accepted-only append would
     permanently lose the crashed batch's signatures, because the
     replay's empty fresh set short-circuits before reaching them)."""
+    from ..llm.dedup import minhash_near_dup_pairs
     from ..llm.neardup_store import (
         append_to_minhash_store,
+        load_store_meta,
         near_dups_against_store,
     )
 
@@ -198,6 +212,29 @@ def stream_ingest_with_neardup(
         fresh = rows.join(
             existing.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # two consumers below
+        if not fresh.isEmpty():
+            # intra-batch collapse: two near-dups arriving in the SAME
+            # micro-batch both pass the store gate (neither is stored
+            # yet) — drop every greater-id member of a verified pair
+            # so at most one representative per near-dup cluster goes
+            # on to the store gate and the warehouse
+            meta = load_store_meta(spark, store_path)
+            intra_losers = (
+                minhash_near_dup_pairs(
+                    fresh,
+                    text_col,
+                    id_col,
+                    meta["k"],
+                    meta["bands"],
+                    meta["rows_per_band"],
+                    threshold,
+                )
+                .select(F.col("doc_b").alias(id_col))
+                .distinct()
+            )
+            fresh = fresh.join(intra_losers, id_col, "left_anti").localCheckpoint(
+                eager=True  # two consumers below, and the pair scan above
+            )
         if not fresh.isEmpty():
             near = (
                 near_dups_against_store(

@@ -82,7 +82,7 @@ def test_store_parameters_come_from_meta(spark, tmp_path):
         _docs(spark, [(0, BASE)]), path, bands=4, rows_per_band=8
     )
     meta = NS.load_store_meta(spark, path)
-    assert meta == {"k": 3, "bands": 4, "rows_per_band": 8}
+    assert meta == {"k": 3, "bands": 4, "rows_per_band": 8, "version": 2}
     # query uses the stored banding: an exact dup still matches even
     # though the defaults (8 bands x 4 rows) differ
     hits = NS.near_dups_against_store(
@@ -239,3 +239,175 @@ def test_ingest_gate_crash_between_writes_recovers(spark, tmp_path, monkeypatch)
         ).collect()
     }
     assert sigs == {1, 2}, sigs  # store caught up
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-bucket cap: the candidate join must stay LINEAR in the
+# batch on boilerplate corpora (the round-5 weak mark)
+# ---------------------------------------------------------------------------
+
+
+class TestDegenerateBucketCap:
+    def test_boilerplate_store_emits_linear_candidates(self, spark, tmp_path):
+        """300 identical store docs + 40 identical batch docs all land
+        in ONE (band, bucket) per band. Uncapped, the join emits
+        40x300 pairs; capped at 16 store rows per bucket it must emit
+        exactly 40x16 — and every batch doc is still flagged."""
+        path = str(tmp_path / "boiler")
+        NS.build_minhash_store(
+            _docs(spark, [(i, BASE) for i in range(300)]), path
+        )
+        new = _docs(spark, [(1000 + i, BASE) for i in range(40)])
+        hits = NS.near_dups_against_store(
+            spark, path, new, threshold=0.5, max_store_bucket_size=16
+        ).collect()
+        assert len(hits) == 40 * 16, len(hits)
+        assert {r.new_id for r in hits} == {1000 + i for i in range(40)}
+        # deterministic ranked truncation: the survivors are the
+        # lowest snapshot ids
+        assert {r.snapshot_id for r in hits} == set(range(16))
+
+    def test_cap_changes_nothing_on_normal_data(self, spark, store):
+        new = _docs(
+            spark,
+            [
+                (10, BASE.replace("lazy", "sleepy")),
+                (11, "totally fresh content with no overlap whatsoever here"),
+                (12, BASE),
+            ],
+        )
+        capped = sorted(
+            map(
+                tuple,
+                NS.near_dups_against_store(spark, store, new, 0.3).collect(),
+            )
+        )
+        uncapped = sorted(
+            map(
+                tuple,
+                NS.near_dups_against_store(
+                    spark, store, new, 0.3, max_store_bucket_size=10**6
+                ).collect(),
+            )
+        )
+        assert capped == uncapped and capped
+
+    def test_store_bucket_stats_reports_capped_buckets(self, spark, tmp_path):
+        path = str(tmp_path / "boiler2")
+        NS.build_minhash_store(
+            _docs(
+                spark,
+                [(i, BASE) for i in range(100)]
+                + [(900, "a lone unrelated document about arrow batches")],
+            ),
+            path,
+        )
+        stats = {r.band: r for r in NS.store_bucket_stats(spark, path, 16).collect()}
+        assert len(stats) == 8  # default bands
+        for band, r in stats.items():
+            assert r.max_bucket_size == 100
+            assert r.n_capped_buckets >= 1
+
+
+# ---------------------------------------------------------------------------
+# v1 layout compatibility: stores written before the buckets column
+# existed must keep querying and keep accepting appends
+# ---------------------------------------------------------------------------
+
+
+def _build_v1_store(spark, path, docs):
+    import json as _json
+
+    NS._sig_array(docs, "text", "doc_id", 3, 32).write.mode(
+        "overwrite"
+    ).parquet(path + "/signatures")
+    meta = {"k": 3, "bands": 8, "rows_per_band": 4}  # no version key
+    spark.createDataFrame([( _json.dumps(meta),)], "meta string").repartition(
+        1
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+def test_v1_store_queries_and_appends_without_buckets_column(spark, tmp_path):
+    path = str(tmp_path / "v1store")
+    _build_v1_store(spark, path, _docs(spark, [(0, BASE)]))
+
+    hits = NS.near_dups_against_store(
+        spark, path, _docs(spark, [(10, BASE.replace("lazy", "sleepy"))])
+    )
+    assert {(r.new_id, r.snapshot_id) for r in hits.collect()} == {(10, 0)}
+
+    # appends must match the v1 schema (no buckets column) — a mixed
+    # dataset would corrupt the scan
+    long_doc = (
+        "an entirely separate long passage describing arrow record "
+        "batches flowing between the jvm and python workers during a "
+        "vectorized scan of columnar parquet data files"
+    )
+    assert (
+        NS.append_to_minhash_store(spark, path, _docs(spark, [(30, long_doc)]))
+        == 1
+    )
+    sig_df = spark.read.parquet(path + "/signatures")
+    assert "buckets" not in sig_df.columns
+    assert {r.id for r in sig_df.collect()} == {0, 30}
+    # and the appended doc is matchable
+    hits2 = NS.near_dups_against_store(
+        spark,
+        path,
+        _docs(spark, [(40, long_doc.replace("columnar", "compressed"))]),
+        0.5,
+    )
+    assert (40, 30) in {(r.new_id, r.snapshot_id) for r in hits2.collect()}
+
+
+def test_v2_store_persists_buckets_and_append_matches(spark, store):
+    import os
+
+    NS.append_to_minhash_store(
+        spark, store, _docs(spark, [(30, "fresh appended store material")])
+    )
+    sig_df = spark.read.parquet(os.path.join(store, "signatures"))
+    assert "buckets" in sig_df.columns
+    for row in sig_df.collect():  # build AND append rows carry buckets
+        assert len(row.buckets) == 8  # one struct per band
+        assert {b.band for b in row.buckets} == set(range(8))
+
+
+def test_intra_batch_near_dups_collapse_to_min_id(spark, tmp_path):
+    """Two near-dups arriving in the SAME micro-batch: neither is in
+    the store yet, so the store gate alone would accept both. The
+    intra-batch collapse must keep only the minimum id."""
+    source = tmp_path / "incoming"
+    source.mkdir()
+    dirs = {
+        "source": str(source),
+        "warehouse": str(tmp_path / "wh"),
+        "store": str(tmp_path / "store"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    helper = TestStreamIngestWithNearDup()
+    NS.build_minhash_store(
+        spark.createDataFrame([], helper.SCHEMA), dirs["store"]
+    )
+    helper._drop(
+        spark,
+        dirs["source"],
+        "b1",
+        [
+            (5, BASE.replace("lazy", "sleepy")),  # near-dup of 4, greater id
+            (4, BASE),
+            (6, "entirely unrelated corpus content nothing shared at all"),
+        ],
+    )
+    helper._run(spark, dirs)
+    wh = {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()}
+    assert wh == {4, 6}, wh
+    import os
+
+    sigs = {
+        r.id
+        for r in spark.read.parquet(
+            os.path.join(dirs["store"], "signatures")
+        ).collect()
+    }
+    assert sigs == {4, 6}, sigs
