@@ -388,3 +388,213 @@ def query_ivfpq_index_distributed(
             "rank",
         )
     )
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
+    """Restore the one-file-per-cell layout after incremental appends.
+
+    :func:`append_to_ivfpq_index` deliberately never rewrites existing
+    files, so every append adds one file per touched cell; after N
+    ingest batches a "pruned" query still LISTS AND OPENS N files per
+    probed cell and the file-listing overhead dominates the scan.
+    Compaction reads the coded table once, repartitions on cell (each
+    cell's rows land in exactly one task → exactly one file per cell),
+    and atomically swaps via a temp path with the same crash contract
+    as :func:`..sinks.parquet.compact_dataset`: a crash between the
+    two renames is healed at the next call by restoring the backup.
+    Query results are bit-identical before/after (pinned in
+    tests/test_ann_index.py). Returns the new data-file count.
+    """
+    from ..sinks.fsutil import checked_rename, hadoop_fs, remove_stale
+
+    meta = load_index_meta(spark, path)
+    coded_path = path.rstrip("/") + "/coded"
+    fs, hpath = hadoop_fs(spark, coded_path)
+    src = hpath(coded_path)
+    tmp = coded_path + "._compacting"
+    tmp_p = hpath(tmp)
+    backup = hpath(coded_path + "._precompact")
+    # crash recovery first: a prior compaction that died between its
+    # renames left src missing and ._precompact holding the only copy
+    if (not fs.exists(src)) and fs.exists(backup):
+        checked_rename(fs, backup, src)
+    remove_stale(fs, tmp_p, backup)
+
+    (
+        spark.read.parquet(coded_path)
+        .repartition(meta["num_centroids"], "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    checked_rename(fs, src, backup)
+    checked_rename(fs, tmp_p, src)
+    fs.delete(backup, True)
+
+    out_files = 0
+    it = fs.listFiles(src, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            out_files += 1
+    return out_files
+
+
+def index_health(
+    spark: SparkSession,
+    path: str,
+    sample_size: int = 16,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """One-row health report for a persisted index — the number behind
+    the "rebuild decision" that appends with frozen quantizers defer:
+
+    - cell balance (min/max/avg rows per cell, imbalance = max/avg):
+      appends from a drifted distribution pile into few cells, which
+      both skews probe cost and starves recall;
+    - ``n_files``: append-accreted small files — when it grows well
+      past ``n_cells``, run :func:`compact_ivfpq_index`;
+    - ``mean_adc_overlap``: agreement between the PQ ADC top-k and the
+      exact-cosine top-k over the same probed cells, averaged over a
+      deterministic probe sample (the ``sample_size`` lowest-id
+      vectors). Frozen codebooks encode drifted vectors badly, so this
+      is the direct measure of quantizer staleness — when it sags,
+      rebuild.
+
+    Cost: one metadata-sized groupBy over (cell), one FS listing, and
+    one pruned ADC+exact pass for the sample — no full re-rank of the
+    corpus.
+    """
+    from ..sinks.fsutil import hadoop_fs
+
+    meta = load_index_meta(spark, path)
+    m, sub, K = meta["m"], meta["sub"], meta["codebook_size"]
+    G = np.asarray(meta["centroids"])
+    C = np.asarray(meta["codebook"])
+    coded_path = path.rstrip("/") + "/coded"
+    coded = spark.read.parquet(coded_path)
+
+    balance = (
+        coded.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_rows"),
+            F.min("n").alias("min_cell_rows"),
+            F.max("n").alias("max_cell_rows"),
+            F.avg("n").alias("avg_cell_rows"),
+        )
+        .first()
+    )
+
+    fs, hpath = hadoop_fs(spark, coded_path)
+    n_files = 0
+    it = fs.listFiles(hpath(coded_path), True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_files += 1
+
+    # deterministic probe sample: the lowest-id vectors
+    q_rows = (
+        coded.select("id", "vector").orderBy("id").limit(sample_size).collect()
+    )
+    qids = [r["id"] for r in q_rows]
+    Q = _unit_np(np.asarray([r["vector"] for r in q_rows], dtype=np.float64))
+    luts = (Q.reshape(len(Q), m, sub) @ C.T).reshape(len(Q), -1)
+    probe_cells = np.argsort(_sq_dists_np(Q, G), axis=1, kind="stable")[:, :nprobe]
+    id_type = dict(coded.select("id").dtypes)["id"]
+    probes = spark.createDataFrame(
+        [
+            (qid, [float(x) for x in lut], int(cell))
+            for qid, lut, cells in zip(qids, luts, probe_cells)
+            for cell in cells
+        ],
+        f"query_id {id_type}, lut array<double>, cell int",
+    )
+    cells_needed = sorted({int(c) for row in probe_cells for c in row})
+    pruned = coded.where(F.col("cell").isin(cells_needed))
+
+    terms = [
+        F.element_at(
+            F.col("lut"),
+            F.lit(j * K + 1) + F.element_at(F.col("codes"), j + 1),
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    adc_topk = (
+        pruned.select("id", "cell", "codes")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), adc.alias("adc_score"))
+        .withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+
+    qn = with_norm(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in r["vector"]]) for qid, r in zip(qids, q_rows)],
+            f"query_id {id_type}, qv array<double>",
+        ),
+        "qv",
+    ).withColumnRenamed("_norm", "qn")
+    cn = with_norm(
+        pruned.select(F.col("id").alias("neighbor_id"), F.col("vector").alias("cv")),
+        "cv",
+    ).withColumnRenamed("_norm", "cn")
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact_topk = (
+        cn.join(F.broadcast(qn), cn.neighbor_id != qn.query_id)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("_r", F.row_number().over(w_cos))
+        .filter(F.col("_r") <= k)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+
+    adc_sets: dict = {}
+    for r in adc_topk:
+        adc_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact_sets: dict = {}
+    for r in exact_topk:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    overlaps = [
+        len(adc_sets.get(q, set()) & exact_sets.get(q, set()))
+        / max(len(exact_sets.get(q, set())), 1)
+        for q in qids
+    ]
+    mean_overlap = float(sum(overlaps) / max(len(overlaps), 1))
+
+    return spark.createDataFrame(
+        [
+            (
+                int(balance["n_rows"]),
+                int(balance["n_cells"]),
+                int(balance["min_cell_rows"]),
+                int(balance["max_cell_rows"]),
+                float(balance["avg_cell_rows"]),
+                float(balance["max_cell_rows"] / balance["avg_cell_rows"]),
+                int(n_files),
+                len(qids),
+                round(mean_overlap, 4),
+            )
+        ],
+        "n_rows bigint, n_cells bigint, min_cell_rows bigint, "
+        "max_cell_rows bigint, avg_cell_rows double, cell_imbalance double, "
+        "n_files bigint, probed_sample bigint, mean_adc_overlap double",
+    )

@@ -2181,6 +2181,35 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("ann_index_health")  # rows-only (metrics over an approx structure)
+def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index LIFECYCLE in one plan: build on part of the
+    corpus, append the rest with the frozen quantizers, COMPACT the
+    append-accreted files back to one per cell, and report health —
+    cell balance, file count, and the ADC-vs-exact top-k agreement
+    that puts a number on the rebuild decision (llm/index.py)."""
+    import shutil
+    import tempfile
+
+    from . import index as IX
+
+    embeddings = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="annhx_")
+    try:
+        IX.build_ivfpq_index(
+            embeddings.filter(F.col("vec_id") % 2 == 0), root,
+            num_centroids=16, seed=42,
+        )
+        IX.append_to_ivfpq_index(
+            spark, root, embeddings.filter(F.col("vec_id") % 2 == 1)
+        )
+        IX.compact_ivfpq_index(spark, root)
+        out = IX.index_health(spark, root).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register("neardup_incremental_documents")  # rows-only (xxhash64 sigs)
 def neardup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup at ingest: even doc_ids are the persisted
@@ -2222,6 +2251,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_pq",
     "ann_cosine_topk_ivfpq",
     "ann_index_ivfpq_query",
+    "ann_index_health",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",

@@ -124,3 +124,116 @@ def test_string_id_corpus_round_trips(spark, emb, tmp_path):
     # and it agrees with the id-type-agnostic distributed twin
     dist = IX.query_ivfpq_index_distributed(spark, path, queries, k=3, nprobe=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, dist.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Compaction: appends accrete one file per cell per batch; compaction
+# must restore one-file-per-cell with BIT-IDENTICAL query results
+# ---------------------------------------------------------------------------
+
+
+def _parquet_files(path):
+    import glob
+
+    return glob.glob(f"{path}/coded/cell=*/part-*.parquet")
+
+
+def test_compaction_restores_one_file_per_cell_query_identical(
+    spark, emb, tmp_path
+):
+    path = str(tmp_path / "ixc")
+    IX.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 300), path, num_centroids=8, seed=42
+    )
+    IX.append_to_ivfpq_index(
+        spark, path, emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    )
+    IX.append_to_ivfpq_index(spark, path, emb.filter(F.col("vec_id") >= 400))
+    import glob
+
+    n_cells = len(glob.glob(f"{path}/coded/cell=*"))
+    assert len(_parquet_files(path)) > n_cells  # appends accreted files
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        map(tuple, IX.query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    out_files = IX.compact_ivfpq_index(spark, path)
+    assert out_files == n_cells == len(_parquet_files(path))
+    after = sorted(
+        map(tuple, IX.query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    assert before == after
+
+
+def test_compaction_crash_recovery_restores_backup(spark, emb, tmp_path):
+    """A crash between the two swap renames leaves coded missing and
+    ._precompact holding the only copy; the next call must heal."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ixr")
+    IX.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 200), path, num_centroids=8, seed=42
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, IX.query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    # simulate the dangerous window: src renamed away, no replacement
+    os.rename(f"{path}/coded", f"{path}/coded._precompact")
+    # plus a stale staging dir from the dead run
+    os.makedirs(f"{path}/coded._compacting/junk")
+    IX.compact_ivfpq_index(spark, path)
+    after = sorted(
+        map(tuple, IX.query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    assert before == after
+    assert not os.path.exists(f"{path}/coded._precompact")
+    assert not os.path.exists(f"{path}/coded._compacting")
+
+
+# ---------------------------------------------------------------------------
+# Health: balance + file count + ADC/exact agreement, and the metric
+# must MOVE when the quantizers are stale for the data they serve
+# ---------------------------------------------------------------------------
+
+
+def test_index_health_reports_sane_metrics(spark, emb, tmp_path):
+    path = str(tmp_path / "ixh")
+    IX.build_ivfpq_index(emb, path, num_centroids=8, seed=42)
+    h = IX.index_health(spark, path, sample_size=8, k=10).first()
+    assert h.n_rows == emb.count()
+    assert 1 <= h.n_cells <= 8
+    assert h.min_cell_rows >= 1 and h.max_cell_rows <= h.n_rows
+    assert h.cell_imbalance >= 1.0
+    assert h.n_files == h.n_cells  # fresh build: one file per cell
+    assert h.probed_sample == 8
+    assert 0.0 <= h.mean_adc_overlap <= 1.0
+
+
+def test_index_health_detects_quantizer_staleness(spark, emb, tmp_path):
+    """The rebuild-decision number: an index whose quantizers were
+    trained on a representative corpus must score higher ADC/exact
+    agreement than one whose frozen quantizers saw almost nothing
+    before the corpus was appended in."""
+    # codebook large enough that the GOOD index's agreement is clearly
+    # above quantization noise (cb=16 is noise-bound on this synthetic
+    # corpus and the direction inverts) — measured: 0.51 vs 0.36 here
+    good = str(tmp_path / "good")
+    IX.build_ivfpq_index(emb, good, num_centroids=8, codebook_size=256, seed=42)
+
+    stale = str(tmp_path / "stale")
+    IX.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 12), stale,
+        num_centroids=8, codebook_size=256, seed=42,
+    )
+    IX.append_to_ivfpq_index(spark, stale, emb.filter(F.col("vec_id") >= 12))
+
+    h_good = IX.index_health(spark, good, sample_size=12, k=10).first()
+    h_stale = IX.index_health(spark, stale, sample_size=12, k=10).first()
+    assert h_good.n_rows == h_stale.n_rows
+    assert h_stale.mean_adc_overlap < h_good.mean_adc_overlap, (
+        h_stale.mean_adc_overlap,
+        h_good.mean_adc_overlap,
+    )
