@@ -4,11 +4,12 @@ Design (SURVEY §7 Phase 5): image/audio/video ride as ``binary``
 columns with a typed metadata struct; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages.
 
-The decode step itself is STUBBED — the real codecs (PIL/ffmpeg/...)
-are not in this container — but everything Spark-side is real and
-tested: schemas, batch shapes, partition behavior, and a
-deterministic fake feature extractor standing in for a model forward
-pass. Swapping ``_decode_stub`` for a real decoder changes no plan.
+PNG (zlib inflate + scanline un-filter), BMP, binary PPM, and PCM WAV
+decode FOR REAL via pure-stdlib parsers; formats that need a codec
+library the container lacks (JPEG/MP4/...) are stubbed behind a loud
+NotImplementedError. Everything Spark-side is identical either way —
+schemas, batch shapes, partition behavior, error-row capture — so
+swapping in a library decoder changes no plan.
 """
 
 from __future__ import annotations
@@ -67,14 +68,15 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Placeholder for decoders that need a codec library (JPEG/PNG/
-    MP4/...: PIL.Image.open / av.open / soundfile.read — not available
-    in this environment). BMP, binary PPM, and PCM WAV decode for real
-    via :func:`decode_bmp` / :func:`decode_ppm` / :func:`decode_wav`."""
+    """Placeholder for decoders that need a codec library (JPEG/MP4/
+    ...: PIL.Image.open / av.open / soundfile.read — not available in
+    this environment). PNG, BMP, binary PPM, and PCM WAV decode for
+    real via :func:`decode_png` / :func:`decode_bmp` /
+    :func:`decode_ppm` / :func:`decode_wav`."""
     raise NotImplementedError(
         "media decode for this format requires an image/audio codec "
         "library; inject a real decoder via decode_media(media, "
-        "decoder=...) — BMP/PPM/WAV decode natively via default_decoder"
+        "decoder=...) — PNG/BMP/PPM/WAV decode natively via default_decoder"
     )
 
 
@@ -168,11 +170,107 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     return n_frames, 1, n_channels, frames
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: color type → channel count for 8-bit-depth PNGs
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real pure-stdlib PNG decoder: chunk walk, zlib-inflate the IDAT
+    stream, un-filter each scanline per the five PNG filter types
+    (None/Sub/Up/Average/Paeth). Supports non-interlaced 8-bit-depth
+    images in grayscale (1ch), RGB (3), gray+alpha (2) and RGBA (4).
+    Palette (color type 3), 16-bit depth, and Adam7 interlacing raise
+    ValueError — decode_media turns that into an error row, exactly as
+    for truncated input. Returns (width, height, channels,
+    pixel_bytes) rows top-down, no stride padding."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("corrupt media header: not a PNG")
+    pos, dims, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad IHDR length {length}")
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace != 0:
+                raise ValueError("unsupported interlaced (Adam7) PNG")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad PNG dimensions {w}x{h}")
+            dims = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload-implicit + crc
+    if dims is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    width, height, channels = dims
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError(
+            f"truncated PNG pixel data: {len(raw)} < {height * (stride + 1)}"
+        )
+    bpp = channels  # bytes per pixel at depth 8
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
 def default_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Magic-byte dispatch: BMP / binary-PPM / PCM-WAV decode for real
-    (pure stdlib); any other format still needs a codec library and
-    raises NotImplementedError loudly via the stub."""
+    """Magic-byte dispatch: PNG / BMP / binary-PPM / PCM-WAV decode for
+    real (pure stdlib); any other format still needs a codec library
+    and raises NotImplementedError loudly via the stub."""
     data = bytes(payload) if payload is not None else b""
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
@@ -197,6 +295,85 @@ def identity_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
 #: BMP synthesis geometry shared with the SQL oracle: 16 px × 3 B/px
 BMP_WIDTH = 16
 BMP_CORRUPT_EVERY = 50
+
+#: PNG synthesis geometry shared with the SQL oracle: 16 px × 1 B/px
+PNG_WIDTH = 16
+PNG_CORRUPT_EVERY = 50
+
+
+def documents_as_png(
+    documents: DataFrame,
+    width: int = PNG_WIDTH,
+    corrupt_every: int = PNG_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #2: each document's
+    utf-8 bytes become the pixel data of a valid 8-bit GRAYSCALE PNG
+    (width fixed, height = ceil(bytes / width), zero-padded). Rows
+    alternate filter types None and Up so the gate exercises the
+    un-filter path, not just the chunk walk + inflate. Every
+    ``corrupt_every``-th doc is truncated mid-file to exercise the
+    decode-error path. Geometry is closed-form in byte length, so a
+    SQL oracle mirrors the decoded stats exactly (pixel CONTENT
+    round-trips are pinned byte-for-byte in tests/test_multimodal.py).
+    """
+    import struct
+    import zlib
+
+    def _chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8")
+                height = max(1, -(-len(data) // width))
+                pix = data.ljust(width * height, b"\x00")
+                scan = bytearray()
+                prev = bytes(width)
+                for r in range(height):
+                    line = pix[r * width : (r + 1) * width]
+                    if r % 2 == 0:  # filter None
+                        scan += b"\x00" + line
+                    else:  # filter Up: stored as delta vs previous row
+                        scan += b"\x02" + bytes(
+                            (line[i] - prev[i]) & 0xFF for i in range(width)
+                        )
+                    prev = line
+                ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+                payload = (
+                    _PNG_MAGIC
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+                    + _chunk(b"IEND", b"")
+                )
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    payload = payload[: max(4, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("image/png")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def documents_as_bmp(

@@ -965,6 +965,46 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_decode_stats",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id,
+               doc_id % 50 = 0 AS corrupt,
+               GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 16.0)
+                                AS BIGINT)) AS h
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN NOT corrupt THEN CAST(16 AS BIGINT) END AS width,
+           CASE WHEN NOT corrupt THEN h END AS height,
+           CASE WHEN NOT corrupt THEN CAST(1 AS BIGINT) END AS channels,
+           CASE WHEN NOT corrupt THEN 16 * h END AS n_pixel_bytes,
+           NOT corrupt AS decoded_ok
+    FROM geom
+    """,
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec PNG decode end-to-end: documents are synthesized
+    into valid 8-bit grayscale PNGs (zlib-compressed scanlines with
+    alternating None/Up filters — the un-filter path runs in-gate,
+    not just in unit tests) and decoded by the pure-stdlib PNG parser
+    through the default magic-dispatch decoder. Every 50th doc is
+    truncated mid-file and must surface as an error ROW; the oracle
+    mirrors the closed-form geometry (width 16, 1 channel, height =
+    ceil(utf-8 bytes / 16))."""
+    documents = load(spark, sf_dir, "documents")
+    decoded = M.decode_media(M.documents_as_png(documents))
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.length("pixels").cast("long").alias("n_pixel_bytes"),
+        F.col("decode_error").isNull().alias("decoded_ok"),
+    )
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")
