@@ -4,12 +4,26 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": sec, ...},
+   "queries_cold": {...}, "value_cold": <sec>, "sf": 0.1}
 
 Each query is executed to completion (count() forces the full plan;
 results are small aggregates so collection cost is negligible).
 A warmup run of the first query is excluded so JVM/codegen startup
 doesn't pollute per-query numbers.
+
+SPARK_GRAFT_BENCH_RUNS (default 2) controls timed passes per query.
+With N>1 passes, "queries"/"value" carry the BEST pass per query —
+the steady-state floor regression rules compare against — and the
+first pass lands in "queries_cold"/"value_cold". Rationale
+(SCALING.md): single runs swing 1.2-1.5x (occasionally 2-3x on the
+shuffle-heavy shapes) on plan-compile, page-cache and GC noise, in
+BOTH directions — r6 measured ngram_jaccard at 2.5 s first pass /
+5.5 s second — so neither "the cold run" nor "the warm run" is a
+stable per-query number; the min over passes is. Each pass still
+recompiles the plan (a fresh DataFrame per pass), so the floor is
+execution time, not a cache readback.
+Set SPARK_GRAFT_BENCH_RUNS=1 for the old single-cold-pass behavior.
 """
 
 from __future__ import annotations
@@ -75,6 +89,9 @@ HEADLINE = [
     # training-layout family representative: one hash exchange +
     # per-shard sort — the reproducible global shuffle
     "training_shuffle_manifest",
+    # real-codec multimodal decode (PNG synth + inflate + un-filter
+    # through mapInPandas) — the Python-heavy batch-decode shape
+    "multimodal_png_decode_stats",
     # the ANN serving shape: persisted index build + partition-pruned
     # query (cost includes the one-time build; the query alone is the
     # pruned-scan fraction)
@@ -128,26 +145,38 @@ def main() -> None:
     # bench reports nothing — worse than reporting 35 good numbers and
     # 1 error). Failures land in "errors" with the exception head; the
     # process exits non-zero so the failure is still loud.
-    timings: dict[str, float] = {}
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        start = time.perf_counter()
-        try:
-            QUERIES[name](spark, sf_dir).count()
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
-            continue
-        timings[name] = round(time.perf_counter() - start, 3)
+        for pass_no in range(runs):
+            start = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[name] = (
+                    f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+                )
+                break
+            elapsed = round(time.perf_counter() - start, 3)
+            if pass_no == 0:
+                cold[name] = elapsed
+            # best pass = steady-state floor; == cold when runs=1
+            warm[name] = min(warm.get(name, elapsed), elapsed)
 
-    total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline-suite wall time, local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8),
-        "value": total,
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
         "sf": sf,
     }
+    if runs > 1:
+        result["queries_cold"] = cold
+        result["value_cold"] = round(sum(cold.values()), 3)
+        result["runs"] = runs
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
