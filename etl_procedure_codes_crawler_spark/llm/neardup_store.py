@@ -289,3 +289,23 @@ def store_bucket_stats(
             ).alias("n_capped_buckets"),
         )
     )
+
+
+def compact_minhash_store(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Restore a compact file layout after incremental appends.
+
+    Every accepted ingest micro-batch appends one signature file, so a
+    long-running gate accretes thousands of small files and the store
+    scan in :func:`near_dups_against_store` — executed once per batch,
+    forever — pays the listing/open overhead each time. Delegates to
+    :func:`..sinks.parquet.compact_dataset` (atomic swap, crash-healed
+    on the next call); query results are unaffected — signatures are a
+    set, the layout carries no ordering contract. Returns the new file
+    count."""
+    from ..sinks.parquet import compact_dataset
+
+    return compact_dataset(
+        spark, path.rstrip("/") + "/signatures", target_file_mb
+    )

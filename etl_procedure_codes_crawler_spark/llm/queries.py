@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.timestamps import epoch_micros
 from ..plans.relational import ORACLES, load, register
 from . import dedup as D
+from . import fingerprint as FP
 from . import multimodal as M
 from . import packing as PK
 from . import similarity as S
@@ -128,6 +129,79 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents.select(
         "doc_id", T.fingerprint_sha256("text").alias("fingerprint")
     )
+
+
+#: winnowing geometry for the registered queries: guarantee = any
+#: shared normalized run of k + window - 1 = 23 chars fingerprints;
+#: cap 1024 keeps the oracle's per-char list_reduce affordable at the
+#: gate scale (the operator default is 4096)
+_WINNOW_SQL = """
+    WITH norm AS (
+        SELECT doc_id,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      1, 1024) AS t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(1, length(t) - 8 + 1),
+                 i -> list_reduce(
+                        list_transform(
+                            generate_series(i, i + 7),
+                            j -> CAST(unicode(substr(t, j, 1)) AS BIGINT)),
+                        (acc, c) -> (acc * 257 + c) % 1000000007)
+               ) AS hashes
+        FROM norm
+        WHERE length(t) >= 8
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(hashes) - 16 + 1, 1)),
+                 j -> list_min(list_slice(hashes, j, j + 15)))) AS fps
+        FROM hashed
+    )
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(UNNEST(fps) AS BIGINT) AS fingerprint
+    FROM winnowed
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_SQL)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash LOCAL fingerprints (winnowing, MOSS): polynomial
+    k-gram hashes + per-window minima, cross-engine bit-identical —
+    the oracle recomputes the identical Horner-mod arithmetic with
+    DuckDB list lambdas (llm/fingerprint.py)."""
+    documents = load(spark, sf_dir, "documents")
+    return FP.winnow_fingerprints(documents, max_chars=1024)
+
+
+@register(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH fps AS ({_WINNOW_SQL}),
+    df_ok AS (
+        SELECT fingerprint FROM fps
+        GROUP BY fingerprint HAVING COUNT(*) <= 20
+    ),
+    kept AS (SELECT id, fingerprint FROM fps JOIN df_ok USING (fingerprint))
+    SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS shared_fps
+    FROM kept a JOIN kept b USING (fingerprint)
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap detection over winnowing fingerprints: pairs
+    sharing >= 2 selected k-gram hashes, with fingerprints in > 20
+    docs dropped as boilerplate stop-fingerprints (bounds every
+    posting list — the df-cap idea from ngram_jaccard_pairs). Catches
+    contamination/quoting that whole-document dedup misses."""
+    documents = load(spark, sf_dir, "documents")
+    return FP.winnow_overlap_pairs(documents, max_chars=1024)
 
 
 # ---------------------------------------------------------------------------

@@ -411,3 +411,26 @@ def test_intra_batch_near_dups_collapse_to_min_id(spark, tmp_path):
         ).collect()
     }
     assert sigs == {4, 6}, sigs
+
+
+def test_store_compaction_single_file_and_matches_unchanged(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "compstore")
+    NS.build_minhash_store(_docs(spark, [(0, BASE)]), path)
+    for i in range(1, 4):  # three ingest batches → three more files
+        NS.append_to_minhash_store(
+            spark, path, _docs(spark, [(i, f"{BASE} batch variant {i}")])
+        )
+    assert len(glob.glob(f"{path}/signatures/part-*.parquet")) >= 4
+
+    probe = _docs(spark, [(99, BASE.replace("lazy", "sleepy"))])
+    before = sorted(
+        map(tuple, NS.near_dups_against_store(spark, path, probe, 0.3).collect())
+    )
+    n_files = NS.compact_minhash_store(spark, path)
+    assert n_files == 1 == len(glob.glob(f"{path}/signatures/part-*.parquet"))
+    after = sorted(
+        map(tuple, NS.near_dups_against_store(spark, path, probe, 0.3).collect())
+    )
+    assert before == after and before
