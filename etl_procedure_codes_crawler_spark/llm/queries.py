@@ -168,6 +168,40 @@ _WINNOW_SQL = """
 """
 
 
+@register(
+    "rag_chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM toks),
+    counted AS (
+        SELECT *, CASE WHEN n <= 128 THEN 1
+                  ELSE CAST(CEIL((n - 128) / 96.0) AS BIGINT) + 1 END AS num
+        FROM sized
+    ),
+    idx AS (
+        SELECT doc_id, toks, n, UNNEST(generate_series(0, num - 1)) AS i
+        FROM counted
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 96 + 1 AS BIGINT) AS start_token,
+           CAST(LEAST(128, n - i * 96) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, i * 96 + 1, i * 96 + 128), ' ')
+               AS chunk_text
+    FROM idx
+    """,
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 128, overlap 32) — the
+    RAG/embedding preparation unit, pure JVM array algebra with
+    closed-form geometry the oracle mirrors (llm/text.chunk_documents)."""
+    documents = load(spark, sf_dir, "documents")
+    return T.chunk_documents(documents, chunk_size=128, overlap=32)
+
+
 @register("winnowing_fingerprints", oracle=_WINNOW_SQL)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash LOCAL fingerprints (winnowing, MOSS): polynomial

@@ -130,3 +130,59 @@ def token_lengths_sum(token_col: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x.cast("bigint"),
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    overlap: int = 32,
+):
+    """Split documents into overlapping token-window chunks — the
+    retrieval/RAG preparation step (and the unit most context-window
+    pipelines embed, dedup and pack at, rather than whole documents).
+
+    Geometry is closed-form per row: chunk ``i`` covers tokens
+    ``[i*step + 1, i*step + chunk_size]`` with ``step = chunk_size -
+    overlap``; a document of ``n`` tokens yields ``1`` chunk when ``n
+    <= chunk_size`` else ``ceil((n - chunk_size)/step) + 1`` — every
+    token is covered, consecutive chunks share ``overlap`` tokens, and
+    only the last chunk may be short. Empty documents yield no rows.
+
+    Scale shape: pure JVM array algebra (split → slice → array_join
+    inside one projection, no shuffle at all); the explode multiplies
+    rows ~n/step× but each chunk carries only its own text. Returns
+    (id, chunk_idx, start_token, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap} / {chunk_size}"
+        )
+    step = chunk_size - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    num = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_size)).cast("double") / F.lit(step)).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), num - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            (i * step + 1).cast("bigint").alias("start_token"),
+            F.least(F.lit(chunk_size), n - i * step)
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(F.slice(toks, i * step + 1, chunk_size), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        df.where(F.length(F.trim(_c(text_col))) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col, "c.chunk_idx", "c.start_token", "c.n_tokens", "c.chunk_text"
+        )
+    )
