@@ -133,9 +133,17 @@ def winnow_overlap_pairs(
     fingerprints = boilerplate), so a posting list is at most
     ``max_df`` long and the pair blow-up per fingerprint is bounded at
     max_df·(max_df-1)/2 regardless of corpus shape."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, window, max_chars)
-    # document-frequency cap computed on the same exchange the join
-    # needs (groupBy fingerprint → join fingerprint)
+    # materialize the fingerprints ONCE: four consumers follow (the
+    # df-cap groupBy and both self-join sides through the semi filter)
+    # and without the checkpoint each re-runs the hashing UDF over the
+    # full corpus text — measured 8 ArrowEvalPython stages in the plan
+    # vs 1 after (AQE blocks ReusedExchange across the UDF subtree, so
+    # a pinned repartition does NOT deduplicate it). The checkpointed
+    # relation is (id, 8-byte fingerprint) rows — the cheap thing —
+    # while the text scan happens exactly once.
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k, window, max_chars
+    ).localCheckpoint(eager=True)
     df_ok = (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -192,3 +192,48 @@ class TestAnnPlans:
         assert "SortMergeJoin" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestRound6Plans:
+    def test_rag_chunking_has_no_shuffle(self, spark, sf_dir):
+        """Chunking is per-row array algebra — ANY exchange in its
+        plan means someone added a wide stage to a map-only operator."""
+        import re
+
+        plan = _plan(QUERIES["rag_chunk_documents"](spark, sf_dir))
+        assert not re.findall(r"Exchange hashpartitioning", plan), plan
+
+    def test_winnow_overlap_hashes_text_exactly_once(self, spark, sf_dir):
+        """The fingerprint UDF must not re-run per consumer: the
+        overlap query materializes (id, fingerprint) once, so its
+        downstream plan contains ZERO ArrowEvalPython stages (the one
+        hashing pass happened in the eager checkpoint) and only the
+        df-cap + self-join + pair-agg exchanges."""
+        import re
+
+        plan = _plan(QUERIES["winnow_overlap_pairs"](spark, sf_dir))
+        assert plan.count("ArrowEvalPython") == 0, plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+    def test_capped_store_join_adds_no_extra_exchange(self, spark, tmp_path):
+        """The degenerate-bucket cap must ride the join's own
+        (band, bucket) partitioning: 3 exchanges total (batch side,
+        store side/window, pair dedup) — same as the uncapped r5 plan
+        — and the cap window is partitioned (never a global sort)."""
+        import re
+
+        from etl_procedure_codes_crawler_spark.llm import neardup_store as NS
+
+        docs = spark.createDataFrame(
+            [(i, f"store document number {i} with plenty of shared text")
+             for i in range(30)],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "planstore")
+        NS.build_minhash_store(docs, path)
+        out = NS.near_dups_against_store(
+            spark, path, docs.limit(5), threshold=0.3
+        )
+        plan = _plan(out)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+        assert "No Partition Defined" not in plan
