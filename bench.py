@@ -158,6 +158,12 @@ def main() -> None:
                 errors[name] = (
                     f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
                 )
+                # a query that failed on ANY pass must not also report
+                # a timing — a pass-1 number for a query the same JSON
+                # declares failed would silently enter the regression
+                # comparison
+                cold.pop(name, None)
+                warm.pop(name, None)
                 break
             elapsed = round(time.perf_counter() - start, 3)
             if pass_no == 0:

@@ -66,7 +66,11 @@ def _winnow_udf(k: int, window: int):
             if n < k:
                 out.append([])
                 continue
-            codes = np.fromiter((ord(c) for c in txt), dtype=np.int64, count=n)
+            # utf-32-le bytes ARE the codepoint array — fully
+            # vectorized, no per-char Python ord() loop
+            codes = np.frombuffer(
+                txt.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
             m = n - k + 1
             acc = np.zeros(m, dtype=np.int64)
             # Horner with per-step mod: k vectorized passes, every

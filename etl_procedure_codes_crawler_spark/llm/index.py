@@ -546,14 +546,28 @@ def index_health(
         "qv",
     ).withColumnRenamed("_norm", "qn")
     cn = with_norm(
-        pruned.select(F.col("id").alias("neighbor_id"), F.col("vector").alias("cv")),
+        pruned.select(
+            F.col("id").alias("neighbor_id"),
+            "cell",
+            F.col("vector").alias("cv"),
+        ),
         "cv",
     ).withColumnRenamed("_norm", "cn")
     w_cos = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    # exact top-k over EACH QUERY'S OWN probed cells — joining on the
+    # (query_id, cell) probe pairs, exactly the candidate set the ADC
+    # pass ranked. Ranking the exact side over the UNION of all sample
+    # queries' cells would include neighbors the ADC pass never saw,
+    # deflating the overlap even for a perfect codebook (and making
+    # the metric shrink as sample_size grows).
     exact_topk = (
-        cn.join(F.broadcast(qn), cn.neighbor_id != qn.query_id)
+        cn.join(
+            F.broadcast(probes.select("query_id", "cell").distinct()), "cell"
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

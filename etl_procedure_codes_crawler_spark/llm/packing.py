@@ -430,25 +430,28 @@ def budget_select(
         F.col(quality_col).cast("double").alias("_q"),
         F.col(tokens_col).cast("bigint").alias("_n"),
     ).localCheckpoint(eager=True)
-    # cheap: a limit-1 scan of the already-materialized checkpoint
-    if not scored.where(
-        F.col("_q").isNull() | F.col("_n").isNull()
-    ).isEmpty():
-        raise ValueError(
-            f"budget_select: NULL {quality_col!r} or {tokens_col!r} rows "
-            "present — they would be dropped silently; filter or impute "
-            "upstream"
-        )
     # ascending order key: negated quality (best doc = smallest key)
     keyed = scored.withColumn("_neg", -F.col("_q"))
     if num_bins is None:
         num_bins = max(spark.sparkContext.defaultParallelism, 16)
     fracs = [i / num_bins for i in range(1, num_bins)]
+    # the NULL audit rides the quantile-edge aggregation (which scans
+    # everything anyway) — proving "no NULLs" any other way costs a
+    # whole extra job in the healthy steady state
     edge_row = keyed.select(
         F.percentile_approx(
             F.col("_neg"), F.array(*[F.lit(f) for f in fracs]), F.lit(10_000)
-        ).alias("edges")
+        ).alias("edges"),
+        F.sum(
+            (F.col("_q").isNull() | F.col("_n").isNull()).cast("int")
+        ).alias("n_null"),
     ).first()
+    if (edge_row["n_null"] or 0) > 0:
+        raise ValueError(
+            f"budget_select: {edge_row['n_null']} rows with NULL "
+            f"{quality_col!r} or {tokens_col!r} — they would be dropped "
+            "silently; filter or impute upstream"
+        )
     edges = sorted(set(edge_row["edges"] or []))
     bin_col = F.lit(0)
     for e in edges:

@@ -186,15 +186,20 @@ def stream_ingest_with_neardup(
     Build the store first (``neardup_store.build_minhash_store`` — an
     empty corpus is fine). Crash semantics: the id anti-join makes a
     replayed batch a no-op on the warehouse, and the store side is
-    RECONCILED rather than blindly appended — after the optional
-    warehouse write, every batch doc the warehouse holds is offered
-    to the store (whose own id anti-join no-ops the already-signed
-    ones). A crash landing between the two writes therefore heals on
-    replay: the warehouse write is skipped, the missing signatures
-    are back-filled — pinned by the crash test in
-    tests/test_neardup_store.py (a naive accepted-only append would
-    permanently lose the crashed batch's signatures, because the
-    replay's empty fresh set short-circuits before reaching them)."""
+    RECONCILED rather than blindly appended — every batch doc the
+    warehouse already holds is offered to the store (whose own id
+    anti-join no-ops the already-signed ones) at the TOP of the sink,
+    BEFORE any gating. The ordering is load-bearing: a crash between
+    the warehouse write and the signature append leaves accepted docs
+    unsigned, and if the replay gated before healing, a near-dup of a
+    crashed doc (its intra-batch twin, or a fuzzy re-crawl) would
+    sail through the store gate and land in the warehouse next to it.
+    Heal-first closes that window: the replay back-fills the missing
+    signatures, THEN judges the remainder of the batch against them —
+    pinned by both crash tests in tests/test_neardup_store.py (a
+    naive accepted-only append would permanently lose the crashed
+    batch's signatures, because the replay's empty fresh set
+    short-circuits before reaching them)."""
     from ..llm.dedup import minhash_near_dup_pairs
     from ..llm.neardup_store import (
         append_to_minhash_store,
@@ -209,6 +214,15 @@ def stream_ingest_with_neardup(
             .localCheckpoint(eager=True)  # consumed up to three times
         )
         existing = read_table_or_empty(spark, warehouse_path, rows.schema)
+        # crash-heal FIRST, before any gating: a prior run may have
+        # died between its warehouse write and its store append, so
+        # batch docs the warehouse already holds get their missing
+        # signatures back-filled NOW — if it happened after, a replayed
+        # batch's near-dups of the crashed docs would sail through the
+        # store gate unsigned (steady state: the store's own id
+        # anti-join makes this a no-op)
+        warehoused = rows.join(existing.select(id_col), id_col, "left_semi")
+        append_to_minhash_store(spark, store_path, warehoused, text_col, id_col)
         fresh = rows.join(
             existing.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # two consumers below
@@ -250,17 +264,12 @@ def stream_ingest_with_neardup(
                 accepted.write.mode("append").option(
                     "compression", "snappy"
                 ).parquet(warehouse_path)
-        # store reconciliation: sign every batch doc the warehouse now
-        # holds (append_to_minhash_store anti-joins the store's own ids,
-        # so steady state signs only the newly accepted docs)
-        warehoused = rows.join(
-            read_table_or_empty(spark, warehouse_path, rows.schema).select(
-                id_col
-            ),
-            id_col,
-            "left_semi",
-        )
-        append_to_minhash_store(spark, store_path, warehoused, text_col, id_col)
+                # sign the newly accepted docs; a crash between the
+                # two writes above is healed by the reconciliation at
+                # the TOP of the next replay
+                append_to_minhash_store(
+                    spark, store_path, accepted, text_col, id_col
+                )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -219,7 +219,7 @@ def test_index_health_detects_quantizer_staleness(spark, emb, tmp_path):
     before the corpus was appended in."""
     # codebook large enough that the GOOD index's agreement is clearly
     # above quantization noise (cb=16 is noise-bound on this synthetic
-    # corpus and the direction inverts) — measured: 0.51 vs 0.36 here
+    # corpus and the direction inverts) — measured: 0.59 vs 0.37 here
     good = str(tmp_path / "good")
     IX.build_ivfpq_index(emb, good, num_centroids=8, codebook_size=256, seed=42)
 

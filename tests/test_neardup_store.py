@@ -205,16 +205,26 @@ def test_ingest_gate_crash_between_writes_recovers(spark, tmp_path, monkeypatch)
         [(1, BASE), (2, "independent corpus text with zero shared shingles")],
     )
 
-    # first run: the store append blows up AFTER the warehouse write
+    # first run: the store append blows up AFTER the warehouse write.
+    # The sink calls append twice per batch — the heal-first
+    # reconciliation (call 1, a steady-state no-op) and the
+    # accepted-doc signing after the warehouse write (call 2) — so
+    # exploding on call 2 lands the crash exactly between the two
+    # writes, the documented dangerous window.
     import etl_procedure_codes_crawler_spark.llm.neardup_store as NSmod
 
     real_append = NSmod.append_to_minhash_store
+    calls = {"n": 0}
 
     def exploding_append(*a, **kw):
-        raise RuntimeError("simulated crash between the two writes")
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash between the two writes")
+        return real_append(*a, **kw)
 
-    # the gate imports append_to_minhash_store inside the sink body,
-    # so patching the module attribute takes effect per batch
+    # the gate imports append_to_minhash_store when the stream is
+    # BUILT (inside stream_ingest_with_neardup), i.e. after this
+    # patch, so the sink binds the exploding wrapper for run 1
     monkeypatch.setattr(NSmod, "append_to_minhash_store", exploding_append)
     import pytest as _pytest
     from pyspark.errors import StreamingQueryException
@@ -434,3 +444,64 @@ def test_store_compaction_single_file_and_matches_unchanged(spark, tmp_path):
         map(tuple, NS.near_dups_against_store(spark, path, probe, 0.3).collect())
     )
     assert before == after and before
+
+
+def test_crash_window_cannot_admit_near_dup_twin(spark, tmp_path, monkeypatch):
+    """The ordering bug the heal-first reconciliation closes: doc 4 is
+    accepted and written, the run crashes before signing it, and the
+    replay's fresh set holds only 4's near-dup twin 5 (4 is already
+    warehoused, so the intra-batch pair scan never sees the pair). If
+    the replay gated BEFORE back-filling 4's signature, 5 would be
+    accepted next to 4. It must be rejected."""
+    import os
+
+    import etl_procedure_codes_crawler_spark.llm.neardup_store as NSmod
+
+    source = tmp_path / "incoming"
+    source.mkdir()
+    dirs = {
+        "source": str(source),
+        "warehouse": str(tmp_path / "wh"),
+        "store": str(tmp_path / "store"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    helper = TestStreamIngestWithNearDup()
+    NS.build_minhash_store(spark.createDataFrame([], helper.SCHEMA), dirs["store"])
+    helper._drop(
+        spark,
+        dirs["source"],
+        "b1",
+        [(4, BASE), (5, BASE.replace("lazy", "sleepy"))],
+    )
+
+    real_append = NSmod.append_to_minhash_store
+    calls = {"n": 0}
+
+    def exploding_append(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # call 2 = signing the accepted docs
+            raise RuntimeError("crash after warehouse write, before signing")
+        return real_append(*a, **kw)
+
+    monkeypatch.setattr(NSmod, "append_to_minhash_store", exploding_append)
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException):
+        helper._run(spark, dirs)
+    # intra-batch collapse kept 4; the crash left it unsigned
+    assert {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()} == {4}
+
+    monkeypatch.setattr(NSmod, "append_to_minhash_store", real_append)
+    dirs["checkpoint"] = str(tmp_path / "ckpt2")
+    helper._run(spark, dirs)
+
+    wh = {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()}
+    assert wh == {4}, wh  # the twin must NOT slip in on replay
+    sigs = {
+        r.id
+        for r in spark.read.parquet(
+            os.path.join(dirs["store"], "signatures")
+        ).collect()
+    }
+    assert sigs == {4}, sigs
