@@ -2329,6 +2329,20 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("bpe_train_merges")  # rows-only (iterative driver loop)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table ON the corpus (Sennrich merges over
+    GPT-style pretokens): the corpus is scanned once into a
+    vocabulary-sized word-frequency table, then each merge is one
+    pair-count aggregation + a map-side rewrite. Deterministic
+    tie-breaks; pinned against a pure-Python reference in
+    tests/test_bpe.py (llm/bpe.py)."""
+    from . import bpe as B
+
+    documents = load(spark, sf_dir, "documents")
+    return B.train_bpe_merges(documents, num_merges=12, min_pair_freq=2)
+
+
 @register("ann_index_health")  # rows-only (metrics over an approx structure)
 def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index LIFECYCLE in one plan: build on part of the
@@ -2400,6 +2414,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivfpq",
     "ann_index_ivfpq_query",
     "ann_index_health",
+    "bpe_train_merges",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",

@@ -1,0 +1,121 @@
+"""Distributed BPE training (llm/bpe.py) vs a pure-Python Sennrich
+reference — merges, tie-breaks, greedy merge semantics, vocab."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from etl_procedure_codes_crawler_spark.llm import bpe as B
+
+
+def _ref_bpe(word_freqs: dict[str, int], num_merges: int, min_pair_freq: int):
+    """Sennrich et al. 2016 reference: pair counts over symbol
+    sequences, merge the most frequent pair greedy left-to-right,
+    ties broken by (freq desc, left asc, right asc)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        if top < min_pair_freq:
+            break
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append((best[0], best[1], top))
+        merged = best[0] + best[1]
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    final: Counter = Counter()
+    for syms, f in vocab.items():
+        for s in syms:
+            final[s] += f
+    return merges, dict(final)
+
+
+CORPUS = [
+    (1, "low lower lowest low low"),
+    (2, "newer newest new news"),
+    (3, "the lowest newest low"),
+    (4, "widest wider wide wide the the"),
+]
+
+
+def _spark_word_freqs(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    return {
+        r.word: r.freq for r in B.word_frequencies(df).collect()
+    }
+
+
+def test_merges_match_reference_exactly(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    got = [
+        (r.left, r.right, r.pair_freq)
+        for r in B.train_bpe_merges(df, num_merges=12, min_pair_freq=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    ref_merges, _ = _ref_bpe(_spark_word_freqs(spark), 12, 2)
+    assert got == ref_merges
+
+
+def test_vocab_matches_reference(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    got = {r.token: r.freq for r in B.bpe_vocab(df, num_merges=8).collect()}
+    _, ref_vocab = _ref_bpe(_spark_word_freqs(spark), 8, 2)
+    assert got == ref_vocab
+
+
+def test_greedy_merge_is_left_to_right_non_overlapping(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa], never [aa, a, a]
+    or a re-merged [aaaa] — the scan rule the reference also uses."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["a"] * 5,)], "sym array<string>")
+    out = df.select(B._merge_pair(F.col("sym"), "a", "a").alias("m")).first()
+    assert out.m == ["aa", "aa", "a"]
+
+
+def test_stop_vs_raise_on_exhausted_corpus(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    # only a handful of merges exist at freq >= 2
+    short = B.train_bpe_merges(df, num_merges=50, min_pair_freq=2).count()
+    assert short < 50
+    with pytest.raises(B.BpeNotProgressing):
+        B._train(df, "text", 50, 2, "raise")
+
+
+def test_single_char_and_empty_words_are_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c x")], "doc_id bigint, text string"
+    )
+    merges = B.train_bpe_merges(df, num_merges=4, min_pair_freq=2)
+    ref, _ = _ref_bpe(_spark_word_freqs_for(spark, "a b c a b c x"), 4, 2)
+    got = [(r.left, r.right, r.pair_freq) for r in merges.orderBy("rank").collect()]
+    assert got == ref
+
+
+def _spark_word_freqs_for(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    return {r.word: r.freq for r in B.word_frequencies(df).collect()}

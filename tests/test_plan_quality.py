@@ -37,6 +37,7 @@ NESTED_LOOP_EXEMPT = {
 #: plan string is not meaningful (driver loops, availableNow batches)
 SKIP = {
     "near_dup_clusters",
+    "bpe_train_merges",  # iterative driver loop, no single static plan
     "streaming_hourly_event_counts",
     "streaming_sliding_value_averages",
     "streaming_session_windows",
