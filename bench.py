@@ -92,6 +92,12 @@ HEADLINE = [
     # real-codec multimodal decode (PNG synth + inflate + un-filter
     # through mapInPandas) — the Python-heavy batch-decode shape
     "multimodal_png_decode_stats",
+    # round-6 additions: zero-shuffle chunk fan-out, the winnowing
+    # fingerprint join (Arrow hash pass + df-capped self-join), and
+    # the iterative BPE trainer (1 corpus scan + 12 vocab-table jobs)
+    "rag_chunk_documents",
+    "winnow_overlap_pairs",
+    "bpe_train_merges",
     # the ANN serving shape: persisted index build + partition-pruned
     # query (cost includes the one-time build; the query alone is the
     # pruned-scan fraction)

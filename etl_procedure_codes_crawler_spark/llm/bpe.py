@@ -29,8 +29,11 @@ Python replica in tests/test_bpe.py).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .text import bpe_pretokens
 
@@ -104,6 +107,7 @@ def _train(
     syms = (
         word_frequencies(df, text_col)
         .select(
+            "word",
             "freq",
             # split-to-chars; the (?!^) boundary also matches at
             # end-of-string, so drop the trailing empty symbol it emits
@@ -133,7 +137,7 @@ def _train(
         left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
         merges.append((rank, left, right, cnt))
         syms = syms.select(
-            "freq", _merge_pair(F.col("sym"), left, right).alias("sym")
+            "word", "freq", _merge_pair(F.col("sym"), left, right).alias("sym")
         ).localCheckpoint(eager=True)  # truncate per-iteration lineage
     return merges, syms
 
@@ -175,4 +179,97 @@ def bpe_vocab(
         syms.select("freq", F.explode("sym").alias("token"))
         .groupBy("token")
         .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_pair_freq: int = 2,
+):
+    """(merge list as (left, right) in rank order, segmentation table
+    (word, tokens)) — the two artifacts encoding needs. The
+    segmentation table is the trainer's OWN final symbol state, so
+    encoding a word the trainer saw is a LOOKUP, not a recomputation."""
+    merges, syms = _train(df, text_col, num_merges, min_pair_freq, "stop")
+    return (
+        [(a, b) for _r, a, b, _c in merges],
+        syms.select("word", F.col("sym").alias("tokens")),
+    )
+
+
+def _encode_word_udf(merges: list[tuple[str, str]]):
+    """Rank-order replay of the merge table over one word — the exact
+    training procedure, so in-vocab words reproduce the trainer's
+    segmentation and OOV words get the deterministic best-effort one.
+    Runs only for OOV words (the segment-table join covers the rest)."""
+
+    @pandas_udf("array<string>")
+    def encode(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            if w is None:
+                out.append(None)
+                continue
+            syms = list(w)
+            for left, right in merges:
+                i, merged, res = 0, left + right, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(syms)
+        return pd.Series(out)
+
+    return encode
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    segment_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens) — tokenize the corpus with a trained merge table.
+
+    Scale shape: pretokens join the vocabulary-sized segmentation
+    table on the word string (AQE broadcasts it when it fits — the
+    common case: the vocab is millions of rows, the corpus billions),
+    so the overwhelmingly-frequent in-vocab words are segmented by
+    LOOKUP; only out-of-vocabulary words run the rank-order replay
+    UDF. Per-document order is restored with an array_sort over
+    (position, tokens) structs — one exchange on the doc id, no
+    global sort."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bpe_pretokens(text_col)).alias("pos", "word"),
+    ).where(F.length("word") > 0)
+    joined = words.join(segment_table, "word", "left")
+    known = joined.filter(F.col("tokens").isNotNull())
+    encode = _encode_word_udf(merges)
+    oov = joined.filter(F.col("tokens").isNull()).select(
+        "word", "id", "pos", encode(F.col("word")).alias("tokens")
+    )
+    return (
+        known.select("id", "pos", "tokens")
+        .unionByName(oov.select("id", "pos", "tokens"))
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                    lambda x: x["tokens"],
+                )
+            ).alias("tokens")
+        )
     )

@@ -2343,6 +2343,28 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.train_bpe_merges(documents, num_merges=12, min_pair_freq=2)
 
 
+@register("bpe_encode_documents")  # rows-only (trained-model tokenization)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize: learn the merge table on even-doc_id docs,
+    encode ALL docs with it — in-vocab words segment by joining the
+    trainer's own segmentation table (broadcast-ably vocab-sized),
+    OOV words replay the merges in an Arrow-batched UDF. Returns
+    (id, n_tokens, first_tokens) — compact, deterministic
+    (llm/bpe.py)."""
+    from . import bpe as B
+
+    documents = load(spark, sf_dir, "documents")
+    merges, seg = B.train_bpe(
+        documents.filter(F.col("doc_id") % 2 == 0), num_merges=12
+    )
+    enc = B.bpe_encode(documents, merges, seg)
+    return enc.select(
+        "id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice("tokens", 1, 8), "|").alias("first_tokens"),
+    )
+
+
 @register("ann_index_health")  # rows-only (metrics over an approx structure)
 def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index LIFECYCLE in one plan: build on part of the
@@ -2415,6 +2437,7 @@ ROWS_ONLY = {
     "ann_index_ivfpq_query",
     "ann_index_health",
     "bpe_train_merges",
+    "bpe_encode_documents",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",

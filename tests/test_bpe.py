@@ -119,3 +119,51 @@ def test_single_char_and_empty_words_are_safe(spark):
 def _spark_word_freqs_for(spark, text):
     df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
     return {r.word: r.freq for r in B.word_frequencies(df).collect()}
+
+
+class TestBpeEncode:
+    def test_training_corpus_encodes_to_trainer_segmentation(self, spark):
+        """Encoding words the trainer saw must reproduce its final
+        symbol state exactly — lookup and replay agree."""
+        df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+        merges, seg = B.train_bpe(df, num_merges=10)
+        enc = {r.id: r.tokens for r in B.bpe_encode(df, merges, seg).collect()}
+        # reconstruct: concatenating tokens per doc gives the pretoken
+        # stream back (no characters lost or duplicated)
+        from etl_procedure_codes_crawler_spark.llm.text import bpe_pretokens
+        from pyspark.sql import functions as F
+
+        pre = {
+            r.doc_id: "".join(t for t in r.p if t)
+            for r in df.select("doc_id", bpe_pretokens("text").alias("p")).collect()
+        }
+        for doc_id, toks in enc.items():
+            assert "".join(toks) == pre[doc_id]
+        # and every in-vocab word matches the trainer's segmentation
+        seg_map = {r.word: list(r.tokens) for r in seg.collect()}
+        ref_merges, _ = _ref_bpe(_spark_word_freqs(spark), 10, 2)
+        for word, toks in seg_map.items():
+            # replay reference merges over the word
+            syms = list(word)
+            for left, right, _c in ref_merges:
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            assert toks == syms, (word, toks, syms)
+
+    def test_oov_words_replay_merges(self, spark):
+        train = spark.createDataFrame(
+            [(1, "low low lower lowest")], "doc_id bigint, text string"
+        )
+        merges, seg = B.train_bpe(train, num_merges=4)
+        # 'slow' was never seen; 'lo' and 'low' merges still apply
+        new = spark.createDataFrame([(9, "slow")], "doc_id bigint, text string")
+        toks = B.bpe_encode(new, merges, seg).first().tokens
+        assert "".join(toks) == "slow"
+        assert "low" in toks or "lo" in toks  # learned merges applied

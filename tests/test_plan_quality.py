@@ -38,6 +38,7 @@ NESTED_LOOP_EXEMPT = {
 SKIP = {
     "near_dup_clusters",
     "bpe_train_merges",  # iterative driver loop, no single static plan
+    "bpe_encode_documents",  # trains first — plan depends on learned merges
     "streaming_hourly_event_counts",
     "streaming_sliding_value_averages",
     "streaming_session_windows",
