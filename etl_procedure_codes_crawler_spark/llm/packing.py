@@ -523,3 +523,97 @@ def curriculum_manifest(
         F.row_number().over(w).cast("bigint").alias("pos"),
         F.col("_score").alias("score"),
     )
+
+
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Append ``_rank`` = exact ROW_NUMBER() OVER (ORDER BY value,
+    tiebreak) WITHOUT a single-partition window — the two-phase trick
+    shared with the deciles query and budget_select: bin rows by
+    broadcast quantile-edge LITERALS on the value (a pure function of
+    the row, deterministic in every job — repartitionByRange's sampled
+    bounds are not), rank within each bin in parallel, then add the
+    per-bin cumulative offsets (metadata-sized, collected once).
+
+    The input should already be materialized (localCheckpoint) if it
+    is expensive — two jobs consume it here (edges+counts, final)."""
+    spark = df.sparkSession
+    if num_bins is None:
+        num_bins = max(spark.sparkContext.defaultParallelism, 16)
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    v = F.col(value_col).cast("double")
+    edge_row = df.select(
+        F.percentile_approx(v, F.array(*[F.lit(f) for f in fracs]), F.lit(10_000))
+        .alias("edges")
+    ).first()
+    edges = sorted(set(edge_row["edges"] or []))
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + (v > F.lit(float(e))).cast("int")
+    w = Window.partitionBy("_bin").orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    binned = df.withColumn("_bin", bin_col)
+    counts = sorted(
+        (r["_bin"], r["cnt"])
+        for r in binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return binned.withColumn(
+        "_rank",
+        (F.element_at(offset_map, F.col("_bin")) + F.row_number().over(w)).cast(
+            "bigint"
+        ),
+    ).drop("_bin")
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Padding-efficient inference/training batches: sort documents by
+    token length (id tiebreak), slice consecutive runs of
+    ``batch_size`` into batches, and report each batch's padding waste
+    — every batch pads to ITS OWN max length, so batching
+    length-neighbors minimizes wasted compute (the standard bucketed
+    batching used for inference serving and packed finetuning).
+
+    Scale shape: the global length order comes from
+    :func:`exact_global_rank` (two-phase literal-edge binning — no
+    single-task window at any corpus size); the batch stats are one
+    groupBy on batch_id. Output: (batch_id, n_docs, min_tokens,
+    max_tokens, sum_tokens, padded_tokens, padding_waste)."""
+    scored = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("_n"),
+    ).localCheckpoint(eager=True)  # edges + counts + final all read it
+    ranked = exact_global_rank(scored, "_n", id_col)
+    return (
+        ranked.withColumn(
+            "batch_id", F.floor((F.col("_rank") - 1) / batch_size).cast("bigint")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+            F.sum("_n").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.max("_n")).alias("padded_tokens"),
+            F.round(
+                F.lit(1)
+                - F.sum("_n")
+                / (F.count(F.lit(1)) * F.max("_n")).cast("double"),
+                4,
+            ).alias("padding_waste"),
+        )
+    )

@@ -2329,6 +2329,43 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS _n
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, _n,
+               ROW_NUMBER() OVER (ORDER BY _n, doc_id) AS rnk
+        FROM sized
+    ),
+    b AS (
+        SELECT *, CAST(FLOOR((rnk - 1) / 32) AS BIGINT) AS batch_id
+        FROM ranked
+    )
+    SELECT batch_id,
+           COUNT(*) AS n_docs,
+           MIN(_n) AS min_tokens,
+           MAX(_n) AS max_tokens,
+           CAST(SUM(_n) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(_n) AS BIGINT) AS padded_tokens,
+           ROUND(1 - SUM(_n) / CAST(COUNT(*) * MAX(_n) AS DOUBLE), 4)
+               AS padding_waste
+    FROM b GROUP BY batch_id
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batching: documents globally ordered by token
+    length (exact two-phase rank — the oracle's single ROW_NUMBER
+    window would be one task at scale), sliced into 32-doc batches,
+    per-batch padding waste reported (llm/packing.py)."""
+    documents = load(spark, sf_dir, "documents")
+    sized = documents.select("doc_id", T.token_count("text").alias("n_tokens"))
+    return PK.length_bucketed_batches(sized, "n_tokens", "doc_id", batch_size=32)
+
+
 @register("bpe_train_merges")  # rows-only (iterative driver loop)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a BPE merge table ON the corpus (Sennrich merges over

@@ -430,3 +430,64 @@ class TestBudgetSelectNullContract:
         )
         with pytest.raises(ValueError, match="NULL"):
             PK.budget_select(docs, "quality", "n_tokens", budget=100)
+
+
+class TestLengthBucketedBatches:
+    def test_batches_are_length_contiguous_and_waste_exact(self, spark):
+        # 70 docs with lengths 1..70 shuffled; batch_size 32
+        import random
+
+        rng = random.Random(5)
+        lens = list(range(1, 71))
+        rng.shuffle(lens)
+        docs = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(lens)], "doc_id bigint, n_tokens bigint"
+        )
+        rows = {
+            r.batch_id: r
+            for r in PK.length_bucketed_batches(docs, batch_size=32).collect()
+        }
+        assert set(rows) == {0, 1, 2}
+        # global length order → batch 0 holds lengths 1..32, etc.
+        assert (rows[0].min_tokens, rows[0].max_tokens, rows[0].n_docs) == (1, 32, 32)
+        assert (rows[1].min_tokens, rows[1].max_tokens, rows[1].n_docs) == (33, 64, 32)
+        assert (rows[2].min_tokens, rows[2].max_tokens, rows[2].n_docs) == (65, 70, 6)
+        # exact waste arithmetic: batch 0 pads 32 docs to 32 tokens
+        assert rows[0].padded_tokens == 32 * 32
+        assert rows[0].sum_tokens == sum(range(1, 33))
+        assert rows[0].padding_waste == round(1 - rows[0].sum_tokens / 1024, 4)
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        import re
+
+        docs = spark.createDataFrame(
+            [(i, (i * 37) % 200 + 1) for i in range(500)],
+            "doc_id bigint, n_tokens bigint",
+        )
+        out = PK.length_bucketed_batches(docs, batch_size=32)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow\s+(\[.*)", line)
+            if m:
+                assert len(re.findall(r"\], \[", m.group(1))) >= 2, line
+
+    def test_rank_is_exact_row_number_semantics(self, spark):
+        # ties on length broken by id: same semantics as the oracle's
+        # ROW_NUMBER() OVER (ORDER BY _n, doc_id)
+        docs = spark.createDataFrame(
+            [(i, 10) for i in range(40)] + [(100 + i, 20) for i in range(40)],
+            "doc_id bigint, n_tokens bigint",
+        )
+        ranked = PK.exact_global_rank(
+            docs.select("doc_id", F.col("n_tokens").cast("bigint").alias("_n")),
+            "_n",
+            "doc_id",
+        )
+        got = {r.doc_id: r._rank for r in ranked.collect()}
+        want = {
+            d: i + 1
+            for i, d in enumerate(
+                sorted(got, key=lambda d: (10 if d < 100 else 20, d))
+            )
+        }
+        assert got == want
