@@ -1,0 +1,92 @@
+"""Model-based quality filtering: a broadcast linear scorer.
+
+Production corpus pipelines filter with TRAINED quality classifiers
+(fastText/logistic models over cheap text features — the C4/CCNet/
+FineWeb pattern), not just hand rules. For a linear model the right
+Spark shape is model-as-data: the coefficient vector is driver-side
+constants folded straight into the column expression — the "broadcast"
+costs nothing, scoring is one JVM-side projection over the feature
+math :mod:`.text` already provides, and swapping in re-trained
+coefficients changes no plan.
+
+The score is the raw LINEAR margin (w·x + b), not a sigmoid: the
+sigmoid is a monotone transform that changes no ranking and no
+thresholding decision, and dropping it keeps the arithmetic rational
+(divisions, multiplies, adds, in a fixed order) — bit-identical across
+engines, so the DuckDB oracle hash-matches without tolerance games
+(libm exp() is not guaranteed correctly rounded; IEEE division is).
+
+Features (all pure column math, no UDF):
+- ``len_sat``        — min(n_tokens, 256)/256, saturating length;
+- ``ttr``            — type-token ratio;
+- ``avg_token_len``  — mean token length;
+- ``stop_ratio``     — English stopword-marker ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+#: stand-in coefficients for a trained filter (positive margin = keep):
+#: reward stopword density and moderate length — the strongest public
+#: cheap signals for "running prose" vs boilerplate/code/tables —
+#: penalize extreme average token length (markup, URLs, hex blobs).
+DEFAULT_MODEL = {
+    "bias": -1.2,
+    "len_sat": 1.1,
+    "ttr": 0.6,
+    "avg_token_len": -0.18,
+    "stop_ratio": 6.5,
+}
+
+#: fixed feature order — the score expression and its SQL oracle MUST
+#: add terms in the same order (double addition is not associative)
+FEATURE_ORDER = ("len_sat", "ttr", "avg_token_len", "stop_ratio")
+
+
+def quality_features(text_col: str = "text") -> dict:
+    """The four feature columns, shared by the scorer and any future
+    trainer; token math comes from :mod:`.text` (JVM higher-order
+    functions, no Python)."""
+    toks = T.tokens(text_col)
+    n = F.size(toks).cast("bigint")
+    uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    return {
+        "len_sat": F.least(n, F.lit(256)).cast("double") / F.lit(256.0),
+        "ttr": uniq.cast("double") / n,
+        "avg_token_len": T.token_lengths_sum(toks).cast("double") / n,
+        "stop_ratio": T.marker_hits(toks, T.LANG_MARKERS["en"]).cast("double")
+        / n,
+    }
+
+
+def score_documents(
+    df: DataFrame,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """(id, quality_score, keep) — linear quality margin per document
+    and its threshold decision. ``model`` maps feature names (plus
+    ``bias``) to coefficients; defaults to :data:`DEFAULT_MODEL`.
+    Unknown feature names raise — silently ignoring a coefficient
+    would score with a different model than the caller trained."""
+    model = dict(DEFAULT_MODEL if model is None else model)
+    bias = float(model.pop("bias", 0.0))
+    feats = quality_features(text_col)
+    unknown = set(model) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown quality features: {sorted(unknown)}")
+    score = F.lit(bias)
+    for name in FEATURE_ORDER:
+        if name in model:
+            score = score + F.lit(float(model[name])) * feats[name]
+    return df.select(
+        F.col(id_col),
+        F.round(score, 4).alias("quality_score"),
+        (score > F.lit(float(threshold))).alias("keep"),
+    )

@@ -99,6 +99,43 @@ def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_model_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(LEAST(len(toks), 256) AS DOUBLE) / 256.0 AS len_sat,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+               CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / len(toks)
+                   AS avg_token_len,
+               CAST(len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','you','that','it','was')))
+                   AS DOUBLE) / len(toks) AS stop_ratio
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               -1.2 + 1.1 * len_sat + 0.6 * ttr
+                    + -0.18 * avg_token_len + 6.5 * stop_ratio AS score
+        FROM f
+    )
+    SELECT doc_id, ROUND(score, 4) AS quality_score, score > 0.0 AS keep
+    FROM s
+    """,
+)
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier-style quality filtering as model-as-data: a
+    linear margin over JVM-computed features with the coefficients
+    folded into the plan as literals; raw margin, not sigmoid, so the
+    arithmetic is rational and cross-engine bit-identical
+    (llm/quality.py)."""
+    from . import quality as Q
+
+    documents = load(spark, sf_dir, "documents")
+    return Q.score_documents(documents)
+
+
 def _lang_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
