@@ -239,6 +239,50 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(documents, chunk_size=128, overlap=32)
 
 
+@register(
+    "decontaminate_against_eval",
+    oracle=f"""
+    WITH fps AS ({_WINNOW_SQL}),
+    eval_fps AS (SELECT * FROM fps WHERE id % 2 = 0),
+    batch_fps AS (SELECT * FROM fps WHERE id % 2 = 1),
+    df_ok AS (
+        SELECT fingerprint FROM eval_fps
+        GROUP BY fingerprint HAVING COUNT(*) <= 20
+    ),
+    kept AS (SELECT id, fingerprint FROM eval_fps JOIN df_ok USING (fingerprint))
+    SELECT b.id AS new_id, kept.id AS eval_id, COUNT(*) AS shared_fps
+    FROM batch_fps b JOIN kept USING (fingerprint)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination workflow end-to-end THROUGH the persisted
+    store: even doc_ids act as the benchmark/eval corpus (fingerprints
+    built and persisted once), odd doc_ids as an arriving training
+    batch; batch docs sharing >= 2 winnowing fingerprints with an eval
+    doc are flagged. Fully hash-oracled — the store round-trip must
+    change nothing (llm/fingerprint.py)."""
+    import shutil
+    import tempfile
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="wstore_")
+    try:
+        FP.build_winnow_store(
+            documents.filter(F.col("doc_id") % 2 == 0), root, max_chars=1024
+        )
+        out = FP.contamination_against_store(
+            spark,
+            root,
+            documents.filter(F.col("doc_id") % 2 == 1),
+            min_shared=2,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register("winnowing_fingerprints", oracle=_WINNOW_SQL)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash LOCAL fingerprints (winnowing, MOSS): polynomial

@@ -115,3 +115,73 @@ class TestWinnowOverlapPairs:
             _docs(spark, rows), min_shared=1, max_df=1000
         ).count()
         assert uncapped == 26 * 25 // 2
+
+
+class TestWinnowStore:
+    def test_store_roundtrip_flags_contamination(self, spark, tmp_path):
+        eval_docs = _docs(
+            spark,
+            [(0, PAD_A + SHARED), (2, "a clean benchmark question about "
+                                       "gravity and orbital mechanics")],
+        )
+        path = str(tmp_path / "wstore")
+        FP.build_winnow_store(eval_docs, path)
+        batch = _docs(
+            spark,
+            [
+                (1, PAD_B + SHARED),  # quotes eval doc 0
+                (3, "entirely original training text with no quoted "
+                    "benchmark content anywhere inside"),
+            ],
+        )
+        hits = {
+            (r.new_id, r.eval_id)
+            for r in FP.contamination_against_store(
+                spark, path, batch, min_shared=1
+            ).collect()
+        }
+        assert (1, 0) in hits
+        assert all(nid != 3 for nid, _ in hits)
+
+    def test_query_uses_store_geometry_not_defaults(self, spark, tmp_path):
+        """A store built with non-default k must still match — the
+        batch is fingerprinted with the STORE's params from meta."""
+        path = str(tmp_path / "wstore_k5")
+        FP.build_winnow_store(
+            _docs(spark, [(0, PAD_A + SHARED)]), path, k=5, window=8
+        )
+        hits = FP.contamination_against_store(
+            spark, path, _docs(spark, [(1, PAD_B + SHARED)]), min_shared=1
+        )
+        assert hits.count() >= 1
+
+    def test_append_is_idempotent_and_extends_coverage(self, spark, tmp_path):
+        path = str(tmp_path / "wstore_app")
+        FP.build_winnow_store(_docs(spark, [(0, PAD_A + SHARED)]), path)
+        newer = _docs(
+            spark,
+            [(2, "a freshly added benchmark prompt about tidal locking "
+                 "and resonance chains in exoplanet systems")],
+        )
+        assert FP.append_to_winnow_store(spark, path, newer) == 1
+        assert FP.append_to_winnow_store(spark, path, newer) == 0  # replay
+        hits = FP.contamination_against_store(
+            spark,
+            path,
+            _docs(spark, [(9, "students asked about tidal locking and "
+                              "resonance chains in exoplanet systems")]),
+            min_shared=1,
+        )
+        assert (9, 2) in {(r.new_id, r.eval_id) for r in hits.collect()}
+
+    def test_eval_boilerplate_capped_by_meta_max_df(self, spark, tmp_path):
+        """An eval suite whose every item carries the same preamble:
+        the preamble fingerprints exceed max_df and must not flag
+        every training doc that happens to quote the preamble."""
+        preamble = " please answer the following question carefully: "
+        evals = [(i * 2, "abcdefghijklm"[i] * 25 + preamble) for i in range(12)]
+        path = str(tmp_path / "wstore_cap")
+        FP.build_winnow_store(_docs(spark, evals), path, max_df=5)
+        batch = _docs(spark, [(99, "some training doc that merely says" + preamble)])
+        hits = FP.contamination_against_store(spark, path, batch, min_shared=1)
+        assert hits.count() == 0
