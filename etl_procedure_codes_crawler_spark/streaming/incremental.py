@@ -162,6 +162,8 @@ def stream_ingest_with_neardup(
     text_col: str = "text",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    eval_store_path: str | None = None,
+    eval_min_shared: int = 2,
 ):
     """The full corpus ingest gate as one continuous pipeline: each
     arriving batch is (1) id-deduped against the warehouse (replay
@@ -182,6 +184,15 @@ def stream_ingest_with_neardup(
     whose job is "never let two near-dups of one page into the
     corpus"; the kept doc is always the cluster's minimum id, so a
     replayed batch collapses identically.
+
+    With ``eval_store_path`` set (a winnowing store built by
+    ``fingerprint.build_winnow_store`` over the benchmark/eval
+    corpus), the gate ALSO rejects batch docs sharing
+    ``eval_min_shared``+ winnowing fingerprints with any eval doc —
+    decontamination enforced at the corpus front door rather than as
+    a post-hoc sweep. The eval check is stateless per batch (the eval
+    store only changes when benchmarks are added), so it composes
+    with the crash contract unchanged.
 
     Build the store first (``neardup_store.build_minhash_store`` — an
     empty corpus is fine). Crash semantics: the id anti-join makes a
@@ -249,6 +260,20 @@ def stream_ingest_with_neardup(
             fresh = fresh.join(intra_losers, id_col, "left_anti").localCheckpoint(
                 eager=True  # two consumers below, and the pair scan above
             )
+        if eval_store_path is not None and not fresh.isEmpty():
+            from ..llm.fingerprint import contamination_against_store
+
+            contaminated = (
+                contamination_against_store(
+                    spark, eval_store_path, fresh, text_col, id_col,
+                    min_shared=eval_min_shared,
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            fresh = fresh.join(
+                contaminated, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         if not fresh.isEmpty():
             near = (
                 near_dups_against_store(

@@ -185,3 +185,54 @@ class TestWinnowStore:
         batch = _docs(spark, [(99, "some training doc that merely says" + preamble)])
         hits = FP.contamination_against_store(spark, path, batch, min_shared=1)
         assert hits.count() == 0
+
+
+def test_ingest_gate_rejects_eval_contamination(spark, tmp_path):
+    """The composed front door: with an eval store attached, a batch
+    doc quoting benchmark material never reaches the warehouse."""
+    from etl_procedure_codes_crawler_spark.llm import neardup_store as NS
+    from etl_procedure_codes_crawler_spark.streaming.incremental import (
+        stream_ingest_with_neardup,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    source = tmp_path / "incoming"
+    source.mkdir()
+    wh, nd, ev, ck = (
+        str(tmp_path / "wh"), str(tmp_path / "nd"),
+        str(tmp_path / "ev"), str(tmp_path / "ck"),
+    )
+    schema_str = "doc_id bigint, text string"
+    NS.build_minhash_store(spark.createDataFrame([], schema_str), nd)
+    FP.build_winnow_store(_docs(spark, [(1000, PAD_A + SHARED)]), ev)
+
+    import glob, os, shutil, tempfile
+
+    staging = tempfile.mkdtemp()
+    batch = _docs(
+        spark,
+        [
+            (1, PAD_B + SHARED),  # quotes the eval doc → must be rejected
+            # min_shared=1: even ONE common 8-gram flags, so this text
+            # shares no 8-char substring with the eval doc (no common
+            # long words, no common phrases)
+            (2, "zq fresh corpus rows kept apart from bench suites, "
+                "wholly new words only, full stop here"),
+        ],
+    )
+    batch.repartition(1).write.mode("overwrite").parquet(staging)
+    shutil.copy(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(str(source), "b1.parquet"),
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = stream_ingest_with_neardup(
+        spark, str(source), schema, wh, nd, ck,
+        threshold=0.5, eval_store_path=ev, eval_min_shared=1,
+    )
+    q.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(wh).collect()} == {2}
