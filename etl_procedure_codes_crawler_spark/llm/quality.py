@@ -85,8 +85,16 @@ def score_documents(
     for name in FEATURE_ORDER:
         if name in model:
             score = score + F.lit(float(model[name])) * feats[name]
+    # 1e-4 grid by FLOOR, not round(): small-decimal weights times
+    # simple token ratios land scores EXACTLY on .00005 boundaries,
+    # where Spark's round (exact BigDecimal, HALF_UP) and DuckDB's
+    # (multiply-then-std::round) disagree — measured at sf0.1. floor
+    # of one IEEE multiply is bit-identical on identical doubles.
+    grid = (F.floor(score * F.lit(10000.0)) / F.lit(10000.0)).alias(
+        "quality_score"
+    )
     return df.select(
         F.col(id_col),
-        F.round(score, 4).alias("quality_score"),
+        grid,
         (score > F.lit(float(threshold))).alias("keep"),
     )

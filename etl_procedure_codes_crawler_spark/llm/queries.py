@@ -120,7 +120,9 @@ def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + -0.18 * avg_token_len + 6.5 * stop_ratio AS score
         FROM f
     )
-    SELECT doc_id, ROUND(score, 4) AS quality_score, score > 0.0 AS keep
+    SELECT doc_id,
+           FLOOR(score * 10000.0) / 10000.0 AS quality_score,
+           score > 0.0 AS keep
     FROM s
     """,
 )
