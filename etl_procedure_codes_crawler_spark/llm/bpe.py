@@ -260,7 +260,7 @@ def bpe_encode(
     oov = joined.filter(F.col("tokens").isNull()).select(
         "word", "id", "pos", encode(F.col("word")).alias("tokens")
     )
-    return (
+    grouped = (
         known.select("id", "pos", "tokens")
         .unionByName(oov.select("id", "pos", "tokens"))
         .groupBy("id")
@@ -271,5 +271,20 @@ def bpe_encode(
                     lambda x: x["tokens"],
                 )
             ).alias("tokens")
+        )
+    )
+    # empty/whitespace-only documents produce zero pretokens and would
+    # otherwise VANISH from the output (posexplode emits no rows); a
+    # tokenizer must return (id, []) so downstream joins (packing,
+    # manifests) keep every document
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .dropDuplicates(["id"])
+        .join(grouped, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
         )
     )

@@ -173,6 +173,28 @@ def winnow_overlap_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _fps_with_empty_markers(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+    max_chars: int,
+) -> DataFrame:
+    """Store-side fingerprint rows: like :func:`winnow_fingerprints`
+    but a document yielding NO fingerprints (shorter than k, NULL
+    text) still gets one (id, NULL) marker row — without it the
+    append's id anti-join would classify such docs as never-seen and
+    re-fingerprint them on EVERY append, and the append count would
+    never converge. Queries filter the NULL markers out before
+    joining."""
+    winnow = _winnow_udf(k, window)
+    return df.select(
+        F.col(id_col).alias("id"),
+        winnow(_normalized_capped(text_col, max_chars)).alias("_fps"),
+    ).select("id", F.explode_outer("_fps").alias("fingerprint"))
+
+
 def build_winnow_store(
     eval_docs: DataFrame,
     path: str,
@@ -196,9 +218,11 @@ def build_winnow_store(
     in meta) is applied at query time over the store-side counts —
     eval sets are curated and small, the recount is one cheap groupBy,
     and applying the cap at build time would silently drift as
-    :func:`append_to_winnow_store` grows the store."""
+    :func:`append_to_winnow_store` grows the store. Docs yielding no
+    fingerprints are recorded as (id, NULL) marker rows so appends
+    stay id-idempotent for them too."""
     spark = eval_docs.sparkSession
-    winnow_fingerprints(
+    _fps_with_empty_markers(
         eval_docs, text_col, id_col, k, window, max_chars
     ).write.mode("overwrite").parquet(path.rstrip("/") + "/fps")
     meta = {
@@ -237,9 +261,11 @@ def append_to_winnow_store(
         .dropDuplicates([id_col])
         .join(existing, id_col, "left_anti")
     )
-    fps = winnow_fingerprints(
+    fps = _fps_with_empty_markers(
         fresh, text_col, id_col, meta["k"], meta["window"], meta["max_chars"]
     ).localCheckpoint(eager=True)  # lineage reads the path being appended
+    # count DOCS (the empty-marker rows make every fresh doc visible
+    # here), not fingerprints — the return value is docs appended
     n = fps.select("id").distinct().count()
     if n:
         fps.write.mode("append").parquet(path.rstrip("/") + "/fps")
@@ -262,7 +288,9 @@ def contamination_against_store(
     store's geometry; the join shuffles 8-byte fingerprints; the
     store-side df-cap (from meta) bounds every posting list."""
     meta = load_winnow_meta(spark, path)
-    store = spark.read.parquet(path.rstrip("/") + "/fps")
+    store = spark.read.parquet(path.rstrip("/") + "/fps").filter(
+        F.col("fingerprint").isNotNull()  # drop the empty-doc markers
+    )
     df_ok = (
         store.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -473,8 +473,15 @@ def budget_select(
     for b, t in totals:
         offsets[b] = acc
         acc += t
+    # token-sum offsets exceed int32 almost immediately at corpus
+    # scale; cast every map value so the map type is uniformly BIGINT
+    # (a mixed int/long literal map fails analysis)
     offset_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
+        *[
+            x
+            for b, off in offsets.items()
+            for x in (F.lit(b), F.lit(off).cast("bigint"))
+        ]
     )
     cum = F.element_at(offset_map, F.col("_bin")) + F.col("_local_cum")
     return (
@@ -525,53 +532,147 @@ def curriculum_manifest(
     )
 
 
+def _quantile_edge_bin(df: DataFrame, value_col: str, num_bins: int):
+    """(binned_df, n_null) — append ``_bin`` from broadcast
+    quantile-edge LITERALS on the value (a pure function of the row,
+    deterministic in every job — repartitionByRange's sampled bounds
+    are not). The NULL count rides the same aggregation because a
+    NULL value makes ``_bin`` NULL and silently corrupts any
+    downstream offset arithmetic; callers must raise or filter. One
+    job. :func:`budget_select` and the deciles query keep inline
+    variants — budget_select's audit covers a second column and the
+    deciles binning is interleaved with its decile arithmetic — but
+    any new two-phase rank should build on this."""
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    v = F.col(value_col).cast("double")
+    row = df.select(
+        F.percentile_approx(
+            v, F.array(*[F.lit(f) for f in fracs]), F.lit(10_000)
+        ).alias("edges"),
+        F.sum(F.col(value_col).isNull().cast("int")).alias("n_null"),
+    ).first()
+    edges = sorted(set(row["edges"] or []))
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + (v > F.lit(float(e))).cast("int")
+    return df.withColumn("_bin", bin_col), int(row["n_null"] or 0)
+
+
+def _offsets_map(counts: list[tuple[int, int]]):
+    """Cumulative-offset literal map from (bin, count) pairs — values
+    cast to BIGINT: at the corpus sizes this machinery exists for,
+    offsets exceed int32 and a 32-bit ``offset + row_number`` would
+    wrap (non-ANSI) or throw (ANSI) BEFORE any outer cast could help."""
+    offsets, acc = {}, 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    return F.create_map(
+        *[
+            x
+            for b, off in offsets.items()
+            for x in (F.lit(b), F.lit(off).cast("bigint"))
+        ]
+    )
+
+
 def exact_global_rank(
     df: DataFrame,
     value_col: str,
     tiebreak_col: str,
     num_bins: int | None = None,
+    skew_factor: int = 4,
 ) -> DataFrame:
     """Append ``_rank`` = exact ROW_NUMBER() OVER (ORDER BY value,
-    tiebreak) WITHOUT a single-partition window — the two-phase trick
-    shared with the deciles query and budget_select: bin rows by
-    broadcast quantile-edge LITERALS on the value (a pure function of
-    the row, deterministic in every job — repartitionByRange's sampled
-    bounds are not), rank within each bin in parallel, then add the
-    per-bin cumulative offsets (metadata-sized, collected once).
+    tiebreak) WITHOUT a single-partition window: quantile-edge literal
+    binning on the value, a per-bin row_number window in parallel,
+    plus broadcast cumulative offsets (metadata-sized, collected
+    once). All rank arithmetic is BIGINT end-to-end.
+
+    Value-only edges cannot split ties, so a dominant repeated value
+    (truncation caps, boilerplate lengths) would re-create the
+    single-task window this function exists to avoid. A fat bin
+    (more than ``skew_factor``× the average) whose rows all share ONE
+    value — the tie-skew case — is therefore SUB-BINNED on the
+    tiebreak's quantile edges: with the value constant, in-bin order
+    is by tiebreak alone, so tiebreak sub-bins respect the global
+    (value, tiebreak) order and every window partition is bounded.
+    Sub-binning a MIXED-value fat bin on the tiebreak would NOT
+    respect that order (a smaller value with a large tiebreak must
+    still sort first), so mixed fat bins and non-numeric tiebreaks
+    fall back to the single fat bin — correct, just not balanced.
+
+    NULL values raise — they would silently rank first or crash the
+    offset collection, the same contract budget_select enforces.
 
     The input should already be materialized (localCheckpoint) if it
-    is expensive — two jobs consume it here (edges+counts, final)."""
+    is expensive — two to three jobs consume it."""
     spark = df.sparkSession
     if num_bins is None:
         num_bins = max(spark.sparkContext.defaultParallelism, 16)
-    fracs = [i / num_bins for i in range(1, num_bins)]
-    v = F.col(value_col).cast("double")
-    edge_row = df.select(
-        F.percentile_approx(v, F.array(*[F.lit(f) for f in fracs]), F.lit(10_000))
-        .alias("edges")
-    ).first()
-    edges = sorted(set(edge_row["edges"] or []))
-    bin_col = F.lit(0)
-    for e in edges:
-        bin_col = bin_col + (v > F.lit(float(e))).cast("int")
-    w = Window.partitionBy("_bin").orderBy(
-        F.col(value_col).asc(), F.col(tiebreak_col).asc()
-    )
-    binned = df.withColumn("_bin", bin_col)
+    binned, n_null = _quantile_edge_bin(df, value_col, num_bins)
+    if n_null:
+        raise ValueError(
+            f"exact_global_rank: {n_null} NULL {value_col!r} rows — a NULL "
+            "has no rank; filter or impute upstream"
+        )
     counts = sorted(
         (r["_bin"], r["cnt"])
         for r in binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
-    offsets, acc = {}, 0
-    for b, c in counts:
-        offsets[b] = acc
-        acc += c
-    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    total = sum(c for _, c in counts)
+    threshold = max(
+        1, skew_factor * total // max(len(counts), 1)
+    )
+    fat = [b for b, c in counts if c > threshold]
+    numeric_tb = dict(df.dtypes).get(tiebreak_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp",
+    )
+    if fat and numeric_tb:
+        # second level: quantile edges on the TIEBREAK, but only for
+        # fat bins holding a single distinct value (see docstring for
+        # why mixed-value bins must not be tiebreak-split)
+        tb = F.col(tiebreak_col).cast("double")
+        sub_fracs = [i / num_bins for i in range(1, num_bins)]
+        sub_edges = {
+            r["_bin"]: sorted(set(r["edges"] or []))
+            for r in binned.filter(F.col("_bin").isin(fat))
+            .groupBy("_bin")
+            .agg(
+                F.percentile_approx(
+                    tb, F.array(*[F.lit(f) for f in sub_fracs]), F.lit(10_000)
+                ).alias("edges"),
+                F.min(F.col(value_col)).alias("_vmin"),
+                F.max(F.col(value_col)).alias("_vmax"),
+            )
+            .collect()
+            if r["_vmin"] == r["_vmax"]  # pure tie bin only
+        }
+        if sub_edges:
+            sub_col = F.lit(0)
+            for b, edges in sub_edges.items():
+                inc = F.lit(0)
+                for e in edges:
+                    inc = inc + (tb > F.lit(float(e))).cast("int")
+                sub_col = F.when(F.col("_bin") == b, inc).otherwise(sub_col)
+            binned = binned.withColumn(
+                "_bin", F.col("_bin") * (num_bins + 1) + sub_col
+            )
+            counts = sorted(
+                (r["_bin"], r["cnt"])
+                for r in binned.groupBy("_bin")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+    w = Window.partitionBy("_bin").orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    offset_map = _offsets_map(counts)
     return binned.withColumn(
         "_rank",
-        (F.element_at(offset_map, F.col("_bin")) + F.row_number().over(w)).cast(
-            "bigint"
-        ),
+        F.element_at(offset_map, F.col("_bin"))
+        + F.row_number().over(w).cast("bigint"),
     ).drop("_bin")
 
 
@@ -609,11 +710,20 @@ def length_bucketed_batches(
             F.max("_n").alias("max_tokens"),
             F.sum("_n").alias("sum_tokens"),
             (F.count(F.lit(1)) * F.max("_n")).alias("padded_tokens"),
-            F.round(
-                F.lit(1)
-                - F.sum("_n")
-                / (F.count(F.lit(1)) * F.max("_n")).cast("double"),
-                4,
+            # floor grid, not round(): waste is a small rational that
+            # can land exactly on .00005 boundaries where Spark's and
+            # DuckDB's round() implementations disagree (see
+            # quality.score_documents for the measured case)
+            (
+                F.floor(
+                    (
+                        F.lit(1)
+                        - F.sum("_n")
+                        / (F.count(F.lit(1)) * F.max("_n")).cast("double")
+                    )
+                    * F.lit(10000.0)
+                )
+                / F.lit(10000.0)
             ).alias("padding_waste"),
         )
     )

@@ -2434,8 +2434,8 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(_n) AS max_tokens,
            CAST(SUM(_n) AS BIGINT) AS sum_tokens,
            CAST(COUNT(*) * MAX(_n) AS BIGINT) AS padded_tokens,
-           ROUND(1 - SUM(_n) / CAST(COUNT(*) * MAX(_n) AS DOUBLE), 4)
-               AS padding_waste
+           FLOOR((1 - SUM(_n) / CAST(COUNT(*) * MAX(_n) AS DOUBLE)) * 10000.0)
+               / 10000.0 AS padding_waste
     FROM b GROUP BY batch_id
     """,
 )

@@ -2557,10 +2557,17 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc += c
     base, rem = divmod(n, 10)
     cut = rem * (base + 1)  # rows in the first `rem` (larger) buckets
+    # offsets cast to BIGINT before the addition: past 2^31 customers
+    # an int32 offset + int32 row_number wraps (non-ANSI) or throws
+    # (ANSI) before any outer cast could help
     offset_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
+        *[
+            x
+            for b, off in offsets.items()
+            for x in (F.lit(b), F.lit(off).cast("bigint"))
+        ]
     )
-    rank = F.element_at(offset_map, F.col("_bin")) + F.col("_pos")
+    rank = F.element_at(offset_map, F.col("_bin")) + F.col("_pos").cast("bigint")
     decile = F.when(
         rank <= F.lit(cut),
         F.floor((rank - 1) / F.lit(base + 1)) + 1,

@@ -167,3 +167,18 @@ class TestBpeEncode:
         toks = B.bpe_encode(new, merges, seg).first().tokens
         assert "".join(toks) == "slow"
         assert "low" in toks or "lo" in toks  # learned merges applied
+
+
+def test_encode_keeps_empty_documents(spark):
+    train = spark.createDataFrame(
+        [(1, "low lower lowest")], "doc_id bigint, text string"
+    )
+    merges, seg = B.train_bpe(train, num_merges=3)
+    mixed = spark.createDataFrame(
+        [(1, "low"), (2, ""), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: list(r.tokens) for r in B.bpe_encode(mixed, merges, seg).collect()}
+    assert set(got) == {1, 2, 3, 4}  # nobody vanishes
+    assert got[2] == [] and got[3] == [] and got[4] == []
+    assert "".join(got[1]) == "low"

@@ -236,3 +236,19 @@ def test_ingest_gate_rejects_eval_contamination(spark, tmp_path):
     )
     q.awaitTermination()
     assert {r.doc_id for r in spark.read.parquet(wh).collect()} == {2}
+
+
+def test_append_records_zero_fingerprint_docs(spark, tmp_path):
+    """A doc too short to fingerprint must still be REMEMBERED: the
+    next append's anti-join skips it (id-idempotent) instead of
+    re-fingerprinting it forever."""
+    path = str(tmp_path / "wstore_short")
+    FP.build_winnow_store(_docs(spark, [(0, PAD_A + SHARED)]), path)
+    shorty = _docs(spark, [(7, "tiny")])  # < k=8 normalized chars
+    assert FP.append_to_winnow_store(spark, path, shorty) == 1
+    assert FP.append_to_winnow_store(spark, path, shorty) == 0  # remembered
+    # and the marker row never pollutes matching
+    hits = FP.contamination_against_store(
+        spark, path, _docs(spark, [(9, PAD_B + SHARED)]), min_shared=1
+    )
+    assert {r.eval_id for r in hits.collect()} == {0}
