@@ -2485,6 +2485,26 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_bucketed_batches")  # rows-only (trained-model tokenization)
+def bpe_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize→batch composition on REAL learned-subword counts:
+    train BPE on half the corpus, encode everything, then
+    length-bucket into padding-efficient batches using the encoded
+    token counts (whitespace counts mis-size batches for subword
+    models — this is the count the serving system actually pads)."""
+    from . import bpe as B
+
+    documents = load(spark, sf_dir, "documents")
+    merges, seg = B.train_bpe(
+        documents.filter(F.col("doc_id") % 2 == 0), num_merges=12
+    )
+    sized = B.bpe_encode(documents, merges, seg).select(
+        F.col("id").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    )
+    return PK.length_bucketed_batches(sized, "n_tokens", "doc_id", batch_size=32)
+
+
 @register("ann_index_health")  # rows-only (metrics over an approx structure)
 def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index LIFECYCLE in one plan: build on part of the
@@ -2558,6 +2578,7 @@ ROWS_ONLY = {
     "ann_index_health",
     "bpe_train_merges",
     "bpe_encode_documents",
+    "bpe_bucketed_batches",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
