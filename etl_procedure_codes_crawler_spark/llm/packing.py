@@ -727,3 +727,39 @@ def length_bucketed_batches(
             ).alias("padding_waste"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 1,
+) -> int:
+    """MATERIALIZE the training layout: join the rows to their
+    :func:`training_shuffle` manifest, land each shard's rows in its
+    own partition directory in manifest order, and return the shard
+    count — the write side of the reproducible-shuffle story (the
+    manifest alone serves readers that join lazily; serving training
+    jobs usually want the bytes pre-laid-out).
+
+    Scale shape: ONE exchange — ``repartition(num_shards, shard)``
+    puts each shard in exactly one task, ``sortWithinPartitions(shard,
+    pos)`` orders it locally (no global sort), and the partitioned
+    write emits one file per shard whose parquet ROW ORDER is the
+    manifest's read order (writers preserve task row order). Epoch
+    re-lays are a different ``seed``, one exchange again.
+    """
+    manifest = training_shuffle(df, id_col, num_shards, seed)
+    laid_out = (
+        df.join(manifest, id_col)
+        .repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    (
+        laid_out.write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+    return num_shards

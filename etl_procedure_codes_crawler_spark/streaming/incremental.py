@@ -164,6 +164,7 @@ def stream_ingest_with_neardup(
     max_files_per_trigger: int | None = None,
     eval_store_path: str | None = None,
     eval_min_shared: int = 2,
+    metrics_path: str | None = None,
 ):
     """The full corpus ingest gate as one continuous pipeline: each
     arriving batch is (1) id-deduped against the warehouse (replay
@@ -184,6 +185,15 @@ def stream_ingest_with_neardup(
     whose job is "never let two near-dups of one page into the
     corpus"; the kept doc is always the cluster's minimum id, so a
     replayed batch collapses identically.
+
+    With ``metrics_path`` set, each batch appends ONE observability
+    row — ``(batch_id, n_rows, n_fresh, n_intra_dropped,
+    n_contaminated, n_neardup_rejected, n_accepted)`` — so rejection
+    rates are queryable without log scraping; the counts come from
+    DataFrames the sink has already checkpointed, so no extra heavy
+    work, and the metric write happens LAST (a crash loses at most
+    the metric row, never the data). Replayed batches re-emit their
+    row with n_fresh = 0 — the audit shows the replay.
 
     With ``eval_store_path`` set (a winnowing store built by
     ``fingerprint.build_winnow_store`` over the benchmark/eval
@@ -219,6 +229,8 @@ def stream_ingest_with_neardup(
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        m = {"n_intra_dropped": 0, "n_contaminated": 0,
+             "n_neardup_rejected": 0, "n_accepted": 0}
         rows = (
             batch.filter(F.col(id_col).isNotNull())
             .dropDuplicates([id_col])
@@ -237,6 +249,7 @@ def stream_ingest_with_neardup(
         fresh = rows.join(
             existing.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # two consumers below
+        m["n_rows"], m["n_fresh"] = rows.count(), fresh.count()
         if not fresh.isEmpty():
             # intra-batch collapse: two near-dups arriving in the SAME
             # micro-batch both pass the store gate (neither is stored
@@ -260,6 +273,7 @@ def stream_ingest_with_neardup(
             fresh = fresh.join(intra_losers, id_col, "left_anti").localCheckpoint(
                 eager=True  # two consumers below, and the pair scan above
             )
+            m["n_intra_dropped"] = m["n_fresh"] - fresh.count()
         if eval_store_path is not None and not fresh.isEmpty():
             from ..llm.fingerprint import contamination_against_store
 
@@ -271,9 +285,11 @@ def stream_ingest_with_neardup(
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
-            fresh = fresh.join(
+            survivors = fresh.join(
                 contaminated, id_col, "left_anti"
             ).localCheckpoint(eager=True)
+            m["n_contaminated"] = fresh.count() - survivors.count()
+            fresh = survivors
         if not fresh.isEmpty():
             near = (
                 near_dups_against_store(
@@ -285,6 +301,8 @@ def stream_ingest_with_neardup(
             accepted = fresh.join(near, id_col, "left_anti").localCheckpoint(
                 eager=True  # lineage reads the warehouse being appended
             )
+            m["n_accepted"] = accepted.count()
+            m["n_neardup_rejected"] = fresh.count() - m["n_accepted"]
             if not accepted.isEmpty():
                 accepted.write.mode("append").option(
                     "compression", "snappy"
@@ -295,6 +313,17 @@ def stream_ingest_with_neardup(
                 append_to_minhash_store(
                     spark, store_path, accepted, text_col, id_col
                 )
+        if metrics_path is not None:
+            spark.createDataFrame(
+                [(
+                    int(batch_id), m.get("n_rows", 0), m.get("n_fresh", 0),
+                    m["n_intra_dropped"], m["n_contaminated"],
+                    m["n_neardup_rejected"], m["n_accepted"],
+                )],
+                "batch_id bigint, n_rows bigint, n_fresh bigint, "
+                "n_intra_dropped bigint, n_contaminated bigint, "
+                "n_neardup_rejected bigint, n_accepted bigint",
+            ).repartition(1).write.mode("append").parquet(metrics_path)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

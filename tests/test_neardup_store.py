@@ -505,3 +505,63 @@ def test_crash_window_cannot_admit_near_dup_twin(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert sigs == {4}, sigs
+
+
+def test_gate_metrics_row_per_batch(spark, tmp_path):
+    """Observability: with metrics_path set, every batch appends one
+    audit row whose counts reconcile exactly with the gate's
+    decisions (accepted + rejected + dropped == fresh)."""
+    source = tmp_path / "incoming"
+    source.mkdir()
+    dirs = {
+        "source": str(source),
+        "warehouse": str(tmp_path / "wh"),
+        "store": str(tmp_path / "store"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    metrics = str(tmp_path / "metrics")
+    helper = TestStreamIngestWithNearDup()
+    NS.build_minhash_store(spark.createDataFrame([], helper.SCHEMA), dirs["store"])
+    # batch: a near-dup pair (5 dropped intra-batch), one fresh doc
+    helper._drop(
+        spark,
+        dirs["source"],
+        "b1",
+        [(4, BASE), (5, BASE.replace("lazy", "sleepy")),
+         (6, "wholly distinct corpus content nothing shared anywhere")],
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_procedure_codes_crawler_spark.streaming.incremental import (
+        stream_ingest_with_neardup,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = stream_ingest_with_neardup(
+        spark, dirs["source"], schema, dirs["warehouse"], dirs["store"],
+        dirs["checkpoint"], threshold=0.5, metrics_path=metrics,
+    )
+    q.awaitTermination()
+    row = spark.read.parquet(metrics).first()
+    assert (row.n_rows, row.n_fresh) == (3, 3)
+    assert row.n_intra_dropped == 1  # doc 5
+    assert row.n_contaminated == 0
+    assert row.n_neardup_rejected == 0
+    assert row.n_accepted == 2  # docs 4 and 6
+    # replay with a fresh checkpoint: second audit row, n_fresh 0
+    q = stream_ingest_with_neardup(
+        spark, dirs["source"], schema, dirs["warehouse"], dirs["store"],
+        str(tmp_path / "ckpt2"), threshold=0.5, metrics_path=metrics,
+    )
+    q.awaitTermination()
+    rows = sorted(spark.read.parquet(metrics).collect(), key=lambda r: r.n_fresh)
+    assert len(rows) == 2
+    # the replay re-sees doc 5 (it was dropped intra-batch, never
+    # warehoused) — its twin 4 is now STORED, so the store gate
+    # rejects it this time; the audit trail shows exactly that story
+    replay = rows[0]
+    assert (replay.n_fresh, replay.n_neardup_rejected, replay.n_accepted) == (
+        1, 1, 0,
+    )

@@ -533,3 +533,41 @@ class TestExactGlobalRankHardening:
             binned.groupBy("_bin").count().agg(F.max("count")).first()[0]
         )
         assert fat >= 1000
+
+
+class TestWriteTrainingShards:
+    def test_layout_one_file_per_shard_in_manifest_order(self, spark, tmp_path):
+        import glob
+
+        docs = spark.createDataFrame(
+            [(i, f"doc text {i}") for i in range(200)],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "shards")
+        assert PK.write_training_shards(docs, path, num_shards=4, seed=3) == 4
+        dirs = sorted(glob.glob(f"{path}/shard=*"))
+        assert len(dirs) == 4
+        manifest = {
+            r.doc_id: (r.shard, r.pos)
+            for r in PK.training_shuffle(docs, num_shards=4, seed=3).collect()
+        }
+        total = 0
+        for d in dirs:
+            shard = int(d.rsplit("=", 1)[1])
+            files = glob.glob(f"{d}/part-*.parquet")
+            assert len(files) == 1  # one task per shard → one file
+            # parquet preserves task row order: the file's physical
+            # order must equal the manifest's read order
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+            want = [
+                doc
+                for doc, (s, _p) in sorted(
+                    manifest.items(), key=lambda kv: kv[1][1]
+                )
+                if s == shard
+            ]
+            assert ids == want
+            total += len(ids)
+        assert total == 200
