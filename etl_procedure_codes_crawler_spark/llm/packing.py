@@ -34,6 +34,7 @@ def pack_sequences(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document packing assignment: which sequences of a
     ``seq_len``-token stream each document occupies.
@@ -52,6 +53,11 @@ def pack_sequences(
 
     The window is partitioned by shard, so the cumulative sum never
     sees more than one shard's stream in a task.
+
+    With ``n_tokens_col`` set, the counts come from that column
+    instead of whitespace-tokenizing ``text_col`` — the path for
+    packing on LEARNED subword counts (``bpe.bpe_encode`` →
+    ``size(tokens)``), which is what the training run actually packs.
     """
     w = (
         Window.partitionBy("shard")
@@ -63,12 +69,18 @@ def pack_sequences(
     # DESCENDING for first > last (DuckDB's generate_series returns
     # empty) — a silent cross-engine divergence. The whitespace
     # tokenizer never yields 0 tokens (empty text still splits to one
-    # empty-string token), so this filter is a guard for other
-    # tokenizers, not a behavior change.
+    # empty-string token), but precomputed counts (n_tokens_col, e.g.
+    # BPE on an empty doc) genuinely hit 0 — such docs occupy no
+    # stream positions, which is exactly right.
+    count_expr = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col is not None
+        else token_count(text_col)
+    )
     sized = df.select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("doc_id"),
-        token_count(text_col).alias("n_tokens"),
+        count_expr.alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     # integer `div`, not `/`: Spark's `/` promotes to double, and past
     # ~2^53 cumulative tokens per shard (reachable at corpus scale) the

@@ -571,3 +571,30 @@ class TestWriteTrainingShards:
             assert ids == want
             total += len(ids)
         assert total == 200
+
+
+def test_pack_sequences_on_precomputed_counts(spark):
+    """n_tokens_col path: packing on learned subword counts must give
+    the same spans as packing text whose whitespace counts equal
+    those numbers."""
+    via_counts = spark.createDataFrame(
+        [(1, "a", 6), (2, "a", 6)], "doc_id bigint, source string, n bigint"
+    )
+    got = sorted(
+        map(
+            tuple,
+            PK.pack_sequences(
+                via_counts, seq_len=8, n_tokens_col="n"
+            ).collect(),
+        )
+    )
+    via_text = _docs(spark, [(1, "a", _text(6)), (2, "a", _text(6))])
+    want = sorted(map(tuple, PK.pack_sequences(via_text, seq_len=8).collect()))
+    assert got == want
+    # zero-count docs occupy no stream positions
+    with_zero = spark.createDataFrame(
+        [(1, "a", 6), (2, "a", 0), (3, "a", 6)],
+        "doc_id bigint, source string, n bigint",
+    )
+    rows = PK.pack_sequences(with_zero, seq_len=8, n_tokens_col="n").collect()
+    assert {r.doc_id for r in rows} == {1, 3}
