@@ -72,8 +72,19 @@ def pack_sequences(
     # empty-string token), but precomputed counts (n_tokens_col, e.g.
     # BPE on an empty doc) genuinely hit 0 — such docs occupy no
     # stream positions, which is exactly right.
+    # a NULL precomputed count is an upstream integrity error (a
+    # mis-joined counts table would silently drop documents from the
+    # stream); raise per-row at execution — no extra audit job
     count_expr = (
-        F.col(n_tokens_col).cast("bigint")
+        F.when(
+            F.col(n_tokens_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"pack_sequences: NULL {n_tokens_col} — count every "
+                    "document or filter explicitly upstream"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col(n_tokens_col).cast("bigint"))
         if n_tokens_col is not None
         else token_count(text_col)
     )
@@ -299,29 +310,35 @@ def write_training_shards(
     id_col: str = "doc_id",
     num_shards: int = 8,
     seed: int = 1,
-) -> None:
+) -> int:
     """Materialize the :func:`training_shuffle` as a physical layout:
     one parquet partition directory per shard, rows stored in shard
     read order (``pos`` ascending) so a trainer streams each shard
-    sequentially with zero seek-time shuffling at read time.
+    sequentially with zero seek-time shuffling at read time. Returns
+    ``num_shards``.
 
-    Scale shape — the write IS the shuffle: ``repartition(shard)``
-    is the single hash exchange, ``sortWithinPartitions`` sorts each
-    shard locally (n/num_shards rows per task), and
-    ``partitionBy("shard")`` maps each task to exactly one output
-    directory (task partitioning == directory partitioning, so no
-    small-file explosion: one file per shard per write). Epoch
-    re-shuffles rewrite only (id, shard, pos) ordering — the seed is
-    the epoch number."""
+    Scale shape — the write IS the shuffle: ``repartition(num_shards,
+    shard)`` is the single exchange and all of a shard's rows land in
+    ONE task (same key → same partition), so each shard directory
+    gets exactly one file and its parquet row order is the manifest
+    order. Hash partitioning can COLLIDE shard values — a task may
+    hold 2-3 shards while another sits empty — so writer parallelism
+    is less than num_shards at small shard counts; at corpus scale
+    runs use thousands of shards over hundreds of executors and the
+    collisions average out (the per-directory file layout is
+    unaffected either way). Epoch re-shuffles rewrite only (id,
+    shard, pos) ordering — the seed is the epoch number."""
     manifest = training_shuffle(df, id_col, num_shards, seed)
     (
         df.join(manifest, id_col)
         .repartition(num_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
+        .option("compression", "snappy")
         .partitionBy("shard")
         .parquet(path)
     )
+    return num_shards
 
 
 def holdout_split(
@@ -739,39 +756,3 @@ def length_bucketed_batches(
             ).alias("padding_waste"),
         )
     )
-
-
-def write_training_shards(
-    df: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    num_shards: int = 8,
-    seed: int = 1,
-) -> int:
-    """MATERIALIZE the training layout: join the rows to their
-    :func:`training_shuffle` manifest, land each shard's rows in its
-    own partition directory in manifest order, and return the shard
-    count — the write side of the reproducible-shuffle story (the
-    manifest alone serves readers that join lazily; serving training
-    jobs usually want the bytes pre-laid-out).
-
-    Scale shape: ONE exchange — ``repartition(num_shards, shard)``
-    puts each shard in exactly one task, ``sortWithinPartitions(shard,
-    pos)`` orders it locally (no global sort), and the partitioned
-    write emits one file per shard whose parquet ROW ORDER is the
-    manifest's read order (writers preserve task row order). Epoch
-    re-lays are a different ``seed``, one exchange again.
-    """
-    manifest = training_shuffle(df, id_col, num_shards, seed)
-    laid_out = (
-        df.join(manifest, id_col)
-        .repartition(num_shards, "shard")
-        .sortWithinPartitions("shard", "pos")
-    )
-    (
-        laid_out.write.mode("overwrite")
-        .partitionBy("shard")
-        .option("compression", "snappy")
-        .parquet(path)
-    )
-    return num_shards

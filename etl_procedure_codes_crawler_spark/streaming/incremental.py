@@ -187,13 +187,16 @@ def stream_ingest_with_neardup(
     replayed batch collapses identically.
 
     With ``metrics_path`` set, each batch appends ONE observability
-    row — ``(batch_id, n_rows, n_fresh, n_intra_dropped,
+    row — ``(batch_id, n_input, n_rows, n_fresh, n_intra_dropped,
     n_contaminated, n_neardup_rejected, n_accepted)`` — so rejection
-    rates are queryable without log scraping; the counts come from
-    DataFrames the sink has already checkpointed, so no extra heavy
-    work, and the metric write happens LAST (a crash loses at most
-    the metric row, never the data). Replayed batches re-emit their
-    row with n_fresh = 0 — the audit shows the replay.
+    rates are queryable without log scraping. ``n_input`` counts raw
+    arrivals BEFORE the NULL-id filter and id-dedup (a feed gone bad
+    must show in the audit); the other counts come from DataFrames
+    the sink has already checkpointed, and every count job is gated
+    on metrics being enabled — callers without a metrics_path pay
+    nothing new. The metric write happens LAST (a crash loses at
+    most the metric row, never the data); replayed batches re-emit
+    their row, so the audit shows the replay.
 
     With ``eval_store_path`` set (a winnowing store built by
     ``fingerprint.build_winnow_store`` over the benchmark/eval
@@ -229,8 +232,14 @@ def stream_ingest_with_neardup(
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        m = {"n_intra_dropped": 0, "n_contaminated": 0,
-             "n_neardup_rejected": 0, "n_accepted": 0}
+        audit = metrics_path is not None
+        m = {"n_input": 0, "n_rows": 0, "n_fresh": 0, "n_intra_dropped": 0,
+             "n_contaminated": 0, "n_neardup_rejected": 0, "n_accepted": 0}
+        if audit:
+            # raw arrivals BEFORE the NULL-id filter and id-dedup: a
+            # feed suddenly full of NULL-id rows must be visible in
+            # the audit, not silently absorbed
+            m["n_input"] = batch.count()
         rows = (
             batch.filter(F.col(id_col).isNotNull())
             .dropDuplicates([id_col])
@@ -249,7 +258,8 @@ def stream_ingest_with_neardup(
         fresh = rows.join(
             existing.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # two consumers below
-        m["n_rows"], m["n_fresh"] = rows.count(), fresh.count()
+        if audit:
+            m["n_rows"], m["n_fresh"] = rows.count(), fresh.count()
         if not fresh.isEmpty():
             # intra-batch collapse: two near-dups arriving in the SAME
             # micro-batch both pass the store gate (neither is stored
@@ -273,7 +283,8 @@ def stream_ingest_with_neardup(
             fresh = fresh.join(intra_losers, id_col, "left_anti").localCheckpoint(
                 eager=True  # two consumers below, and the pair scan above
             )
-            m["n_intra_dropped"] = m["n_fresh"] - fresh.count()
+            if audit:
+                m["n_intra_dropped"] = m["n_fresh"] - fresh.count()
         if eval_store_path is not None and not fresh.isEmpty():
             from ..llm.fingerprint import contamination_against_store
 
@@ -288,7 +299,8 @@ def stream_ingest_with_neardup(
             survivors = fresh.join(
                 contaminated, id_col, "left_anti"
             ).localCheckpoint(eager=True)
-            m["n_contaminated"] = fresh.count() - survivors.count()
+            if audit:
+                m["n_contaminated"] = fresh.count() - survivors.count()
             fresh = survivors
         if not fresh.isEmpty():
             near = (
@@ -301,8 +313,9 @@ def stream_ingest_with_neardup(
             accepted = fresh.join(near, id_col, "left_anti").localCheckpoint(
                 eager=True  # lineage reads the warehouse being appended
             )
-            m["n_accepted"] = accepted.count()
-            m["n_neardup_rejected"] = fresh.count() - m["n_accepted"]
+            if audit:
+                m["n_accepted"] = accepted.count()
+                m["n_neardup_rejected"] = fresh.count() - m["n_accepted"]
             if not accepted.isEmpty():
                 accepted.write.mode("append").option(
                     "compression", "snappy"
@@ -313,16 +326,17 @@ def stream_ingest_with_neardup(
                 append_to_minhash_store(
                     spark, store_path, accepted, text_col, id_col
                 )
-        if metrics_path is not None:
+        if audit:
             spark.createDataFrame(
                 [(
-                    int(batch_id), m.get("n_rows", 0), m.get("n_fresh", 0),
+                    int(batch_id), m["n_input"], m["n_rows"], m["n_fresh"],
                     m["n_intra_dropped"], m["n_contaminated"],
                     m["n_neardup_rejected"], m["n_accepted"],
                 )],
-                "batch_id bigint, n_rows bigint, n_fresh bigint, "
-                "n_intra_dropped bigint, n_contaminated bigint, "
-                "n_neardup_rejected bigint, n_accepted bigint",
+                "batch_id bigint, n_input bigint, n_rows bigint, "
+                "n_fresh bigint, n_intra_dropped bigint, "
+                "n_contaminated bigint, n_neardup_rejected bigint, "
+                "n_accepted bigint",
             ).repartition(1).write.mode("append").parquet(metrics_path)
 
     reader = spark.readStream.schema(schema)

@@ -545,7 +545,7 @@ def test_gate_metrics_row_per_batch(spark, tmp_path):
     )
     q.awaitTermination()
     row = spark.read.parquet(metrics).first()
-    assert (row.n_rows, row.n_fresh) == (3, 3)
+    assert (row.n_input, row.n_rows, row.n_fresh) == (3, 3, 3)
     assert row.n_intra_dropped == 1  # doc 5
     assert row.n_contaminated == 0
     assert row.n_neardup_rejected == 0

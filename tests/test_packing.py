@@ -598,3 +598,11 @@ def test_pack_sequences_on_precomputed_counts(spark):
     )
     rows = PK.pack_sequences(with_zero, seq_len=8, n_tokens_col="n").collect()
     assert {r.doc_id for r in rows} == {1, 3}
+
+
+def test_pack_sequences_null_precomputed_count_raises(spark):
+    bad = spark.createDataFrame(
+        [(1, "a", 6), (2, "a", None)], "doc_id bigint, source string, n bigint"
+    )
+    with pytest.raises(Exception, match="NULL n"):
+        PK.pack_sequences(bad, seq_len=8, n_tokens_col="n").collect()
