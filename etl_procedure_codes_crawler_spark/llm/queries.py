@@ -2505,6 +2505,57 @@ def bpe_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.length_bucketed_batches(sized, "n_tokens", "doc_id", batch_size=32)
 
 
+@register("forget_documents_roundtrip")  # rows-only (multi-artifact deletion)
+def forget_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten end-to-end: ingest the corpus into a
+    warehouse + near-dup store + ANN index, forget three ids, and
+    report the per-artifact rows removed plus the residual count
+    (which must be zero) — the takedown path exercised as one plan
+    (llm/forget.py)."""
+    import shutil
+    import tempfile
+
+    from . import forget as FG
+    from . import neardup_store as NS
+    from . import index as IX
+
+    documents = load(spark, sf_dir, "documents")
+    embeddings = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="forget_")
+    wh, nd, ix = f"{root}/wh", f"{root}/nd", f"{root}/ix"
+    try:
+        documents.write.parquet(wh)
+        NS.build_minhash_store(documents, nd)
+        IX.build_ivfpq_index(embeddings, ix, num_centroids=16, seed=42)
+        doomed = spark.createDataFrame([(3,), (7,), (11,)], "doc_id bigint")
+        removed = FG.forget_documents(
+            doomed, warehouse_path=wh, neardup_store_path=nd,
+            ann_index_path=ix,
+        )
+        residue = (
+            spark.read.parquet(wh)
+            .join(doomed, "doc_id", "left_semi")
+            .count()
+            + spark.read.parquet(f"{nd}/signatures")
+            .join(doomed.withColumnRenamed("doc_id", "id"), "id", "left_semi")
+            .count()
+            + spark.read.parquet(f"{ix}/coded")
+            .join(doomed.withColumnRenamed("doc_id", "id"), "id", "left_semi")
+            .count()
+        )
+        out = spark.createDataFrame(
+            [(
+                removed["warehouse"], removed["neardup_store"],
+                removed["ann_index"], residue,
+            )],
+            "removed_warehouse bigint, removed_neardup bigint, "
+            "removed_index bigint, residue bigint",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register("ann_index_health")  # rows-only (metrics over an approx structure)
 def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index LIFECYCLE in one plan: build on part of the
@@ -2579,6 +2630,7 @@ ROWS_ONLY = {
     "bpe_train_merges",
     "bpe_encode_documents",
     "bpe_bucketed_batches",
+    "forget_documents_roundtrip",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
