@@ -10,21 +10,32 @@ every artifact it is given, each with the right rewrite strategy:
 
 - plain datasets (warehouse, signature store, fingerprint store):
   anti-join + atomic swap (:func:`..operators.merge.
-  replace_dataset_atomically` — readers see old or new, never a mix);
-- the cell-partitioned ANN index: PARTITION-PRUNED rewrite — only the
-  cells actually holding a forgotten id are rewritten (driver-side
-  ``cell IN (...)`` from a metadata-sized semi-join), via dynamic
-  partition overwrite; a cell left EMPTY by the deletion is removed
-  outright (dynamic overwrite only replaces partitions present in the
-  written data, so an emptied cell would otherwise silently keep its
-  old files — the classic dynamic-overwrite deletion pitfall).
+  replace_dataset_atomically`), preceded by
+  :func:`..operators.merge.recover_interrupted_swap` — a re-run after
+  a crash inside the swap window must restore the backup BEFORE
+  reading the target, or the read throws and recovery never converges;
+- the cell-partitioned ANN index: PARTITION-SCOPED atomic swaps —
+  survivors of every affected cell are staged in one partitioned
+  write OUTSIDE the table, then each cell directory is swapped with
+  the rename pair the other maintenance ops use (never dynamic
+  partition overwrite, whose delete-then-commit window would lose a
+  cell's innocent survivors unrecoverably on a crash). Cells left
+  EMPTY by the deletion are removed outright — safe to redo, since
+  every row in them is doomed. A prior crashed run is healed at entry
+  (restore any cell whose swap was interrupted, clear stale staging).
 
-Crash contract: each artifact's swap is individually atomic, but the
-multi-artifact operation is NOT transactional — a crash can leave the
-ids forgotten in some artifacts and not others. The operation is
-IDEMPOTENT (every step is an anti-join against ids), so the recovery
-procedure is simply to run it again; the returned per-artifact counts
-make partial progress visible.
+Crash contract: each artifact's swap — and each index CELL's swap —
+is individually atomic, but the multi-artifact operation is NOT
+transactional: a crash can leave the ids forgotten in some artifacts
+and not others. Every step is an anti-join against the doomed ids, so
+the operation is IDEMPOTENT and the recovery procedure is simply to
+run it again until every returned count is 0.
+
+Deliberate limit: forgetting EVERY remaining vector of the index
+raises — an all-partitions-deleted parquet dataset is unreadable
+(no schema to infer), so a total wipe must go through
+``sinks.parquet.delete_path`` + rebuild instead of masquerading as a
+row-level delete.
 """
 
 from __future__ import annotations
@@ -38,8 +49,15 @@ def _forget_plain(
 ) -> int:
     """Anti-join rewrite of an unpartitioned dataset; returns rows
     removed (0 rows → no rewrite at all)."""
-    from ..operators.merge import replace_dataset_atomically
+    from ..operators.merge import (
+        recover_interrupted_swap,
+        replace_dataset_atomically,
+    )
 
+    # a crashed prior swap leaves the path missing and ._previous as
+    # the only copy — restore before the read below, or re-running
+    # (the documented recovery) throws instead of converging
+    recover_interrupted_swap(spark, path)
     current = spark.read.parquet(path)
     doomed = ids.withColumnRenamed(ids.columns[0], key)
     n = current.join(doomed, key, "left_semi").count()
@@ -52,50 +70,97 @@ def _forget_plain(
     return n
 
 
+def _heal_index_cells(fs, hpath, coded_path: str) -> None:
+    """Entry-time recovery for the per-cell swaps: any cell saved in
+    the ._forget_prev area whose live directory is missing was caught
+    mid-swap — restore it; everything else there (and any stale
+    staging) is leftover from a completed or restartable step and is
+    safe to clear."""
+    from ..sinks.fsutil import checked_rename, remove_stale
+
+    prev_root = hpath(coded_path + "._forget_prev")
+    if fs.exists(prev_root):
+        it = fs.listStatus(prev_root)
+        for st in it:
+            name = st.getPath().getName()
+            live = hpath(f"{coded_path}/{name}")
+            if name.startswith("cell=") and not fs.exists(live):
+                checked_rename(fs, st.getPath(), live)
+        fs.delete(prev_root, True)
+    remove_stale(fs, hpath(coded_path + "._forget_staging"))
+
+
 def _forget_index_cells(
     spark: SparkSession, index_path: str, ids: DataFrame
 ) -> int:
-    """Partition-pruned deletion from the IVF+PQ coded table: rewrite
-    only the cells holding forgotten ids; drop cells left empty."""
-    from ..sinks.fsutil import hadoop_fs
+    """Partition-scoped deletion from the IVF+PQ coded table: rewrite
+    only the cells holding forgotten ids, each via an atomic rename
+    swap; drop cells left empty."""
+    from ..sinks.fsutil import checked_rename, hadoop_fs
 
     coded_path = index_path.rstrip("/") + "/coded"
+    fs, hpath = hadoop_fs(spark, coded_path)
+    _heal_index_cells(fs, hpath, coded_path)
+
     coded = spark.read.parquet(coded_path)
     doomed = ids.withColumnRenamed(ids.columns[0], "id")
-    hit = coded.join(doomed, "id", "left_semi")
-    cells = [int(r["cell"]) for r in hit.select("cell").distinct().collect()]
-    if not cells:
+    # one pass: affected cells AND the removed-row total together
+    per_cell = {
+        int(r["cell"]): int(r["cnt"])
+        for r in coded.join(doomed, "id", "left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    if not per_cell:
         return 0
-    n = hit.count()
-    affected = coded.where(F.col("cell").isin(cells))
-    survivors = affected.join(doomed, "id", "left_anti").localCheckpoint(
-        eager=True  # the overwrite below rewrites what this reads
+    n = sum(per_cell.values())
+    cells = sorted(per_cell)
+    survivors = (
+        coded.where(F.col("cell").isin(cells))
+        .join(doomed, "id", "left_anti")
+        .localCheckpoint(eager=True)  # the swaps rewrite what this read
     )
-    kept_cells = {
+    kept = {
         int(r["cell"]) for r in survivors.select("cell").distinct().collect()
     }
-    if kept_cells:
-        previous = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+    emptied = [c for c in cells if c not in kept]
+    existing = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath(coded_path))
+        if st.getPath().getName().startswith("cell=")
+    ]
+    if len(emptied) >= len(existing):
+        raise ValueError(
+            "forget_documents: deleting every remaining vector would leave "
+            "an unreadable empty index (no partitions, no schema); drop the "
+            "index with sinks.parquet.delete_path and rebuild instead"
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                survivors.repartition(max(len(kept_cells), 1), "cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(coded_path)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", previous
-            )
-    # cells with no survivors never appear in the written data, so
-    # dynamic overwrite leaves their old files — remove them directly
-    fs, hpath = hadoop_fs(spark, coded_path)
-    for cell in cells:
-        if cell not in kept_cells:
-            fs.delete(hpath(f"{coded_path}/cell={cell}"), True)
+
+    staging = coded_path + "._forget_staging"
+    prev_root = coded_path + "._forget_prev"
+    if kept:
+        (
+            survivors.repartition(len(kept), "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        fs.mkdirs(hpath(prev_root))
+        for cell in sorted(kept):
+            live = hpath(f"{coded_path}/cell={cell}")
+            prev = hpath(f"{prev_root}/cell={cell}")
+            # the dangerous window per cell is between these renames; a
+            # crash there is healed at the next call's entry (restore
+            # from ._forget_prev), after which the re-run re-removes
+            checked_rename(fs, live, prev)
+            checked_rename(fs, hpath(f"{staging}/cell={cell}"), live)
+        fs.delete(hpath(prev_root), True)
+        fs.delete(hpath(staging), True)
+    # fully-emptied cells: every row in them is doomed, so a direct
+    # delete is idempotent — a crash mid-loop just re-deletes
+    for cell in emptied:
+        fs.delete(hpath(f"{coded_path}/cell={cell}"), True)
     return n
 
 

@@ -103,3 +103,62 @@ def test_forget_noop_for_absent_ids(spark, sf_dir, tmp_path):
     )
     assert removed == {"warehouse": 0}
     assert spark.read.parquet(wh).count() == 10
+
+
+def test_forget_recovers_interrupted_plain_swap(spark, sf_dir, tmp_path):
+    """Crash inside the warehouse swap window (path renamed aside,
+    replacement not yet in): the documented recovery — just re-run —
+    must restore and converge, not throw on the missing path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    wh = str(tmp_path / "wh")
+    docs.write.parquet(wh)
+    os.rename(wh, wh + "._previous")  # the dangerous window
+    removed = FG.forget_documents(_ids(spark, [3]), warehouse_path=wh)
+    assert removed["warehouse"] == 1
+    left = {r.doc_id for r in spark.read.parquet(wh).collect()}
+    assert 3 not in left and len(left) == 19
+
+
+def test_forget_recovers_interrupted_cell_swap(spark, sf_dir, tmp_path):
+    """Crash between the two renames of one cell's swap: the cell dir
+    is missing and ._forget_prev holds the only copy — the re-run must
+    restore it first, then converge."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    ix = str(tmp_path / "ix")
+    IX.build_ivfpq_index(emb, ix, num_centroids=8, seed=42)
+    coded = spark.read.parquet(f"{ix}/coded")
+    cell = coded.groupBy("cell").count().orderBy(F.desc("count")).first()["cell"]
+    victim = coded.filter(F.col("cell") == cell).first()["id"]
+    # simulate: that cell renamed aside mid-swap (after the victim
+    # lookup — the stale pre-rename file listing must not be re-read)
+    os.makedirs(f"{ix}/coded._forget_prev", exist_ok=True)
+    os.rename(f"{ix}/coded/cell={cell}", f"{ix}/coded._forget_prev/cell={cell}")
+    removed = FG.forget_documents(
+        _ids(spark, [victim]), ann_index_path=ix
+    )
+    assert removed["ann_index"] == 1
+    after = spark.read.parquet(f"{ix}/coded")
+    assert after.filter(F.col("id") == victim).count() == 0
+    # the healed cell kept its innocent rows
+    assert after.filter(F.col("cell") == cell).count() > 0
+    assert not os.path.exists(f"{ix}/coded._forget_prev")
+
+
+def test_forget_total_index_wipe_raises(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 30
+    )
+    ix = str(tmp_path / "ix")
+    IX.build_ivfpq_index(emb, ix, num_centroids=4, seed=42)
+    all_ids = [r.id for r in spark.read.parquet(f"{ix}/coded").select("id").collect()]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unreadable empty index"):
+        FG.forget_documents(
+            spark.createDataFrame([(i,) for i in all_ids], "doc_id bigint"),
+            ann_index_path=ix,
+        )
+    # nothing was deleted by the refused operation
+    assert spark.read.parquet(f"{ix}/coded").count() == len(all_ids)
