@@ -309,3 +309,18 @@ def contamination_against_store(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def compact_winnow_store(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Restore a compact file layout after incremental appends — every
+    :func:`append_to_winnow_store` call adds a file set, and the store
+    scan in :func:`contamination_against_store` runs once per training
+    batch forever. Delegates to :func:`..sinks.parquet.compact_dataset`
+    (atomic swap, crash-healed on the next call); the fingerprint rows
+    are a set, so query results are unaffected. Returns the new file
+    count."""
+    from ..sinks.parquet import compact_dataset
+
+    return compact_dataset(spark, path.rstrip("/") + "/fps", target_file_mb)

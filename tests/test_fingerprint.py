@@ -252,3 +252,26 @@ def test_append_records_zero_fingerprint_docs(spark, tmp_path):
         spark, path, _docs(spark, [(9, PAD_B + SHARED)]), min_shared=1
     )
     assert {r.eval_id for r in hits.collect()} == {0}
+
+
+def test_winnow_store_compaction_matches_unchanged(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "wstore_comp")
+    FP.build_winnow_store(_docs(spark, [(0, PAD_A + SHARED)]), path)
+    for i in range(1, 4):
+        FP.append_to_winnow_store(
+            spark, path,
+            _docs(spark, [(i, f"{PAD_A}{SHARED} appended variant {i}")]),
+        )
+    assert len(glob.glob(f"{path}/fps/part-*.parquet")) >= 4
+    probe = _docs(spark, [(99, PAD_B + SHARED)])
+    before = sorted(
+        map(tuple, FP.contamination_against_store(spark, path, probe, min_shared=1).collect())
+    )
+    n_files = FP.compact_winnow_store(spark, path)
+    assert n_files == 1 == len(glob.glob(f"{path}/fps/part-*.parquet"))
+    after = sorted(
+        map(tuple, FP.contamination_against_store(spark, path, probe, min_shared=1).collect())
+    )
+    assert before == after and before
