@@ -2505,6 +2505,44 @@ def bpe_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.length_bucketed_batches(sized, "n_tokens", "doc_id", batch_size=32)
 
 
+@register("dataset_versioning_roundtrip")  # rows-only (fs-lifecycle plan)
+def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an append-grown warehouse: ingest half the
+    corpus, commit v1, append the rest, commit v2 — v1 must still
+    read EXACTLY the first half while the live read sees everything
+    (sinks/versions.py)."""
+    import shutil
+    import tempfile
+
+    from ..sinks import versions as V
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="vers_")
+    wh = f"{root}/wh"
+    try:
+        first = documents.filter(F.col("doc_id") % 2 == 0)
+        second = documents.filter(F.col("doc_id") % 2 == 1)
+        first.write.parquet(wh)
+        v1 = V.commit_version(spark, wh, note="first half")
+        second.write.mode("append").parquet(wh)
+        v2 = V.commit_version(spark, wh, note="full corpus")
+        out = spark.createDataFrame(
+            [(
+                v1,
+                V.read_version(spark, wh, v1).count(),
+                v2,
+                V.read_version(spark, wh, v2).count(),
+                spark.read.parquet(wh).count(),
+                first.count(),
+            )],
+            "v1 bigint, v1_rows bigint, v2 bigint, v2_rows bigint, "
+            "live_rows bigint, expected_v1_rows bigint",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register("forget_documents_roundtrip")  # rows-only (multi-artifact deletion)
 def forget_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten end-to-end: ingest the corpus into a
@@ -2631,6 +2669,7 @@ ROWS_ONLY = {
     "bpe_encode_documents",
     "bpe_bucketed_batches",
     "forget_documents_roundtrip",
+    "dataset_versioning_roundtrip",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",

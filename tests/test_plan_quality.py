@@ -41,6 +41,7 @@ SKIP = {
     "bpe_encode_documents",  # trains first — plan depends on learned merges
     "bpe_bucketed_batches",  # trains + driver-collected bin edges
     "forget_documents_roundtrip",  # multi-artifact side-effecting lifecycle
+    "dataset_versioning_roundtrip",  # fs-lifecycle plan (manifest commits)
     "streaming_hourly_event_counts",
     "streaming_sliding_value_averages",
     "streaming_session_windows",
