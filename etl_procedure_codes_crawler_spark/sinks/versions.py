@@ -31,16 +31,21 @@ expiry is the correct behavior, not a limitation).
 Scale shape: a manifest is metadata (one filename per task output —
 thousands of entries at 100 TB, kilobytes to megabytes of JSON); the
 versioned read hands Spark the explicit file list, so planning cost
-equals a normal read with the listing already done.
+equals a normal read with the listing already done, and the expiry
+check is ONE recursive listing diffed against the manifest — never a
+per-file existence round trip.
 """
 
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsutil import hadoop_fs
+from .fsutil import checked_rename, hadoop_fs
+
+_MANIFEST_NAME = re.compile(r"^v(\d+)\.json$")
 
 
 def _data_files(fs, hpath, path: str) -> list[str]:
@@ -59,26 +64,43 @@ def _versions_dir(path: str) -> str:
 
 
 def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers, ascending. Files in the manifest
+    directory that are not ``v<N>.json`` (editor droppings, temp
+    files from an interrupted commit) are ignored, not a crash."""
     fs, hpath = hadoop_fs(spark, path)
     vdir = hpath(_versions_dir(path))
     if not fs.exists(vdir):
         return []
     out = []
     for st in fs.listStatus(vdir):
-        name = st.getPath().getName()
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        m = _MANIFEST_NAME.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
 def commit_version(spark: SparkSession, path: str, note: str = "") -> int:
     """Record the dataset's current file set as the next version and
-    return its number. Metadata-only — no data moves. Concurrent
-    committers are not arbitrated (the ingest gate is the single
-    writer in this engine); the manifest write itself is a single
-    file create, atomic on any sane filesystem."""
+    return its number. Metadata-only — no data moves. The manifest is
+    written to a temp name and RENAMED into place, so a version file
+    either exists complete or not at all (a create-then-write would
+    expose an empty v<N>.json to readers and a crash would leave it
+    forever); an interrupted commit leaves only an ignorable .tmp.
+    Committing an empty or missing dataset raises — an empty version
+    could never be read back (no files, no schema), and failing at
+    commit time points at the actual mistake. Concurrent committers
+    are not arbitrated (the ingest gate is the single writer in this
+    engine)."""
     fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath(path)):
+        raise ValueError(f"commit_version: no dataset at {path}")
     files = _data_files(fs, hpath, path)
+    if not files:
+        raise ValueError(
+            f"commit_version: {path} holds no data files — an empty "
+            "version could never be read back; commit after the first "
+            "ingest lands"
+        )
     version = (list_versions(spark, path) or [0])[-1] + 1
     manifest = {
         "version": version,
@@ -88,11 +110,16 @@ def commit_version(spark: SparkSession, path: str, note: str = "") -> int:
     }
     vdir = _versions_dir(path)
     fs.mkdirs(hpath(vdir))
-    out = fs.create(hpath(f"{vdir}/v{version}.json"), False)
+    final = hpath(f"{vdir}/v{version}.json")
+    tmp = hpath(f"{vdir}/v{version}.json.tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, False)
+    out = fs.create(tmp, False)
     try:
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
+    checked_rename(fs, tmp, final)
     return version
 
 
@@ -117,13 +144,15 @@ def read_version(
     finally:
         raw.close()
     manifest = json.loads(data.decode("utf-8"))
-    missing = [f for f in manifest["files"] if not fs.exists(hpath(f))]
+    # one recursive listing diffed against the manifest — per-file
+    # fs.exists round trips would cost seconds-to-minutes on an
+    # object store at thousands of manifest entries
+    current = set(_data_files(fs, hpath, path))
+    missing = [f for f in manifest["files"] if f not in current]
     if missing:
         raise ValueError(
             f"version {version} expired: {len(missing)} of "
             f"{manifest['n_files']} files were rewritten since the commit "
             f"(compaction or forget) — first missing: {missing[0]}"
         )
-    if not manifest["files"]:
-        raise ValueError(f"version {version} committed an empty dataset")
     return spark.read.parquet(*manifest["files"])

@@ -66,3 +66,46 @@ def test_unknown_and_missing_versions_raise(spark, tmp_path):
     V.commit_version(spark, path)
     with pytest.raises(ValueError, match="not in"):
         V.read_version(spark, path, 99)
+
+
+def test_commit_refuses_empty_or_missing_dataset(spark, tmp_path):
+    path = str(tmp_path / "wh")
+    with pytest.raises(ValueError, match="no dataset at"):
+        V.commit_version(spark, path)
+    import os
+
+    os.makedirs(path)
+    with pytest.raises(ValueError, match="no data files"):
+        V.commit_version(spark, path)
+
+
+def test_stray_files_in_manifest_dir_ignored(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "wh")
+    _write(spark, path, [1, 2])
+    v = V.commit_version(spark, path)
+    vdir = path + "._versions"
+    for junk in ("versions.json", "v_backup.json", "v2.json.tmp", "notes.txt"):
+        with open(os.path.join(vdir, junk), "w") as f:
+            f.write("{}")
+    assert V.list_versions(spark, path) == [v]
+    assert V.read_version(spark, path).count() == 2
+
+
+def test_interrupted_commit_leaves_no_visible_version(spark, tmp_path):
+    """The manifest lands via tmp + rename: simulate a crash that left
+    only the tmp — no broken version is advertised, and the next
+    commit proceeds cleanly."""
+    import os
+
+    path = str(tmp_path / "wh")
+    _write(spark, path, [1, 2, 3])
+    V.commit_version(spark, path)
+    vdir = path + "._versions"
+    with open(os.path.join(vdir, "v2.json.tmp"), "w") as f:
+        f.write('{"version": 2, "files"')  # truncated mid-write
+    assert V.list_versions(spark, path) == [1]
+    assert V.read_version(spark, path).count() == 3  # latest = intact v1
+    assert V.commit_version(spark, path) == 2  # tmp cleared, commit lands
+    assert V.read_version(spark, path, 2).count() == 3
