@@ -2,10 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...},
-   "queries_cold": {...}, "value_cold": <sec>, "sf": 0.1}
+Prints the FULL result JSON (with per-query dicts) on one line, then
+a compact final line the harness's tail capture can always parse:
+  {"metric": "...", "value": <best-pass total sec>, "unit": "sec",
+   "value_cold": <first-pass total>, "runs": 2, "sf": 0.1,
+   "detail": "<path to BENCH_FULL.json sidecar>"}
+The sidecar (override via SPARK_GRAFT_BENCH_OUT) carries the
+per-query "queries"/"queries_cold" dicts for regression comparison.
 
 Each query is executed to completion (count() forces the full plan;
 results are small aggregates so collection cost is negligible).
@@ -191,7 +194,30 @@ def main() -> None:
         result["runs"] = runs
     if errors:
         result["errors"] = errors
+    # The harness captures the TAIL of stdout and parses the last JSON
+    # line. Round 6's single line carried two 46-query dicts and
+    # overflowed that capture (BENCH_r06.json: "parsed": null — the
+    # round shipped with no machine-verified number). So: full detail
+    # goes to a sidecar file + an EARLY stdout line, and the LAST line
+    # is a compact summary guaranteed to fit any tail window.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(_REPO_ROOT, "BENCH_FULL.json")
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as exc:  # read-only checkout: detail still on stdout
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
+    compact = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "value_cold", "runs", "sf")
+        if k in result
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    compact["detail"] = out_path
+    print(json.dumps(compact))
     spark.stop()
     if errors:
         sys.exit(1)

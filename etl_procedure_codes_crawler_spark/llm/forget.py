@@ -9,8 +9,19 @@ decisions forever. :func:`forget_documents` removes a set of ids from
 every artifact it is given, each with the right rewrite strategy:
 
 - plain datasets (warehouse, signature store, fingerprint store):
-  anti-join + atomic swap (:func:`..operators.merge.
-  replace_dataset_atomically`), preceded by
+  FILE-PRUNED rewrite — a semi-join against ``input_file_name()``
+  locates the files actually holding doomed ids, only THOSE files are
+  anti-joined and replaced, every other file stays byte-identical.
+  At 100 TB a 3-row takedown touches the handful of files containing
+  those rows, not the corpus (round 6 rewrote everything — O(corpus)
+  I/O per GDPR request). Bonus: version manifests
+  (:mod:`..sinks.versions`) whose files were untouched stay readable
+  after the takedown; only versions referencing the rewritten files
+  expire, and the rewrite stamp names the takedown as the cause.
+  The swap uses a two-phase commit-marker protocol (below); datasets
+  with hive-partition subdirectories or where every file is affected
+  fall back to the whole-dataset atomic swap
+  (:func:`..operators.merge.replace_dataset_atomically`), preceded by
   :func:`..operators.merge.recover_interrupted_swap` — a re-run after
   a crash inside the swap window must restore the backup BEFORE
   reading the target, or the read throws and recovery never converges;
@@ -44,29 +55,139 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _heal_pruned_forget(fs, hpath, path: str) -> None:
+    """Entry-time recovery for the file-pruned swap. The commit marker
+    (``._forget_commit``) splits the crash window in two:
+
+    - marker ABSENT: the run died before its commit point — any file
+      moved aside to ``._forget_prev`` is an original that must come
+      BACK (survivor files were not yet moved in, so restoring cannot
+      duplicate rows); staging is then stale.
+    - marker PRESENT: the originals are all safely aside and some
+      staged survivor files may already be live — roll FORWARD by
+      moving the remaining staged files in (moved ones are no longer
+      in staging, so this is idempotent), then drop the originals.
+    """
+    from ..sinks.fsutil import checked_rename, remove_stale
+
+    prev = hpath(path.rstrip("/") + "._forget_prev")
+    staging = hpath(path.rstrip("/") + "._forget_staging")
+    marker = hpath(path.rstrip("/") + "._forget_commit")
+    if fs.exists(marker):
+        if fs.exists(staging):
+            for st in fs.listStatus(staging):
+                name = st.getPath().getName()
+                if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                    checked_rename(
+                        fs, st.getPath(), hpath(f"{path.rstrip('/')}/{name}")
+                    )
+        remove_stale(fs, prev, staging, marker)
+    else:
+        if fs.exists(prev):
+            for st in fs.listStatus(prev):
+                checked_rename(
+                    fs,
+                    st.getPath(),
+                    hpath(f"{path.rstrip('/')}/{st.getPath().getName()}"),
+                )
+        remove_stale(fs, prev, staging)
+
+
 def _forget_plain(
     spark: SparkSession, path: str, ids: DataFrame, key: str
 ) -> int:
-    """Anti-join rewrite of an unpartitioned dataset; returns rows
-    removed (0 rows → no rewrite at all)."""
+    """File-pruned anti-join rewrite; returns rows removed (0 rows →
+    no rewrite at all). Only the files that actually contain doomed
+    ids are read twice and rewritten — the rest of the dataset is
+    never opened again after the pruning semi-join, and its files
+    stay byte-identical (versioning manifests over them stay valid).
+
+    Scale shape: ONE scan finds (file, doomed-rows) pairs — the scan
+    reads only ``key`` thanks to column pruning — then the anti-join
+    rewrite reads just the affected files. A takedown's cost is
+    O(affected files), not O(corpus)."""
     from ..operators.merge import (
         recover_interrupted_swap,
         replace_dataset_atomically,
     )
+    from ..sinks.fsutil import checked_rename, hadoop_fs
+    from ..sinks.versions import _data_files, record_rewrite
 
-    # a crashed prior swap leaves the path missing and ._previous as
-    # the only copy — restore before the read below, or re-running
-    # (the documented recovery) throws instead of converging
+    # heal BOTH protocols before reading: a crashed legacy whole-swap
+    # (._previous holds the only copy) and a crashed pruned swap
     recover_interrupted_swap(spark, path)
-    current = spark.read.parquet(path)
+    fs, hpath = hadoop_fs(spark, path)
+    _heal_pruned_forget(fs, hpath, path)
+
     doomed = ids.withColumnRenamed(ids.columns[0], key)
-    n = current.join(doomed, key, "left_semi").count()
+    per_file = (
+        spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .join(doomed, key, "left_semi")
+        .groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n = sum(int(r["cnt"]) for r in per_file)
     if n == 0:
         return 0
-    remaining = current.join(doomed, key, "left_anti").localCheckpoint(
-        eager=True  # the swap rewrites the path this lineage reads
+
+    # map input_file_name URIs (file:///x) onto the listing's Path
+    # strings (file:/x) by basename — unique per dataset (writer UUID
+    # per job); on any ambiguity fall back to the whole-dataset swap
+    listed = _data_files(fs, hpath, path)
+    by_name: dict[str, str] = {}
+    ambiguous = False
+    for f in listed:
+        name = f.rsplit("/", 1)[1]
+        ambiguous = ambiguous or name in by_name
+        by_name[name] = f
+    flat = all(
+        f.rsplit("/", 1)[0].rstrip("/") == listed[0].rsplit("/", 1)[0].rstrip("/")
+        for f in listed
     )
-    replace_dataset_atomically(spark, path, remaining)
+    affected = sorted(by_name.get(r["_file"].rsplit("/", 1)[1], "") for r in per_file)
+    if ambiguous or not flat or "" in affected or len(affected) == len(listed):
+        # hive-partitioned layout, basename collision, or every file
+        # affected: prune buys nothing (or isn't safe) — whole swap
+        current = spark.read.parquet(path)
+        remaining = current.join(doomed, key, "left_anti").localCheckpoint(
+            eager=True  # the swap rewrites the path this lineage reads
+        )
+        replace_dataset_atomically(spark, path, remaining, op="forget")
+        return n
+
+    survivors = (
+        spark.read.parquet(*affected)
+        .join(doomed, key, "left_anti")
+        .localCheckpoint(eager=True)  # the renames below invalidate it
+    )
+    staging = path.rstrip("/") + "._forget_staging"
+    prev = path.rstrip("/") + "._forget_prev"
+    marker = path.rstrip("/") + "._forget_commit"
+    survivors.write.mode("overwrite").option("compression", "snappy").parquet(
+        staging
+    )
+    staged = [
+        st.getPath()
+        for st in fs.listStatus(hpath(staging))
+        if st.getPath().getName().endswith(".parquet")
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    # phase 1: move the affected originals aside
+    fs.mkdirs(hpath(prev))
+    for f in affected:
+        checked_rename(fs, hpath(f), hpath(f"{prev}/{f.rsplit('/', 1)[1]}"))
+    # commit point: from here recovery rolls FORWARD, never back
+    fs.create(hpath(marker), True).close()
+    # phase 2: move survivor files in (fresh writer UUID — no collision
+    # with surviving originals)
+    for sp in staged:
+        checked_rename(fs, sp, hpath(f"{path.rstrip('/')}/{sp.getName()}"))
+    fs.delete(hpath(prev), True)
+    fs.delete(hpath(staging), True)
+    fs.delete(hpath(marker), False)
+    record_rewrite(spark, path, "forget", affected)
     return n
 
 
@@ -184,6 +305,29 @@ def forget_documents(
         .localCheckpoint(eager=True)  # joined against every artifact
     )
     removed: dict[str, int] = {}
+    if ann_index_path is not None:
+        # The index total-wipe guard must fire BEFORE any artifact is
+        # mutated: the index step runs last, so raising only there
+        # would leave the warehouse/store deletions already applied —
+        # and the documented "rerun until every count is 0" recovery
+        # would re-raise forever instead of converging.
+        from ..sinks.fsutil import hadoop_fs
+
+        coded_path = ann_index_path.rstrip("/") + "/coded"
+        fs, hpath = hadoop_fs(spark, coded_path)
+        _heal_index_cells(fs, hpath, coded_path)
+        no_survivors = (
+            spark.read.parquet(coded_path)
+            .join(key_ids.withColumnRenamed("_doomed", "id"), "id", "left_anti")
+            .isEmpty()
+        )
+        if no_survivors:
+            raise ValueError(
+                "forget_documents: deleting every remaining vector would "
+                "leave an unreadable empty index (no partitions, no "
+                "schema); drop the index with sinks.parquet.delete_path "
+                "and rebuild instead — no artifact was modified"
+            )
     if warehouse_path is not None:
         removed["warehouse"] = _forget_plain(
             spark, warehouse_path, key_ids, id_col

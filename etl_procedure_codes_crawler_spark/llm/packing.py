@@ -654,10 +654,11 @@ def exact_global_rank(
         1, skew_factor * total // max(len(counts), 1)
     )
     fat = [b for b, c in counts if c > threshold]
-    numeric_tb = dict(df.dtypes).get(tiebreak_col) in (
+    tb_dtype = dict(df.dtypes).get(tiebreak_col) or ""
+    numeric_tb = tb_dtype in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
-        "decimal", "date", "timestamp",
-    )
+        "date", "timestamp", "timestamp_ntz",
+    ) or tb_dtype.startswith("decimal")  # df.dtypes says 'decimal(p,s)'
     if fat and numeric_tb:
         # second level: quantile edges on the TIEBREAK, but only for
         # fat bins holding a single distinct value (see docstring for
@@ -730,7 +731,11 @@ def length_bucketed_batches(
     ranked = exact_global_rank(scored, "_n", id_col)
     return (
         ranked.withColumn(
-            "batch_id", F.floor((F.col("_rank") - 1) / batch_size).cast("bigint")
+            # integer `div`, same discipline as pack_sequences: the
+            # `/` operator promotes to double, which loses exactness
+            # past 2^53 ranks
+            "batch_id",
+            F.expr(f"(_rank - 1) div {int(batch_size)}").cast("bigint"),
         )
         .groupBy("batch_id")
         .agg(

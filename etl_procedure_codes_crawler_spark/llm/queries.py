@@ -2522,21 +2522,35 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         first = documents.filter(F.col("doc_id") % 2 == 0)
         second = documents.filter(F.col("doc_id") % 2 == 1)
-        first.write.parquet(wh)
+        # hive-partitioned on purpose: round 6 shipped a versioned read
+        # that silently DROPPED partition columns (no error, narrower
+        # schema) — the gate now exercises the partitioned layout and
+        # asserts schema equality with the live read, not just counts
+        first.write.partitionBy("lang").parquet(wh)
         v1 = V.commit_version(spark, wh, note="first half")
-        second.write.mode("append").parquet(wh)
+        second.write.mode("append").partitionBy("lang").parquet(wh)
         v2 = V.commit_version(spark, wh, note="full corpus")
+        live = spark.read.parquet(wh)
+        live_cols = sorted(live.columns)
+        rv1, rv2 = V.read_version(spark, wh, v1), V.read_version(spark, wh, v2)
+        schema_ok = (
+            sorted(rv1.columns) == live_cols
+            and sorted(rv2.columns) == live_cols
+            and dict(rv2.dtypes) == dict(live.dtypes)
+        )
         out = spark.createDataFrame(
             [(
                 v1,
-                V.read_version(spark, wh, v1).count(),
+                rv1.count(),
                 v2,
-                V.read_version(spark, wh, v2).count(),
-                spark.read.parquet(wh).count(),
+                rv2.count(),
+                live.count(),
                 first.count(),
+                bool(schema_ok),
             )],
             "v1 bigint, v1_rows bigint, v2 bigint, v2_rows bigint, "
-            "live_rows bigint, expected_v1_rows bigint",
+            "live_rows bigint, expected_v1_rows bigint, "
+            "schema_matches_live boolean",
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -61,7 +61,7 @@ def merge_upsert(
 
     pinned = merged.localCheckpoint(eager=True)
     n = pinned.count()
-    replace_dataset_atomically(spark, target_path, pinned)
+    replace_dataset_atomically(spark, target_path, pinned, op="merge")
     return n
 
 
@@ -84,12 +84,16 @@ def recover_interrupted_swap(spark: SparkSession, target_path: str) -> bool:
 
 
 def replace_dataset_atomically(
-    spark: SparkSession, target_path: str, df: DataFrame
+    spark: SparkSession, target_path: str, df: DataFrame, op: str = "rewrite"
 ) -> None:
     """Write ``df`` beside ``target_path`` then rename into place —
     readers see the old dataset or the new one, never a mix. ``df``
     must NOT have lineage reading ``target_path`` unless checkpointed
-    first (see module docstring)."""
+    first (see module docstring). ``op`` names the maintenance
+    operation for the versioning rewrite stamp (so an expired
+    versioned read can say "merge at rw2" vs "forget at rw3")."""
+    from ..sinks.versions import _data_files, record_rewrite
+
     tmp = target_path.rstrip("/") + "._staging"
     fs, hpath = hadoop_fs(spark, target_path)
     dst = hpath(target_path)
@@ -106,8 +110,14 @@ def replace_dataset_atomically(
     # exists, or never existed); either would make the renames below
     # fail (occupied destination). Clear them before writing.
     remove_stale(fs, tmp_p, backup)
+    old_files = _data_files(fs, hpath, target_path) if fs.exists(dst) else []
     df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
     if fs.exists(dst):
         checked_rename(fs, dst, backup)
     checked_rename(fs, tmp_p, dst)
     fs.delete(backup, True)
+    # stamp AFTER the swap is durable: a stamp for a swap that never
+    # happened would falsely expire readable versions; a crash before
+    # stamping degrades to "unknown rewrite" in the expiry message,
+    # never to wrong data
+    record_rewrite(spark, target_path, op, old_files)

@@ -107,7 +107,7 @@ def scd2_apply(
     merged = history.unionByName(kept_current).unionByName(new_rows)
     pinned = merged.localCheckpoint(eager=True)
     n = pinned.count()
-    replace_dataset_atomically(spark, target_path, pinned)
+    replace_dataset_atomically(spark, target_path, pinned, op="scd2")
     return n
 
 

@@ -158,6 +158,9 @@ def compact_dataset(
     # Remaining leftovers would occupy the rename destinations below;
     # src exists again, so they are safe to discard.
     remove_stale(fs, tmp_p, backup)
+    from .versions import _data_files, record_rewrite
+
+    old_files = _data_files(fs, hpath, path)
     total_bytes = fs.getContentSummary(src).getLength()
     n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 
@@ -177,6 +180,9 @@ def compact_dataset(
     checked_rename(fs, src, backup)
     checked_rename(fs, tmp_p, src)
     fs.delete(backup, True)
+    # stamp after the swap is durable (a pre-swap stamp would falsely
+    # expire versions if the compaction crashed before committing)
+    record_rewrite(spark, path, "compact", old_files)
     # listStatus is non-recursive: with partition_by the data files
     # live under partition directories, so walk with listFiles(...,
     # recursive) for a correct count

@@ -146,6 +146,173 @@ def test_forget_recovers_interrupted_cell_swap(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{ix}/coded._forget_prev")
 
 
+def _file_state(path):
+    """(name -> (size, sha256)) for every data file in a flat dataset."""
+    import hashlib
+
+    out = {}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "rb") as fh:
+            out[os.path.basename(f)] = (
+                os.path.getsize(f),
+                hashlib.sha256(fh.read()).hexdigest(),
+            )
+    return out
+
+
+def test_forget_plain_rewrites_only_affected_files(spark, tmp_path):
+    """The 100 TB story: a takedown confined to 2 of 1000 files must
+    rewrite exactly those 2 — every other file byte-identical after."""
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], "doc_id bigint, text string"
+    ).repartition(1000).write.parquet(wh)
+    before = _file_state(wh)
+    assert len(before) >= 500  # AQE may coalesce a few empty splits
+    # find two files and one doomed id from each
+    rows = (
+        spark.read.parquet(wh)
+        .withColumn("_f", F.input_file_name())
+        .select("doc_id", "_f")
+        .collect()
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["_f"]), []).append(r["doc_id"])
+    names = sorted(by_file)[:2]
+    doomed = [by_file[names[0]][0], by_file[names[1]][0]]
+
+    removed = FG.forget_documents(_ids(spark, doomed), warehouse_path=wh)
+    assert removed["warehouse"] == 2
+    after = _file_state(wh)
+    untouched_before = {k: v for k, v in before.items() if k not in names}
+    assert all(after.get(k) == v for k, v in untouched_before.items())
+    assert not any(n in after for n in names)  # originals replaced
+    left = spark.read.parquet(wh)
+    assert left.count() == 998
+    assert left.filter(F.col("doc_id").isin(doomed)).count() == 0
+    # no protocol droppings
+    for suffix in ("._forget_prev", "._forget_staging", "._forget_commit"):
+        assert not os.path.exists(wh + suffix)
+
+
+def test_forget_plain_heals_precommit_crash(spark, tmp_path):
+    """Crash BEFORE the commit marker: originals sit in ._forget_prev,
+    survivors not yet moved in — heal must restore the originals (no
+    row may vanish from a half-done takedown) and the re-run must
+    converge with no duplicates."""
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id bigint"
+    ).repartition(10).write.parquet(wh)
+    # simulate: one file moved aside, staging written, NO marker
+    victim_file = sorted(glob.glob(os.path.join(wh, "*.parquet")))[0]
+    os.makedirs(wh + "._forget_prev")
+    os.makedirs(wh + "._forget_staging")
+    os.rename(
+        victim_file,
+        os.path.join(wh + "._forget_prev", os.path.basename(victim_file)),
+    )
+    removed = FG.forget_documents(_ids(spark, [5]), warehouse_path=wh)
+    assert removed["warehouse"] == 1
+    left = spark.read.parquet(wh)
+    assert left.count() == 99  # nothing lost, nothing duplicated
+    assert left.select("doc_id").distinct().count() == 99
+
+
+def test_forget_plain_heals_postcommit_crash(spark, tmp_path):
+    """Crash AFTER the commit marker: originals aside, some survivor
+    files already live — heal rolls FORWARD (restoring originals here
+    would duplicate survivors)."""
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(60)], "doc_id bigint, text string"
+    ).repartition(6).write.parquet(wh)
+    # run a real pruned forget but crash it at the marker by invoking
+    # the internals: easier — construct the post-commit state by hand
+    from etl_procedure_codes_crawler_spark.sinks.fsutil import hadoop_fs
+
+    files = sorted(glob.glob(os.path.join(wh, "*.parquet")))
+    affected = files[0]
+    aff_ids = [
+        r.doc_id
+        for r in spark.read.parquet(affected).select("doc_id").collect()
+    ]
+    doomed = aff_ids[:2]
+    survivors = spark.read.parquet(affected).filter(
+        ~F.col("doc_id").isin(doomed)
+    ).localCheckpoint(eager=True)
+    survivors.write.parquet(wh + "._forget_staging")
+    os.makedirs(wh + "._forget_prev")
+    os.rename(
+        affected, os.path.join(wh + "._forget_prev", os.path.basename(affected))
+    )
+    open(wh + "._forget_commit", "w").close()  # commit point passed
+    # crash: staged files NOT moved in. Re-run must roll forward first.
+    removed = FG.forget_documents(_ids(spark, doomed), warehouse_path=wh)
+    # roll-forward completed the original takedown; re-run then found 0
+    assert removed["warehouse"] == 0
+    left = spark.read.parquet(wh)
+    assert left.count() == 58
+    assert left.select("doc_id").distinct().count() == 58
+    assert left.filter(F.col("doc_id").isin(doomed)).count() == 0
+    for suffix in ("._forget_prev", "._forget_staging", "._forget_commit"):
+        assert not os.path.exists(wh + suffix)
+
+
+def test_forget_preserves_untouched_version_manifests(spark, tmp_path):
+    """File pruning keeps time travel alive through takedowns: a
+    version whose files a later forget never touched must stay
+    readable; versions referencing rewritten files expire with the
+    takedown named as the cause."""
+    from etl_procedure_codes_crawler_spark.sinks import versions as V
+
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id bigint"
+    ).repartition(1).write.parquet(wh)
+    v1 = V.commit_version(spark, wh, note="first batch")
+    spark.createDataFrame(
+        [(i,) for i in range(100, 110)], "doc_id bigint"
+    ).repartition(1).write.mode("append").parquet(wh)
+    v2 = V.commit_version(spark, wh, note="second batch")
+
+    # doomed ids live only in the SECOND batch's file
+    removed = FG.forget_documents(_ids(spark, [100, 105]), warehouse_path=wh)
+    assert removed["warehouse"] == 2
+    # v1's file was untouched — still readable
+    assert {r.doc_id for r in V.read_version(spark, wh, v1).collect()} == set(
+        range(10)
+    )
+    # v2 referenced the rewritten file — expired, attributed to forget
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="forget"):
+        V.read_version(spark, wh, v2)
+    detail = V.list_versions(spark, wh, detail=True)
+    status = {d["version"]: d for d in detail}
+    assert status[v1]["readable"] and status[v1]["expired_by"] is None
+    assert not status[v2]["readable"]
+    assert "forget" in status[v2]["expired_by"]
+
+
+def test_forget_partitioned_plain_dataset_falls_back(spark, tmp_path):
+    """A hive-partitioned plain dataset can't take the flat-file
+    protocol (staged files would land in the wrong directory) — the
+    whole-swap fallback must fire and stay correct."""
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id bigint, part int"
+    ).write.partitionBy("part").parquet(wh)
+    removed = FG.forget_documents(_ids(spark, [1, 2]), warehouse_path=wh)
+    assert removed["warehouse"] == 2
+    left = spark.read.parquet(wh)
+    assert left.count() == 28
+    assert left.filter(F.col("doc_id").isin([1, 2])).count() == 0
+    # partition column survived the fallback rewrite
+    assert "part" in left.columns
+
+
 def test_forget_total_index_wipe_raises(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 30
