@@ -87,6 +87,61 @@ def test_vocab_matches_reference(spark):
     assert got == ref_vocab
 
 
+def test_distributed_loop_matches_driver_loop(spark):
+    """The two merge-loop homes — driver (small vocab) and distributed
+    (incremental delta jobs) — must learn the identical merge table,
+    and both must match the Sennrich replica."""
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    via_driver = [
+        (r.left, r.right, r.pair_freq)
+        for r in B.train_bpe_merges(df, num_merges=12).orderBy("rank").collect()
+    ]
+    via_cluster = [
+        (r.left, r.right, r.pair_freq)
+        for r in B.train_bpe_merges(df, num_merges=12, max_driver_words=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    ref_merges, _ = _ref_bpe(_spark_word_freqs(spark), 12, 2)
+    assert via_driver == via_cluster == ref_merges
+    # the segment tables agree too (via the vocab they induce)
+    v_driver = {r.token: r.freq for r in B.bpe_vocab(df, num_merges=8).collect()}
+    v_cluster = {
+        r.token: r.freq
+        for r in B.bpe_vocab(df, num_merges=8, max_driver_words=0).collect()
+    }
+    assert v_driver == v_cluster
+
+
+def test_incremental_counts_keep_job_count_flat(spark):
+    """The distributed merge loop maintains pair counts in a driver
+    dict, so each merge costs ONE delta job over the changed words
+    (plus a lineage checkpoint every _CHECKPOINT_EVERY merges) — never
+    a full pair-recount + sort-limit per merge. Measured on this
+    corpus: round 6's recount loop scheduled 63 jobs at num_merges=20;
+    the incremental loop schedules 28. The ceiling pins the per-merge
+    job budget at <= 1.5 so a recount/argmax job creeping back in
+    fails loudly. (max_driver_words=0 forces the distributed path —
+    the default would train this tiny vocab on the driver with ~3
+    jobs total.)"""
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    sc = spark.sparkContext
+    num_merges = 12
+    sc.setJobGroup("bpe_job_ceiling", "job-count pin")
+    try:
+        merges = B.train_bpe_merges(
+            df, num_merges=num_merges, max_driver_words=0
+        ).collect()
+    finally:
+        sc.setJobGroup("bpe_job_ceiling_done", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup("bpe_job_ceiling"))
+    assert len(merges) == num_merges
+    # budget: ~3 setup jobs (syms checkpoint + initial count collect,
+    # AQE may split it) + 1 delta job per merge + periodic checkpoints
+    ceiling = 4 + int(num_merges * 1.5)
+    assert jobs <= ceiling, f"{jobs} jobs for {num_merges} merges"
+
+
 def test_greedy_merge_is_left_to_right_non_overlapping(spark):
     """'aaaa' under merge (a,a) must become [aa, aa], never [aa, a, a]
     or a re-merged [aaaa] — the scan rule the reference also uses."""
