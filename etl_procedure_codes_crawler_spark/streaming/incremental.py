@@ -191,10 +191,13 @@ def stream_ingest_with_neardup(
     n_contaminated, n_neardup_rejected, n_accepted)`` — so rejection
     rates are queryable without log scraping. ``n_input`` counts raw
     arrivals BEFORE the NULL-id filter and id-dedup (a feed gone bad
-    must show in the audit); the other counts come from DataFrames
-    the sink has already checkpointed, and every count job is gated
-    on metrics being enabled — callers without a metrics_path pay
-    nothing new. The metric write happens LAST (a crash loses at
+    must show in the audit). Auditing is (almost) free: every count
+    rides an ``Observation`` on a localCheckpoint the sink already
+    executes — CollectMetrics accumulators on existing jobs, ZERO
+    extra count jobs (round 6 ran up to 6 ``count()`` jobs per
+    audited batch; a plan-shape test pins that audit-on adds only the
+    metric-row write). Callers without a metrics_path skip even the
+    observe nodes. The metric write happens LAST (a crash loses at
     most the metric row, never the data); replayed batches re-emit
     their row, so the audit shows the replay.
 
@@ -232,19 +235,31 @@ def stream_ingest_with_neardup(
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         audit = metrics_path is not None
         m = {"n_input": 0, "n_rows": 0, "n_fresh": 0, "n_intra_dropped": 0,
              "n_contaminated": 0, "n_neardup_rejected": 0, "n_accepted": 0}
+        _n = F.count(F.lit(1)).alias("n")
+
+        def observed(df: DataFrame, obs) -> DataFrame:
+            return df.observe(obs, _n) if obs is not None else df
+
+        # raw arrivals BEFORE the NULL-id filter and id-dedup (a feed
+        # suddenly full of NULL-id rows must be visible in the audit)
+        # and the post-dedup count both ride the SAME checkpoint job
+        # as accumulators — no extra scan of the batch
+        o_input = Observation() if audit else None
+        o_rows = Observation() if audit else None
+        rows = observed(
+            observed(batch, o_input)
+            .filter(F.col(id_col).isNotNull())
+            .dropDuplicates([id_col]),
+            o_rows,
+        ).localCheckpoint(eager=True)  # consumed up to three times
         if audit:
-            # raw arrivals BEFORE the NULL-id filter and id-dedup: a
-            # feed suddenly full of NULL-id rows must be visible in
-            # the audit, not silently absorbed
-            m["n_input"] = batch.count()
-        rows = (
-            batch.filter(F.col(id_col).isNotNull())
-            .dropDuplicates([id_col])
-            .localCheckpoint(eager=True)  # consumed up to three times
-        )
+            m["n_input"] = int(o_input.get["n"])
+            m["n_rows"] = int(o_rows.get["n"])
         existing = read_table_or_empty(spark, warehouse_path, rows.schema)
         # crash-heal FIRST, before any gating: a prior run may have
         # died between its warehouse write and its store append, so
@@ -255,11 +270,12 @@ def stream_ingest_with_neardup(
         # anti-join makes this a no-op)
         warehoused = rows.join(existing.select(id_col), id_col, "left_semi")
         append_to_minhash_store(spark, store_path, warehoused, text_col, id_col)
-        fresh = rows.join(
-            existing.select(id_col), id_col, "left_anti"
+        o_fresh = Observation() if audit else None
+        fresh = observed(
+            rows.join(existing.select(id_col), id_col, "left_anti"), o_fresh
         ).localCheckpoint(eager=True)  # two consumers below
         if audit:
-            m["n_rows"], m["n_fresh"] = rows.count(), fresh.count()
+            m["n_fresh"] = int(o_fresh.get["n"])
         if not fresh.isEmpty():
             # intra-batch collapse: two near-dups arriving in the SAME
             # micro-batch both pass the store gate (neither is stored
@@ -280,11 +296,14 @@ def stream_ingest_with_neardup(
                 .select(F.col("doc_b").alias(id_col))
                 .distinct()
             )
-            fresh = fresh.join(intra_losers, id_col, "left_anti").localCheckpoint(
+            o_intra = Observation() if audit else None
+            fresh = observed(
+                fresh.join(intra_losers, id_col, "left_anti"), o_intra
+            ).localCheckpoint(
                 eager=True  # two consumers below, and the pair scan above
             )
             if audit:
-                m["n_intra_dropped"] = m["n_fresh"] - fresh.count()
+                m["n_intra_dropped"] = m["n_fresh"] - int(o_intra.get["n"])
         if eval_store_path is not None and not fresh.isEmpty():
             from ..llm.fingerprint import contamination_against_store
 
@@ -296,11 +315,13 @@ def stream_ingest_with_neardup(
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
-            survivors = fresh.join(
-                contaminated, id_col, "left_anti"
+            o_surv = Observation() if audit else None
+            survivors = observed(
+                fresh.join(contaminated, id_col, "left_anti"), o_surv
             ).localCheckpoint(eager=True)
             if audit:
-                m["n_contaminated"] = fresh.count() - survivors.count()
+                n_before = m["n_fresh"] - m["n_intra_dropped"]
+                m["n_contaminated"] = n_before - int(o_surv.get["n"])
             fresh = survivors
         if not fresh.isEmpty():
             near = (
@@ -310,12 +331,18 @@ def stream_ingest_with_neardup(
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
-            accepted = fresh.join(near, id_col, "left_anti").localCheckpoint(
+            o_acc = Observation() if audit else None
+            accepted = observed(
+                fresh.join(near, id_col, "left_anti"), o_acc
+            ).localCheckpoint(
                 eager=True  # lineage reads the warehouse being appended
             )
             if audit:
-                m["n_accepted"] = accepted.count()
-                m["n_neardup_rejected"] = fresh.count() - m["n_accepted"]
+                m["n_accepted"] = int(o_acc.get["n"])
+                n_gate_in = (
+                    m["n_fresh"] - m["n_intra_dropped"] - m["n_contaminated"]
+                )
+                m["n_neardup_rejected"] = n_gate_in - m["n_accepted"]
             if not accepted.isEmpty():
                 accepted.write.mode("append").option(
                     "compression", "snappy"

@@ -565,3 +565,51 @@ def test_gate_metrics_row_per_batch(spark, tmp_path):
     assert (replay.n_fresh, replay.n_neardup_rejected, replay.n_accepted) == (
         1, 1, 0,
     )
+
+
+def test_gate_metrics_cost_only_the_metric_write(spark, tmp_path):
+    """Audit counts ride Observations on the checkpoints the sink
+    already executes, so turning metrics ON schedules only the
+    metric-row append — never per-count jobs (round 6 ran up to 6
+    extra count() jobs per audited batch)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_procedure_codes_crawler_spark.streaming.incremental import (
+        stream_ingest_with_neardup,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    helper = TestStreamIngestWithNearDup()
+    docs = [(4, BASE), (5, BASE.replace("lazy", "sleepy")),
+            (6, "wholly distinct corpus content nothing shared anywhere")]
+
+    def run(tag, metrics_path):
+        src = tmp_path / f"in_{tag}"
+        src.mkdir()
+        NS.build_minhash_store(
+            spark.createDataFrame([], helper.SCHEMA), str(tmp_path / f"st_{tag}")
+        )
+        helper._drop(spark, str(src), "b1", docs)
+        dag = spark.sparkContext._jsc.sc().dagScheduler()
+        before = dag.nextJobId().get() if hasattr(
+            dag.nextJobId(), "get"
+        ) else dag.nextJobId()
+        q = stream_ingest_with_neardup(
+            spark, str(src), schema, str(tmp_path / f"wh_{tag}"),
+            str(tmp_path / f"st_{tag}"), str(tmp_path / f"ck_{tag}"),
+            threshold=0.5, metrics_path=metrics_path,
+        )
+        q.awaitTermination()
+        after = dag.nextJobId()
+        return (after.get() if hasattr(after, "get") else after) - before
+
+    jobs_off = run("off", None)
+    jobs_on = run("on", str(tmp_path / "metrics"))
+    # identical pipeline; the only audit-mode additions are the
+    # metric-row append (1-2 jobs). 6 count jobs would blow this.
+    assert jobs_on - jobs_off <= 2, (jobs_on, jobs_off)
+    # and the audit row still reconciles
+    row = spark.read.parquet(str(tmp_path / "metrics")).first()
+    assert (row.n_input, row.n_accepted, row.n_intra_dropped) == (3, 2, 1)
