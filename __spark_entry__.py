@@ -83,9 +83,10 @@ _GATE_PRIORITY = [
     # ANN / embeddings (oracled members)
     "ann_cosine_topk",
     "embedding_similar_pairs",
-    # multimodal
+    # multimodal (BMP/PNG stay oracled in the full registry; the
+    # round-7 real-codec JPEG path takes the sampled slot)
     "multimodal_payload_stats",
-    "multimodal_bmp_decode_stats",
+    "multimodal_jpeg_decode_stats",
     # trends / corpus prep / packing
     "user_value_trends",
     "llm_corpus_prep_v2",

@@ -92,9 +92,11 @@ HEADLINE = [
     # training-layout family representative: one hash exchange +
     # per-shard sort — the reproducible global shuffle
     "training_shuffle_manifest",
-    # real-codec multimodal decode (PNG synth + inflate + un-filter
-    # through mapInPandas) — the Python-heavy batch-decode shape
+    # real-codec multimodal decode (PNG synth + inflate + un-filter,
+    # JPEG huffman + IDCT, both through mapInPandas) — the
+    # Python-heavy batch-decode shapes
     "multimodal_png_decode_stats",
+    "multimodal_jpeg_decode_stats",
     # round-6 additions: zero-shuffle chunk fan-out, the winnowing
     # fingerprint join (Arrow hash pass + df-capped self-join), and
     # the iterative BPE trainer (1 corpus scan + 12 vocab-table jobs)

@@ -4,12 +4,14 @@ Design (SURVEY §7 Phase 5): image/audio/video ride as ``binary``
 columns with a typed metadata struct; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages.
 
-PNG (zlib inflate + scanline un-filter), BMP, binary PPM, and PCM WAV
-decode FOR REAL via pure-stdlib parsers; formats that need a codec
-library the container lacks (JPEG/MP4/...) are stubbed behind a loud
-NotImplementedError. Everything Spark-side is identical either way —
-schemas, batch shapes, partition behavior, error-row capture — so
-swapping in a library decoder changes no plan.
+Baseline JPEG (huffman + dequant + IDCT, :mod:`.jpeg`), PNG (zlib
+inflate + scanline un-filter), BMP, binary PPM, and PCM WAV decode
+FOR REAL via stdlib+numpy parsers; formats that need a codec library
+the container lacks (MP4/progressive-JPEG/...) are stubbed behind a
+loud NotImplementedError or a decode-error row. Everything
+Spark-side is identical either way — schemas, batch shapes,
+partition behavior, error-row capture — so swapping in a library
+decoder changes no plan.
 """
 
 from __future__ import annotations
@@ -68,15 +70,16 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Placeholder for decoders that need a codec library (JPEG/MP4/
-    ...: PIL.Image.open / av.open / soundfile.read — not available in
-    this environment). PNG, BMP, binary PPM, and PCM WAV decode for
-    real via :func:`decode_png` / :func:`decode_bmp` /
-    :func:`decode_ppm` / :func:`decode_wav`."""
+    """Placeholder for decoders that need a codec library (MP4/...:
+    av.open / soundfile.read — not available in this environment).
+    Baseline JPEG, PNG, BMP, binary PPM, and PCM WAV decode for real
+    via :func:`.jpeg.decode_jpeg` / :func:`decode_png` /
+    :func:`decode_bmp` / :func:`decode_ppm` / :func:`decode_wav`."""
     raise NotImplementedError(
-        "media decode for this format requires an image/audio codec "
+        "media decode for this format requires a codec "
         "library; inject a real decoder via decode_media(media, "
-        "decoder=...) — PNG/BMP/PPM/WAV decode natively via default_decoder"
+        "decoder=...) — JPEG/PNG/BMP/PPM/WAV decode natively via "
+        "default_decoder"
     )
 
 
@@ -265,10 +268,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def default_decoder(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Magic-byte dispatch: PNG / BMP / binary-PPM / PCM-WAV decode for
-    real (pure stdlib); any other format still needs a codec library
-    and raises NotImplementedError loudly via the stub."""
+    """Magic-byte dispatch: JPEG / PNG / BMP / binary-PPM / PCM-WAV
+    decode for real (stdlib + numpy); any other format still needs a
+    codec library and raises NotImplementedError loudly via the stub."""
     data = bytes(payload) if payload is not None else b""
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
     if data[:2] == b"BM":
@@ -359,6 +366,58 @@ def documents_as_png(
                 ids.append(doc_id)
                 payloads.append(payload)
                 mimes.append("image/png")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+#: JPEG synthesis geometry shared with the SQL oracle: 16 px × 1 B/px
+JPEG_WIDTH = 16
+JPEG_CORRUPT_EVERY = 50
+
+
+def documents_as_jpeg(
+    documents: DataFrame,
+    width: int = JPEG_WIDTH,
+    corrupt_every: int = JPEG_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #3: each document's
+    utf-8 bytes become the pixels of a valid baseline GRAYSCALE JPEG
+    (width fixed, height = ceil(bytes / width), zero-padded; flat
+    quantization so the DCT round-trip stays within ±2 of the source
+    bytes — pinned in tests/test_multimodal.py). Every
+    ``corrupt_every``-th doc is truncated mid-file to exercise the
+    decode-error path. Geometry is closed-form in byte length, so a
+    SQL oracle mirrors the decoded stats exactly."""
+    from .jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8")
+                height = max(1, -(-len(data) // width))
+                pix = data.ljust(width * height, b"\x00")
+                payload = encode_jpeg(pix, width, height, channels=1)
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    payload = payload[: max(4, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("image/jpeg")
                 sizes.append(len(payload))
                 sources.append(source)
             yield pd.DataFrame(

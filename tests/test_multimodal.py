@@ -257,12 +257,15 @@ class TestStdlibDecoders:
         w, h, c, _ = M.default_decoder(self._bmp(3, 1, [bytes(9)]))
         assert (w, h, c) == (3, 1, 3)
         assert M.default_decoder(b"P6\n1 1\n255\n\x00\x01\x02")[:3] == (1, 1, 3)
-        # PNG now decodes for real: valid magic + garbage body is a
-        # CORRUPT file (ValueError → error row), not a missing codec
+        # PNG and JPEG now decode for real: valid magic + garbage body
+        # is a CORRUPT file (ValueError → error row), not a missing
+        # codec; formats with no native decoder still hit the stub
         with _pytest.raises(ValueError):
             M.default_decoder(b"\x89PNG\r\n\x1a\n rest")
+        with _pytest.raises(ValueError):
+            M.default_decoder(b"\xff\xd8\xff\xe0 garbage jpeg body")
         with _pytest.raises(NotImplementedError):
-            M.default_decoder(b"\xff\xd8\xff\xe0 jpeg needs a codec lib")
+            M.default_decoder(b"\x00\x00\x00\x18ftypmp42 an mp4 box")
 
     def test_bmp_corpus_decodes_on_spark(self, spark, sf_dir):
         from etl_procedure_codes_crawler_spark.plans.relational import load
@@ -420,3 +423,143 @@ class TestPngDecoder:
             height = max(1, -(-len(data) // 16))
             assert (r.width, r.height, r.channels) == (16, height, 1)
             assert bytes(r.pixels) == data.ljust(16 * height, b"\x00")
+
+
+class TestJpegCodec:
+    """Baseline JPEG (llm/jpeg.py): FDCT/IDCT + Annex K huffman at
+    flat quantization — the real-codec path for the format every web
+    crawl corpus is full of."""
+
+    def test_gray_roundtrip_within_quantization_error(self):
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import jpeg as J
+
+        rng = np.random.RandomState(7)
+        for w, h in [(16, 16), (17, 9), (8, 1), (1, 1), (40, 23)]:
+            pix = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            payload = J.encode_jpeg(pix.tobytes(), w, h, channels=1)
+            dw, dh, dc, out = J.decode_jpeg(payload)
+            assert (dw, dh, dc) == (w, h, 1)
+            got = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+            assert np.abs(got.astype(int) - pix.astype(int)).max() <= 2
+
+    def test_color_444_and_420_roundtrip(self):
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import jpeg as J
+
+        rng = np.random.RandomState(11)
+        pix = rng.randint(0, 256, size=(24, 31, 3), dtype=np.uint8)
+        payload = J.encode_jpeg(pix.tobytes(), 31, 24, channels=3, subsample=1)
+        dw, dh, dc, out = J.decode_jpeg(payload)
+        assert (dw, dh, dc) == (31, 24, 3)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(24, 31, 3)
+        # two lossy color transforms on top of the DCT round-trip
+        assert np.abs(got.astype(int) - pix.astype(int)).max() <= 4
+        # 4:2:0 drops high-frequency chroma — judge by mean error on a
+        # smooth gradient, where subsampling should be near-lossless
+        yy, xx = np.mgrid[0:32, 0:48]
+        pix = np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+        ).astype(np.uint8)
+        payload = J.encode_jpeg(pix.tobytes(), 48, 32, channels=3, subsample=2)
+        dw, dh, dc, out = J.decode_jpeg(payload)
+        assert (dw, dh, dc) == (48, 32, 3)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(32, 48, 3)
+        assert np.abs(got.astype(int) - pix.astype(int)).mean() < 8
+
+    def test_rejects_progressive_truncated_and_corrupt(self):
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import jpeg as J
+
+        pix = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        good = J.encode_jpeg(pix.tobytes(), 8, 8, channels=1)
+        with pytest.raises(ValueError, match="not a JPEG"):
+            J.decode_jpeg(b"NOPE" + good[4:])
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            J.decode_jpeg(good[: len(good) // 2])
+        with pytest.raises(ValueError, match="progressive"):
+            # SOF0 marker rewritten to SOF2 at its position in the file
+            sof = good.index(b"\xff\xc0")
+            J.decode_jpeg(good[:sof] + b"\xff\xc2" + good[sof + 2 :])
+        # flipped bit inside the entropy-coded data: either an invalid
+        # huffman code or an AC overrun, never a hang or wrong-size out
+        bad = bytearray(good)
+        bad[-12] ^= 0x55
+        try:
+            w, h, c, out = J.decode_jpeg(bytes(bad))
+            assert (w, h, c) == (8, 8, 1) and len(out) == 64
+        except ValueError:
+            pass
+
+    def test_restart_markers_decode(self):
+        """DRI/RSTn handling: insert a restart interval by re-encoding
+        through a writer that emits markers every MCU row."""
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import jpeg as J
+
+        # build a 2-MCU image and splice a DRI segment + RST0 between
+        # the two MCUs' entropy data: encode each MCU separately with
+        # reset predictors, which is exactly what restart means
+        rng = np.random.RandomState(3)
+        pix = rng.randint(0, 256, size=(8, 16), dtype=np.uint8)
+        left, right = pix[:, :8], pix[:, 8:]
+        w1 = J._BitWriter()
+        dc = J._canonical_codes(*J._DC_LUM)
+        ac = J._canonical_codes(*J._AC_LUM)
+        J._encode_block(w1, left.astype(np.float64), 0, dc, ac)
+        body1 = w1.flush()
+        w2 = J._BitWriter()
+        J._encode_block(w2, right.astype(np.float64), 0, dc, ac)
+        body2 = w2.flush()
+        full = J.encode_jpeg(pix.tobytes(), 16, 8, channels=1)
+        sos_at = full.index(b"\xff\xda")
+        header = full[:sos_at]
+        import struct
+
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # restart every 1 MCU
+        (sos_len,) = struct.unpack_from(">H", full, sos_at + 2)
+        sos = full[sos_at : sos_at + 2 + sos_len]
+        payload = (
+            header + dri + sos + body1 + b"\xff\xd0" + body2 + b"\xff\xd9"
+        )
+        dw, dh, dc_, out = J.decode_jpeg(payload)
+        assert (dw, dh, dc_) == (16, 8, 1)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(8, 16)
+        assert np.abs(got.astype(int) - pix.astype(int)).max() <= 2
+
+    def test_default_decoder_dispatches_jpeg(self):
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import jpeg as J
+
+        pix = np.full((8, 8), 100, dtype=np.uint8)
+        payload = J.encode_jpeg(pix.tobytes(), 8, 8, channels=1)
+        w, h, c, out = M.default_decoder(payload)
+        assert (w, h, c) == (8, 8, 1)
+
+    def test_jpeg_corpus_decodes_on_spark(self, spark, sf_dir):
+        """documents_as_jpeg → decode_media end-to-end: geometry is
+        closed-form, corrupt docs land in error rows, and decoded
+        pixels stay within the flat-quantization bound of the source
+        bytes — content fidelity, not just shape."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+        decoded = M.decode_media(M.documents_as_jpeg(docs)).collect()
+        texts = {r.doc_id: (r.text or "") for r in docs.collect()}
+        assert len(decoded) == 60
+        for r in decoded:
+            data = texts[r.media_id].encode("utf-8")
+            if r.media_id % 50 == 0:
+                assert r.decode_error is not None and r.width is None
+                continue
+            height = max(1, -(-len(data) // 16))
+            assert (r.width, r.height, r.channels) == (16, height, 1)
+            want = data.ljust(16 * height, b"\x00")
+            got = bytes(r.pixels)
+            assert len(got) == len(want)
+            assert max(
+                abs(a - b) for a, b in zip(got, want)
+            ) <= 2, r.media_id
