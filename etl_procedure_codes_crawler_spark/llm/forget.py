@@ -18,9 +18,13 @@ every artifact it is given, each with the right rewrite strategy:
   (:mod:`..sinks.versions`) whose files were untouched stay readable
   after the takedown; only versions referencing the rewritten files
   expire, and the rewrite stamp names the takedown as the cause.
-  The swap uses a two-phase commit-marker protocol (below); datasets
-  with hive-partition subdirectories or where every file is affected
-  fall back to the whole-dataset atomic swap
+  The swap uses a two-phase commit-marker protocol (below) and is
+  partition-aware: on hive layouts (``k=v`` directories, e.g. the K1
+  sink's ``load_date=``) survivors are staged ``partitionBy`` the
+  same keys and moved back at their partition-relative paths, so the
+  layout — and partition pruning for every reader after — survives
+  the takedown. Non-hive nested layouts, basename collisions, or an
+  every-file takedown fall back to the whole-dataset atomic swap
   (:func:`..operators.merge.replace_dataset_atomically`), preceded by
   :func:`..operators.merge.recover_interrupted_swap` — a re-run after
   a crash inside the swap window must restore the backup BEFORE
@@ -68,29 +72,41 @@ def _heal_pruned_forget(fs, hpath, path: str) -> None:
       moving the remaining staged files in (moved ones are no longer
       in staging, so this is idempotent), then drop the originals.
     """
-    from ..sinks.fsutil import checked_rename, remove_stale
+    from ..sinks.fsutil import remove_stale
 
     prev = hpath(path.rstrip("/") + "._forget_prev")
     staging = hpath(path.rstrip("/") + "._forget_staging")
     marker = hpath(path.rstrip("/") + "._forget_commit")
     if fs.exists(marker):
         if fs.exists(staging):
-            for st in fs.listStatus(staging):
-                name = st.getPath().getName()
-                if name.endswith(".parquet") and not name.startswith(("_", ".")):
-                    checked_rename(
-                        fs, st.getPath(), hpath(f"{path.rstrip('/')}/{name}")
-                    )
+            _move_tree(fs, hpath, path.rstrip("/") + "._forget_staging", path)
         remove_stale(fs, prev, staging, marker)
     else:
         if fs.exists(prev):
-            for st in fs.listStatus(prev):
-                checked_rename(
-                    fs,
-                    st.getPath(),
-                    hpath(f"{path.rstrip('/')}/{st.getPath().getName()}"),
-                )
+            _move_tree(fs, hpath, path.rstrip("/") + "._forget_prev", path)
         remove_stale(fs, prev, staging)
+
+
+def _move_tree(fs, hpath, src_root: str, dst_root: str) -> None:
+    """Move every data file under ``src_root`` to the SAME relative
+    path under ``dst_root`` (partition subdirectories preserved),
+    creating parent directories as needed. Idempotent for the heal
+    paths: files already moved are no longer under ``src_root``."""
+    from ..sinks.fsutil import checked_rename
+
+    src_q = fs.makeQualified(hpath(src_root)).toString().rstrip("/")
+    it = fs.listFiles(hpath(src_root), True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        rel = p.toString()[len(src_q) + 1 :]
+        dst = hpath(f"{dst_root.rstrip('/')}/{rel}")
+        parent = dst.getParent()
+        if parent is not None:
+            fs.mkdirs(parent)
+        checked_rename(fs, p, dst)
 
 
 def _forget_plain(
@@ -132,24 +148,46 @@ def _forget_plain(
     if n == 0:
         return 0
 
-    # map input_file_name URIs (file:///x) onto the listing's Path
-    # strings (file:/x) by basename — unique per dataset (writer UUID
-    # per job); on any ambiguity fall back to the whole-dataset swap
+    # map input_file_name URIs (file:///x, percent-encoded) onto the
+    # listing's Path strings (file:/x) by normalized (authority, path)
+    # — basenames are NOT unique across partition directories (one
+    # dynamic-partition task writes the same part-NNNNN-uuid name into
+    # several k=v dirs), so full paths are the only safe join key
+    from urllib.parse import unquote, urlparse
+
+    def norm(p: str) -> tuple[str, str]:
+        u = urlparse(p)
+        return (u.netloc, unquote(u.path)) if u.scheme else ("", p)
+
     listed = _data_files(fs, hpath, path)
-    by_name: dict[str, str] = {}
-    ambiguous = False
+    root_q = fs.makeQualified(hpath(path)).toString().rstrip("/")
+    by_path = {norm(f): f for f in listed}
+    affected = sorted(by_path.get(norm(r["_file"]), "") for r in per_file)
+    # hive partition keys from the files' relative directories: every
+    # dir segment must be k=v with one consistent key sequence, else
+    # the layout isn't partition-structured and pruning isn't safe
+    part_keys: list[str] | None = []
     for f in listed:
-        name = f.rsplit("/", 1)[1]
-        ambiguous = ambiguous or name in by_name
-        by_name[name] = f
-    flat = all(
-        f.rsplit("/", 1)[0].rstrip("/") == listed[0].rsplit("/", 1)[0].rstrip("/")
-        for f in listed
-    )
-    affected = sorted(by_name.get(r["_file"].rsplit("/", 1)[1], "") for r in per_file)
-    if ambiguous or not flat or "" in affected or len(affected) == len(listed):
-        # hive-partitioned layout, basename collision, or every file
-        # affected: prune buys nothing (or isn't safe) — whole swap
+        rel_dir = f[len(root_q) + 1 :].rsplit("/", 1)
+        segs = rel_dir[0].split("/") if len(rel_dir) == 2 else []
+        keys = []
+        for seg in segs:
+            eq = seg.split("=", 1)
+            if len(eq) != 2 or not eq[0]:
+                part_keys = None
+                break
+            keys.append(eq[0])
+        if part_keys is None:
+            break
+        if not part_keys:
+            part_keys = keys
+        elif keys != part_keys:
+            part_keys = None
+            break
+    if part_keys is None or "" in affected or len(affected) == len(listed):
+        # a layout that isn't hive-partitioned (stray subdirectories),
+        # an unmappable file URI, or every file affected: pruning is
+        # unsafe or buys nothing — whole-dataset swap
         current = spark.read.parquet(path)
         remaining = current.join(doomed, key, "left_anti").localCheckpoint(
             eager=True  # the swap rewrites the path this lineage reads
@@ -157,33 +195,37 @@ def _forget_plain(
         replace_dataset_atomically(spark, path, remaining, op="forget")
         return n
 
+    # basePath keeps partition columns in the pruned read, so
+    # partitioned survivors rewrite back into their own partition
+    # directories (same writer, same value formatting)
     survivors = (
-        spark.read.parquet(*affected)
+        spark.read.option("basePath", path.rstrip("/"))
+        .parquet(*affected)
         .join(doomed, key, "left_anti")
         .localCheckpoint(eager=True)  # the renames below invalidate it
     )
     staging = path.rstrip("/") + "._forget_staging"
     prev = path.rstrip("/") + "._forget_prev"
     marker = path.rstrip("/") + "._forget_commit"
-    survivors.write.mode("overwrite").option("compression", "snappy").parquet(
-        staging
-    )
-    staged = [
-        st.getPath()
-        for st in fs.listStatus(hpath(staging))
-        if st.getPath().getName().endswith(".parquet")
-        and not st.getPath().getName().startswith(("_", "."))
-    ]
-    # phase 1: move the affected originals aside
+    writer = survivors.write.mode("overwrite").option("compression", "snappy")
+    if part_keys:
+        writer = writer.partitionBy(*part_keys)
+    writer.parquet(staging)
+    # phase 1: move the affected originals aside, partition-relative
     fs.mkdirs(hpath(prev))
     for f in affected:
-        checked_rename(fs, hpath(f), hpath(f"{prev}/{f.rsplit('/', 1)[1]}"))
+        rel = f[len(root_q) + 1 :]
+        dst = hpath(f"{prev}/{rel}")
+        parent = dst.getParent()
+        if parent is not None:
+            fs.mkdirs(parent)
+        checked_rename(fs, hpath(f), dst)
     # commit point: from here recovery rolls FORWARD, never back
     fs.create(hpath(marker), True).close()
-    # phase 2: move survivor files in (fresh writer UUID — no collision
-    # with surviving originals)
-    for sp in staged:
-        checked_rename(fs, sp, hpath(f"{path.rstrip('/')}/{sp.getName()}"))
+    # phase 2: move survivor files in at their partition-relative
+    # paths (fresh writer UUID — no collision with surviving
+    # originals)
+    _move_tree(fs, hpath, staging, path)
     fs.delete(hpath(prev), True)
     fs.delete(hpath(staging), True)
     fs.delete(hpath(marker), False)
@@ -218,6 +260,7 @@ def _forget_index_cells(
     only the cells holding forgotten ids, each via an atomic rename
     swap; drop cells left empty."""
     from ..sinks.fsutil import checked_rename, hadoop_fs
+    from ..sinks.versions import _data_files, record_rewrite
 
     coded_path = index_path.rstrip("/") + "/coded"
     fs, hpath = hadoop_fs(spark, coded_path)
@@ -258,6 +301,13 @@ def _forget_index_cells(
             "index with sinks.parquet.delete_path and rebuild instead"
         )
 
+    # versioning stamp input: the affected cells' current files (the
+    # swaps below replace or delete exactly these)
+    removed_files = [
+        f
+        for cell in cells
+        for f in _data_files(fs, hpath, f"{coded_path}/cell={cell}")
+    ]
     staging = coded_path + "._forget_staging"
     prev_root = coded_path + "._forget_prev"
     if kept:
@@ -282,6 +332,7 @@ def _forget_index_cells(
     # delete is idempotent — a crash mid-loop just re-deletes
     for cell in emptied:
         fs.delete(hpath(f"{coded_path}/cell={cell}"), True)
+    record_rewrite(spark, coded_path, "forget", removed_files)
     return n
 
 

@@ -419,6 +419,9 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     if (not fs.exists(src)) and fs.exists(backup):
         checked_rename(fs, backup, src)
     remove_stale(fs, tmp_p, backup)
+    from ..sinks.versions import _data_files, record_rewrite
+
+    old_files = _data_files(fs, hpath, coded_path)
 
     (
         spark.read.parquet(coded_path)
@@ -430,6 +433,9 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     checked_rename(fs, src, backup)
     checked_rename(fs, tmp_p, src)
     fs.delete(backup, True)
+    # versioning stamp after the swap is durable (no-op unless the
+    # coded table has committed versions)
+    record_rewrite(spark, coded_path, "compact", old_files)
 
     out_files = 0
     it = fs.listFiles(src, True)

@@ -296,21 +296,99 @@ def test_forget_preserves_untouched_version_manifests(spark, tmp_path):
     assert "forget" in status[v2]["expired_by"]
 
 
-def test_forget_partitioned_plain_dataset_falls_back(spark, tmp_path):
-    """A hive-partitioned plain dataset can't take the flat-file
-    protocol (staged files would land in the wrong directory) — the
-    whole-swap fallback must fire and stay correct."""
+def test_forget_partitioned_dataset_rewrites_only_affected_partitions(
+    spark, tmp_path
+):
+    """Hive-partitioned warehouses (the K1 sink's load_date= layout)
+    keep their layout through a takedown: survivors return to their
+    OWN partition directories and untouched partitions stay
+    byte-identical."""
+    import hashlib
+
     wh = str(tmp_path / "wh")
     spark.createDataFrame(
         [(i, i % 3) for i in range(30)], "doc_id bigint, part int"
-    ).write.partitionBy("part").parquet(wh)
-    removed = FG.forget_documents(_ids(spark, [1, 2]), warehouse_path=wh)
+    ).repartition(3, "part").write.partitionBy("part").parquet(wh)
+
+    def state(part):
+        out = {}
+        for f in glob.glob(os.path.join(wh, f"part={part}", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[os.path.basename(f)] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    before = {p: state(p) for p in (0, 1, 2)}
+    # doomed ids live only in partition 1 (1 % 3 == 1, 7 % 3 == 1)
+    removed = FG.forget_documents(_ids(spark, [1, 7]), warehouse_path=wh)
     assert removed["warehouse"] == 2
     left = spark.read.parquet(wh)
     assert left.count() == 28
-    assert left.filter(F.col("doc_id").isin([1, 2])).count() == 0
-    # partition column survived the fallback rewrite
-    assert "part" in left.columns
+    assert left.filter(F.col("doc_id").isin([1, 7])).count() == 0
+    # partition column survived AND pruning still works
+    assert left.filter(F.col("part") == 1).count() == 8
+    assert left.filter(F.col("part") == 0).count() == 10
+    # untouched partitions byte-identical; affected one rewritten
+    assert state(0) == before[0] and state(2) == before[2]
+    assert state(1) != before[1]
+    # layout intact: every data file still under a part= directory
+    stray = [
+        f for f in glob.glob(os.path.join(wh, "*.parquet"))
+    ]
+    assert stray == []
+    for suffix in ("._forget_prev", "._forget_staging", "._forget_commit"):
+        assert not os.path.exists(wh + suffix)
+
+
+def test_forget_partitioned_heals_precommit_crash(spark, tmp_path):
+    """Roll-back healing preserves partition-relative paths: a file
+    stranded in ._forget_prev/part=1/ must return to part=1/, not the
+    dataset root."""
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "doc_id bigint, part int"
+    ).repartition(2, "part").write.partitionBy("part").parquet(wh)
+    victim = glob.glob(os.path.join(wh, "part=1", "*.parquet"))[0]
+    os.makedirs(os.path.join(wh + "._forget_prev", "part=1"))
+    os.rename(
+        victim,
+        os.path.join(wh + "._forget_prev", "part=1", os.path.basename(victim)),
+    )
+    removed = FG.forget_documents(_ids(spark, [3]), warehouse_path=wh)
+    assert removed["warehouse"] == 1
+    left = spark.read.parquet(wh)
+    assert left.count() == 19
+    assert left.filter(F.col("part") == 1).count() == 9
+    assert glob.glob(os.path.join(wh, "*.parquet")) == []  # layout intact
+
+
+def test_index_maintenance_stamps_versioned_coded_table(
+    spark, sf_dir, tmp_path
+):
+    """The ANN index's own maintenance ops (cell-scoped forget,
+    compaction) stamp their rewrites too, so a versioned coded table
+    explains its expiry like any warehouse."""
+    from etl_procedure_codes_crawler_spark.llm import index as IX
+    from etl_procedure_codes_crawler_spark.sinks import versions as V
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    ix = str(tmp_path / "ix")
+    IX.build_ivfpq_index(emb, ix, num_centroids=8, seed=42)
+    coded = f"{ix}/coded"
+    v = V.commit_version(spark, coded)
+    victim = spark.read.parquet(coded).first()["id"]
+    FG.forget_documents(_ids(spark, [int(victim)]), ann_index_path=ix)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="forget"):
+        V.read_version(spark, coded, v)
+    # versioned read of the partitioned layout still carries `cell`
+    v2 = V.commit_version(spark, coded)
+    assert "cell" in V.read_version(spark, coded, v2).columns
+    IX.compact_ivfpq_index(spark, ix)
+    with _pytest.raises(ValueError, match="compact"):
+        V.read_version(spark, coded, v2)
 
 
 def test_forget_total_index_wipe_raises(spark, sf_dir, tmp_path):
