@@ -260,7 +260,7 @@ def _forget_index_cells(
     only the cells holding forgotten ids, each via an atomic rename
     swap; drop cells left empty."""
     from ..sinks.fsutil import checked_rename, hadoop_fs
-    from ..sinks.versions import _data_files, record_rewrite
+    from ..sinks.versions import _data_files, _versions_dir, record_rewrite
 
     coded_path = index_path.rstrip("/") + "/coded"
     fs, hpath = hadoop_fs(spark, coded_path)
@@ -302,12 +302,17 @@ def _forget_index_cells(
         )
 
     # versioning stamp input: the affected cells' current files (the
-    # swaps below replace or delete exactly these)
-    removed_files = [
-        f
-        for cell in cells
-        for f in _data_files(fs, hpath, f"{coded_path}/cell={cell}")
-    ]
+    # swaps below replace or delete exactly these); listed only when
+    # the coded table actually has versions
+    removed_files = (
+        [
+            f
+            for cell in cells
+            for f in _data_files(fs, hpath, f"{coded_path}/cell={cell}")
+        ]
+        if fs.exists(hpath(_versions_dir(coded_path)))
+        else []
+    )
     staging = coded_path + "._forget_staging"
     prev_root = coded_path + "._forget_prev"
     if kept:

@@ -419,9 +419,13 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     if (not fs.exists(src)) and fs.exists(backup):
         checked_rename(fs, backup, src)
     remove_stale(fs, tmp_p, backup)
-    from ..sinks.versions import _data_files, record_rewrite
+    from ..sinks.versions import _data_files, _versions_dir, record_rewrite
 
-    old_files = _data_files(fs, hpath, coded_path)
+    old_files = (
+        _data_files(fs, hpath, coded_path)
+        if fs.exists(hpath(_versions_dir(coded_path)))
+        else []
+    )
 
     (
         spark.read.parquet(coded_path)

@@ -92,7 +92,7 @@ def replace_dataset_atomically(
     first (see module docstring). ``op`` names the maintenance
     operation for the versioning rewrite stamp (so an expired
     versioned read can say "merge at rw2" vs "forget at rw3")."""
-    from ..sinks.versions import _data_files, record_rewrite
+    from ..sinks.versions import _data_files, _versions_dir, record_rewrite
 
     tmp = target_path.rstrip("/") + "._staging"
     fs, hpath = hadoop_fs(spark, target_path)
@@ -110,7 +110,15 @@ def replace_dataset_atomically(
     # exists, or never existed); either would make the renames below
     # fail (occupied destination). Clear them before writing.
     remove_stale(fs, tmp_p, backup)
-    old_files = _data_files(fs, hpath, target_path) if fs.exists(dst) else []
+    # capture the vanishing file set ONLY when the dataset actually
+    # has versions — an unconditional recursive listing would tax
+    # every swap on unversioned warehouses for nothing
+    versioned = fs.exists(hpath(_versions_dir(target_path)))
+    old_files = (
+        _data_files(fs, hpath, target_path)
+        if versioned and fs.exists(dst)
+        else []
+    )
     df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
     if fs.exists(dst):
         checked_rename(fs, dst, backup)

@@ -158,9 +158,15 @@ def compact_dataset(
     # Remaining leftovers would occupy the rename destinations below;
     # src exists again, so they are safe to discard.
     remove_stale(fs, tmp_p, backup)
-    from .versions import _data_files, record_rewrite
+    from .versions import _data_files, _versions_dir, record_rewrite
 
-    old_files = _data_files(fs, hpath, path)
+    # list the vanishing files only when the dataset has versions —
+    # no listing tax on unversioned warehouses
+    old_files = (
+        _data_files(fs, hpath, path)
+        if fs.exists(hpath(_versions_dir(path)))
+        else []
+    )
     total_bytes = fs.getContentSummary(src).getLength()
     n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 
