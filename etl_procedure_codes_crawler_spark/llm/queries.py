@@ -2559,12 +2559,16 @@ def bpe_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over an append-grown warehouse: ingest half the
     corpus, commit v1, append the rest, commit v2 — v1 must still
-    read EXACTLY the first half while the live read sees everything
-    (sinks/versions.py)."""
+    read EXACTLY the first half while the live read sees everything —
+    then forget two docs that live only in the SECOND batch's files:
+    the file-pruned takedown (llm/forget.py) leaves v1's files
+    byte-identical so v1 STAYS readable, while v2 expires with the
+    takedown named as the cause (sinks/versions.py rewrite stamps)."""
     import shutil
     import tempfile
 
     from ..sinks import versions as V
+    from . import forget as FG
 
     documents = load(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="vers_")
@@ -2588,19 +2592,35 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             and sorted(rv2.columns) == live_cols
             and dict(rv2.dtypes) == dict(live.dtypes)
         )
+        v1_rows, v2_rows = rv1.count(), rv2.count()
+        live_rows, first_rows = live.count(), first.count()
+        # the takedown leg: doom two SECOND-batch docs — only the
+        # appended files are rewritten, so v1 survives and v2 expires
+        doomed = spark.createDataFrame(
+            [(r["doc_id"],) for r in second.select("doc_id").limit(2).collect()],
+            "doc_id bigint",
+        )
+        FG.forget_documents(doomed, warehouse_path=wh)
+        v1_survives = V.read_version(spark, wh, v1).count() == v1_rows
+        status = {d["version"]: d for d in V.list_versions(spark, wh, detail=True)}
+        expired_by = status[v2]["expired_by"] or ""
         out = spark.createDataFrame(
             [(
                 v1,
-                rv1.count(),
+                v1_rows,
                 v2,
-                rv2.count(),
-                live.count(),
-                first.count(),
+                v2_rows,
+                live_rows,
+                first_rows,
                 bool(schema_ok),
+                bool(v1_survives and status[v1]["readable"]),
+                bool(not status[v2]["readable"] and "forget" in expired_by),
             )],
             "v1 bigint, v1_rows bigint, v2 bigint, v2_rows bigint, "
             "live_rows bigint, expected_v1_rows bigint, "
-            "schema_matches_live boolean",
+            "schema_matches_live boolean, "
+            "v1_survives_pruned_takedown boolean, "
+            "v2_expired_by_forget boolean",
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
