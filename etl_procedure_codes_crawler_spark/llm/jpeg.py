@@ -128,6 +128,12 @@ def _decode_table(bits: list[int], vals: list[int]):
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            # a corrupt DHT whose counts violate the Kraft inequality
+            # would overflow the code space (and the fast table below)
+            if code >= (1 << length):
+                raise ValueError(
+                    "corrupt JPEG: huffman table code overflow"
+                )
             if length <= 8:
                 base = code << (8 - length)
                 for suffix in range(1 << (8 - length)):
@@ -293,12 +299,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 )
                 p += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1: huffman sequential
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             comps = []
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 hs, vs = hv >> 4, hv & 15
@@ -318,9 +328,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
             if ns != len(frame["comps"]):
                 raise ValueError("unsupported multi-scan JPEG")
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
             sel = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -341,9 +355,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
+    # plausibility bound BEFORE allocating block storage: every data
+    # unit costs at least 2 entropy bits (a 1-bit DC code + a 1-bit
+    # EOB), so declared dimensions a corrupt SOF inflated past what
+    # the payload could possibly encode fail here as a clean error
+    # instead of a multi-GB np.zeros
+    total_blocks = mcuy * mcux * sum(c["h"] * c["v"] for c in comps)
+    scan_bits = 8 * max(0, len(data) - scan["start"])
+    if 2 * total_blocks > scan_bits + 64:
+        raise ValueError(
+            "corrupt JPEG: declared dimensions exceed payload capacity"
+        )
     for c in comps:
         if c["q"] not in qt:
             raise ValueError(f"corrupt JPEG: missing quant table {c['q']}")
+        if c["id"] not in scan["sel"]:
+            raise ValueError(
+                "corrupt JPEG: scan references unknown component"
+            )
         td, ta = scan["sel"][c["id"]]
         if td not in dc_tabs or ta not in ac_tabs:
             raise ValueError("corrupt JPEG: missing huffman table")

@@ -494,6 +494,56 @@ class TestJpegCodec:
         except ValueError:
             pass
 
+    def test_mutation_fuzz_raises_only_valueerror(self):
+        """Seeded mutation fuzz: every corrupt stream must fail as
+        ValueError (decode_media's error-row contract), never as
+        IndexError/KeyError/struct.error from the parsing internals —
+        and a SOF inflated to 65535x65535 over a tiny payload must be
+        rejected BEFORE block storage is allocated (round-7 fuzz found
+        huffman-table code overflow, SOS/SOF id-mismatch KeyErrors,
+        and the multi-GB np.zeros for dimension bombs)."""
+        import random
+        import struct
+
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import jpeg as J
+
+        rng = random.Random(7)
+        nprng = np.random.RandomState(7)
+        bases = []
+        for w, h, comp, sub in [(17, 9, 3, 2), (8, 8, 1, 1), (23, 31, 3, 1)]:
+            pix = nprng.randint(0, 256, h * w * comp).astype(np.uint8)
+            bases.append(
+                J.encode_jpeg(pix.tobytes(), w, h, channels=comp,
+                              subsample=sub)
+            )
+        for base in bases:
+            for cut in range(1, len(base), max(1, len(base) // 15)):
+                try:
+                    J.decode_jpeg(base[:cut])
+                except ValueError:
+                    pass
+            for _ in range(150):
+                m = bytearray(base)
+                m[rng.randrange(len(m))] = rng.randrange(256)
+                try:
+                    J.decode_jpeg(bytes(m))
+                except ValueError:
+                    pass
+        for _ in range(40):
+            junk = bytes(rng.randrange(256) for _ in range(rng.randrange(120)))
+            try:
+                J.decode_jpeg(b"\xff\xd8" + junk)
+            except ValueError:
+                pass
+        # dimension bomb: valid stream, SOF dims rewritten to 65535^2
+        bomb = bytearray(bases[1])
+        sof = bytes(bomb).index(b"\xff\xc0")
+        struct.pack_into(">HH", bomb, sof + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="exceed payload"):
+            J.decode_jpeg(bytes(bomb))
+
     def test_restart_markers_decode(self):
         """DRI/RSTn handling: insert a restart interval by re-encoding
         through a writer that emits markers every MCU row."""
