@@ -80,9 +80,12 @@ _GATE_PRIORITY = [
     "ngram_jaccard_pairs_dfcap",
     "contamination_overlap",
     "pii_scan_documents",
-    # ANN / embeddings (oracled members)
+    # ANN / embeddings (oracled members). semantic_dedup_exact runs
+    # the embedding_similar_pairs computation internally and clusters
+    # on top, so the swap strictly widens what the sampled slot proves;
+    # embedding_similar_pairs itself stays oracled in the full registry
     "ann_cosine_topk",
-    "embedding_similar_pairs",
+    "semantic_dedup_exact",
     # multimodal (BMP/PNG stay oracled in the full registry; the
     # round-7 real-codec JPEG path takes the sampled slot)
     "multimodal_payload_stats",

@@ -107,6 +107,9 @@ HEADLINE = [
     # query (cost includes the one-time build; the query alone is the
     # pruned-scan fraction)
     "ann_index_ivfpq_query",
+    # round-7 addition: SemDeDup cell-scoped semantic dedup (k-means
+    # multi-probe cells + within-cell exact cosine + component loop)
+    "semantic_dedup_cells",
 ]
 
 

@@ -19,6 +19,7 @@ from . import dedup as D
 from . import fingerprint as FP
 from . import multimodal as M
 from . import packing as PK
+from . import semdedup as SD
 from . import similarity as S
 from . import text as T
 
@@ -917,6 +918,60 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = load(spark, sf_dir, "embeddings")
     return S.similar_pairs_bruteforce(embeddings, threshold=0.45)
+
+
+@register(
+    "semantic_dedup_exact",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])
+              / (sqrt(list_sum([a.v[i]*a.v[i]
+                                for i in generate_series(1, len(a.v))]))
+                 * sqrt(list_sum([b.v[i]*b.v[i]
+                                  for i in generate_series(1, len(b.v))])))
+              >= 0.45
+    ),
+    edges AS (
+        SELECT va AS x, vb AS y FROM p
+        UNION ALL
+        SELECT vb AS x, va AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT vec_id, vec_id FROM e
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    )
+    SELECT v AS vec_id, MIN(label) AS cluster_id, (MIN(label) = v) AS keep
+    FROM reach GROUP BY v
+    """,
+)
+def semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, exact baseline: all-pairs cosine >= 0.45 edges,
+    hash-min connected components, survivor = component min id. The
+    recursive-CTE oracle recomputes the identical fixpoint (label of v
+    = min id that reaches v), so clusters hash-match cross-engine."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    return SD.semantic_dedup(embeddings, threshold=0.45)
+
+
+@register("semantic_dedup_cells")  # rows-only (cell-scoped recall by design)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup scale path (Abbas et al. 2023): exact cosine pairs only
+    WITHIN seeded k-means cells, multi-probe-assigned — O(n²·p²/k)
+    comparisons; dup pairs sharing none of their p nearest cells are
+    the documented recall trade (tests floor it vs exact). The cell
+    count tracks corpus size (one metadata-only count) so expected
+    cell size stays ~32 and the pair join's fraction of all-pairs
+    SHRINKS as the corpus grows — fixed k would converge back to n²."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    k = max(8, embeddings.count() // 32)
+    return SD.semantic_dedup(
+        embeddings, threshold=0.45, num_cells=int(k), probes=3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2757,6 +2812,7 @@ ROWS_ONLY = {
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
+    "semantic_dedup_cells",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
