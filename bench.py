@@ -107,9 +107,12 @@ HEADLINE = [
     # query (cost includes the one-time build; the query alone is the
     # pruned-scan fraction)
     "ann_index_ivfpq_query",
-    # round-7 addition: SemDeDup cell-scoped semantic dedup (k-means
+    # round-7 additions: SemDeDup cell-scoped semantic dedup (k-means
     # multi-probe cells + within-cell exact cosine + component loop)
+    # and the CCNet-style bigram-LM perplexity filter (count windows
+    # + fixed-order per-doc fold)
     "semantic_dedup_cells",
+    "lm_perplexity_documents",
 ]
 
 

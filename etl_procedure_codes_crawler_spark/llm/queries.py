@@ -18,6 +18,7 @@ from ..plans.relational import ORACLES, load, register
 from . import dedup as D
 from . import fingerprint as FP
 from . import multimodal as M
+from . import lm as LM
 from . import packing as PK
 from . import semdedup as SD
 from . import similarity as S
@@ -1579,6 +1580,21 @@ def doc_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lm_perplexity_documents")  # rows-only (ln() — see llm/lm.py)
+def lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus filtering: per-doc log-perplexity under an
+    add-k bigram LM trained on the corpus itself, and the keep/drop
+    decision at the cutoff. The LM's transcendental log keeps this
+    rows-only; a numpy replica pins the math (tests/test_lm.py) and
+    the integer-exact relative `doc_bigram_typicality` stays oracled."""
+    documents = load(spark, sf_dir, "documents")
+    # cutoff sits inside the synthetic corpus's score range (3.26-3.84
+    # across SFs) so the keep column exercises both branches
+    return LM.bigram_lm_perplexity(
+        T.spread_small_input(documents), k=0.5, cutoff=3.4
+    )
+
+
 @register(
     "stratified_sample_by_lang",
     oracle="""
@@ -2813,6 +2829,7 @@ ROWS_ONLY = {
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
     "semantic_dedup_cells",
+    "lm_perplexity_documents",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
