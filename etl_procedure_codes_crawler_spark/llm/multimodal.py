@@ -158,6 +158,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     (n_frames, 1, n_channels, sample_bytes) — audio maps onto the
     (width, height, channels, pixels) contract as a 1-'row' signal."""
     import io
+    import struct
     import wave
 
     data = bytes(payload)
@@ -168,8 +169,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
             n_frames = wav.getnframes()
             n_channels = wav.getnchannels()
             frames = wav.readframes(n_frames)
-    except wave.Error as exc:
-        raise ValueError(f"corrupt WAV: {exc}") from exc
+    except (wave.Error, EOFError, RuntimeError, struct.error) as exc:
+        # the stdlib wave module leaks EOFError on truncated chunk
+        # headers and RuntimeError/struct.error on mutated size fields
+        # — normalize them all to the decoder ValueError contract
+        raise ValueError(f"corrupt WAV: {exc!r}") from exc
     return n_frames, 1, n_channels, frames
 
 

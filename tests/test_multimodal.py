@@ -237,6 +237,40 @@ class TestStdlibDecoders:
         with _pytest.raises(ValueError, match="truncated"):
             M.decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
 
+    def test_wav_corrupt_raises_only_valueerror(self):
+        """The stdlib wave module leaks EOFError on truncated chunk
+        headers and RuntimeError on mutated size fields — decode_wav
+        must normalize every corrupt stream to ValueError."""
+        import io
+        import random
+        import wave
+
+        from etl_procedure_codes_crawler_spark.llm.multimodal import (
+            decode_wav,
+        )
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(200))
+        w.close()
+        good = buf.getvalue()
+        rng = random.Random(11)
+        for cut in range(1, len(good), max(1, len(good) // 30)):
+            try:
+                decode_wav(good[:cut])
+            except ValueError:
+                pass
+        for _ in range(400):
+            m = bytearray(good)
+            m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                decode_wav(bytes(m))
+            except ValueError:
+                pass
+
     def test_wav_roundtrip(self):
         import io
         import wave
