@@ -113,6 +113,8 @@ HEADLINE = [
     # + fixed-order per-doc fold)
     "semantic_dedup_cells",
     "lm_perplexity_documents",
+    # one-pass moment fit + Arrow whiten-projection + self-check aggs
+    "embedding_pca_whiten_stats",
 ]
 
 

@@ -20,6 +20,7 @@ from . import fingerprint as FP
 from . import multimodal as M
 from . import lm as LM
 from . import packing as PK
+from . import pca as PCA
 from . import semdedup as SD
 from . import similarity as S
 from . import text as T
@@ -957,6 +958,40 @@ def semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     = min id that reaches v), so clusters hash-match cross-engine."""
     embeddings = load(spark, sf_dir, "embeddings")
     return SD.semantic_dedup(embeddings, threshold=0.45)
+
+
+@register("embedding_pca_whiten_stats")  # rows-only (LAPACK eigh)
+def embedding_pca_whiten_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA lifecycle in one plan: fit moments in a single
+    corpus pass (per-partition partials, driver eigh on the d×d
+    covariance), whiten-project every embedding to the 8 leading
+    components through one Arrow pass, then verify the transform
+    AGAINST ITS OWN MODEL with Spark aggregation — each whitened
+    component must come back with mean ~0 and variance ~1, and the
+    eigenvalue/explained-ratio columns expose the spectrum the
+    truncation keeps. Rows-only: eigh is LAPACK floating point."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    model = PCA.fit_pca(embeddings)
+    proj = PCA.transform_pca(embeddings, model, k=8, whiten=True)
+    stats = (
+        proj.where(F.col("projection").isNotNull())
+        .select(F.posexplode("projection").alias("component", "value"))
+        .groupBy("component")
+        .agg(
+            F.round(F.avg("value"), 6).alias("proj_mean"),
+            F.round(F.var_pop("value"), 6).alias("proj_var"),
+        )
+    )
+    ratios = model.explained_variance_ratio()
+    spectrum = spark.createDataFrame(
+        [
+            (int(i), round(float(model.eigenvalues[i]), 6),
+             round(float(ratios[i]), 6))
+            for i in range(8)
+        ],
+        "component int, eigenvalue double, explained_ratio double",
+    )
+    return stats.join(spectrum, "component").orderBy("component")
 
 
 @register("semantic_dedup_cells")  # rows-only (cell-scoped recall by design)
@@ -2830,6 +2865,7 @@ ROWS_ONLY = {
     "near_dup_clusters",
     "semantic_dedup_cells",
     "lm_perplexity_documents",
+    "embedding_pca_whiten_stats",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
