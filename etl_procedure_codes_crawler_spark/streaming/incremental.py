@@ -165,6 +165,8 @@ def stream_ingest_with_neardup(
     eval_store_path: str | None = None,
     eval_min_shared: int = 2,
     metrics_path: str | None = None,
+    quality_model: dict | None = None,
+    quality_cutoff: float = 0.0,
 ):
     """The full corpus ingest gate as one continuous pipeline: each
     arriving batch is (1) id-deduped against the warehouse (replay
@@ -187,9 +189,9 @@ def stream_ingest_with_neardup(
     replayed batch collapses identically.
 
     With ``metrics_path`` set, each batch appends ONE observability
-    row — ``(batch_id, n_input, n_rows, n_fresh, n_intra_dropped,
-    n_contaminated, n_neardup_rejected, n_accepted)`` — so rejection
-    rates are queryable without log scraping. ``n_input`` counts raw
+    row — ``(batch_id, n_input, n_rows, n_fresh, n_quality_rejected,
+    n_intra_dropped, n_contaminated, n_neardup_rejected, n_accepted)``
+    — so rejection rates are queryable without log scraping. ``n_input`` counts raw
     arrivals BEFORE the NULL-id filter and id-dedup (a feed gone bad
     must show in the audit). Auditing is (almost) free: every count
     rides an ``Observation`` on a localCheckpoint the sink already
@@ -209,6 +211,16 @@ def stream_ingest_with_neardup(
     a post-hoc sweep. The eval check is stateless per batch (the eval
     store only changes when benchmarks are added), so it composes
     with the crash contract unchanged.
+
+    With ``quality_model`` set (feature-name → coefficient, the
+    ``llm.quality.score_documents`` contract), docs whose linear
+    quality margin is <= ``quality_cutoff`` are rejected right after
+    the id gate — BEFORE the near-dup machinery spends MinHash/
+    winnowing work on docs that were never going to enter the corpus.
+    The scorer is per-row column math (model-as-data, no UDF), so the
+    stage adds no shuffle; rejects show as ``n_quality_rejected``.
+    Like every other gate stage it only ever REMOVES batch docs, so
+    crash replay and store reconciliation are unchanged.
 
     Build the store first (``neardup_store.build_minhash_store`` — an
     empty corpus is fine). Crash semantics: the id anti-join makes a
@@ -238,7 +250,8 @@ def stream_ingest_with_neardup(
         from pyspark.sql import Observation
 
         audit = metrics_path is not None
-        m = {"n_input": 0, "n_rows": 0, "n_fresh": 0, "n_intra_dropped": 0,
+        m = {"n_input": 0, "n_rows": 0, "n_fresh": 0,
+             "n_quality_rejected": 0, "n_intra_dropped": 0,
              "n_contaminated": 0, "n_neardup_rejected": 0, "n_accepted": 0}
         _n = F.count(F.lit(1)).alias("n")
 
@@ -276,6 +289,29 @@ def stream_ingest_with_neardup(
         ).localCheckpoint(eager=True)  # two consumers below
         if audit:
             m["n_fresh"] = int(o_fresh.get["n"])
+        if quality_model is not None and not fresh.isEmpty():
+            from ..llm.quality import score_documents
+
+            # cheapest gate first: per-row column math drops docs that
+            # were never going to be accepted BEFORE MinHash/winnowing
+            # work is spent on them
+            low_quality = (
+                score_documents(
+                    fresh,
+                    model=quality_model,
+                    text_col=text_col,
+                    id_col=id_col,
+                    threshold=quality_cutoff,
+                )
+                .where(~F.col("keep"))
+                .select(id_col)
+            )
+            o_qual = Observation() if audit else None
+            fresh = observed(
+                fresh.join(low_quality, id_col, "left_anti"), o_qual
+            ).localCheckpoint(eager=True)
+            if audit:
+                m["n_quality_rejected"] = m["n_fresh"] - int(o_qual.get["n"])
         if not fresh.isEmpty():
             # intra-batch collapse: two near-dups arriving in the SAME
             # micro-batch both pass the store gate (neither is stored
@@ -303,7 +339,11 @@ def stream_ingest_with_neardup(
                 eager=True  # two consumers below, and the pair scan above
             )
             if audit:
-                m["n_intra_dropped"] = m["n_fresh"] - int(o_intra.get["n"])
+                m["n_intra_dropped"] = (
+                    m["n_fresh"]
+                    - m["n_quality_rejected"]
+                    - int(o_intra.get["n"])
+                )
         if eval_store_path is not None and not fresh.isEmpty():
             from ..llm.fingerprint import contamination_against_store
 
@@ -320,7 +360,11 @@ def stream_ingest_with_neardup(
                 fresh.join(contaminated, id_col, "left_anti"), o_surv
             ).localCheckpoint(eager=True)
             if audit:
-                n_before = m["n_fresh"] - m["n_intra_dropped"]
+                n_before = (
+                    m["n_fresh"]
+                    - m["n_quality_rejected"]
+                    - m["n_intra_dropped"]
+                )
                 m["n_contaminated"] = n_before - int(o_surv.get["n"])
             fresh = survivors
         if not fresh.isEmpty():
@@ -340,7 +384,10 @@ def stream_ingest_with_neardup(
             if audit:
                 m["n_accepted"] = int(o_acc.get["n"])
                 n_gate_in = (
-                    m["n_fresh"] - m["n_intra_dropped"] - m["n_contaminated"]
+                    m["n_fresh"]
+                    - m["n_quality_rejected"]
+                    - m["n_intra_dropped"]
+                    - m["n_contaminated"]
                 )
                 m["n_neardup_rejected"] = n_gate_in - m["n_accepted"]
             if not accepted.isEmpty():
@@ -357,13 +404,14 @@ def stream_ingest_with_neardup(
             spark.createDataFrame(
                 [(
                     int(batch_id), m["n_input"], m["n_rows"], m["n_fresh"],
-                    m["n_intra_dropped"], m["n_contaminated"],
-                    m["n_neardup_rejected"], m["n_accepted"],
+                    m["n_quality_rejected"], m["n_intra_dropped"],
+                    m["n_contaminated"], m["n_neardup_rejected"],
+                    m["n_accepted"],
                 )],
                 "batch_id bigint, n_input bigint, n_rows bigint, "
-                "n_fresh bigint, n_intra_dropped bigint, "
-                "n_contaminated bigint, n_neardup_rejected bigint, "
-                "n_accepted bigint",
+                "n_fresh bigint, n_quality_rejected bigint, "
+                "n_intra_dropped bigint, n_contaminated bigint, "
+                "n_neardup_rejected bigint, n_accepted bigint",
             ).repartition(1).write.mode("append").parquet(metrics_path)
 
     reader = spark.readStream.schema(schema)

@@ -567,6 +567,72 @@ def test_gate_metrics_row_per_batch(spark, tmp_path):
     )
 
 
+def test_gate_quality_filter_rejects_before_neardup(spark, tmp_path):
+    """With quality_model set, low-margin docs are rejected right
+    after the id gate: they never reach the warehouse OR the store
+    (no signature is spent on them), and the audit shows them as
+    n_quality_rejected with the funnel still reconciling exactly."""
+    source = tmp_path / "incoming"
+    source.mkdir()
+    dirs = {
+        "source": str(source),
+        "warehouse": str(tmp_path / "wh"),
+        "store": str(tmp_path / "store"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    metrics = str(tmp_path / "metrics")
+    helper = TestStreamIngestWithNearDup()
+    NS.build_minhash_store(
+        spark.createDataFrame([], helper.SCHEMA), dirs["store"]
+    )
+    helper._drop(
+        spark,
+        dirs["source"],
+        "b1",
+        [
+            (1, BASE),  # stopword-rich prose: positive margin
+            (2, "zzz xyzzy qqq www vvv"),  # no stopwords: rejected
+            (3, "wholly distinct corpus content but the words flow"),
+        ],
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_procedure_codes_crawler_spark.streaming.incremental import (
+        stream_ingest_with_neardup,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    # keep iff any stopword markers appear: margin = 100*stop_ratio - 1
+    model = {"bias": -1.0, "stop_ratio": 100.0}
+    q = stream_ingest_with_neardup(
+        spark, dirs["source"], schema, dirs["warehouse"], dirs["store"],
+        dirs["checkpoint"], threshold=0.5, metrics_path=metrics,
+        quality_model=model, quality_cutoff=0.0,
+    )
+    q.awaitTermination()
+    row = spark.read.parquet(metrics).first()
+    assert (row.n_input, row.n_fresh) == (3, 3)
+    assert row.n_quality_rejected == 1  # doc 2
+    assert row.n_intra_dropped == 0 and row.n_neardup_rejected == 0
+    assert row.n_accepted == 2
+    wh = {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()}
+    assert wh == {1, 3}
+    sigs = {
+        r.id
+        for r in spark.read.parquet(
+            dirs["store"] + "/signatures"
+        ).collect()
+    }
+    assert sigs == {1, 3}  # no signature spent on the rejected doc
+
+
 def test_gate_metrics_cost_only_the_metric_write(spark, tmp_path):
     """Audit counts ride Observations on the checkpoints the sink
     already executes, so turning metrics ON schedules only the
