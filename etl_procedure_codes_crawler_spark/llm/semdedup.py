@@ -146,9 +146,13 @@ def semantic_dedup(
     cosine within k-means cells, each vector multi-probe-assigned to
     its ``probes`` nearest cells; dup pairs sharing no probed cell are
     the documented recall trade). NULL embeddings never pair (they are
-    their own singleton cluster), matching the NULL-key discipline of
-    the lexical dedup family.
+    their own singleton cluster); NULL-``id`` rows are DROPPED, the
+    lexical dedup family's NULL-key discipline — an unidentifiable row
+    can't be deduplicated, and letting it through would emit
+    ``keep = NULL`` (NULL == NULL), a three-valued surprise for every
+    downstream filter.
     """
+    df = df.where(F.col(id_col).isNotNull())
     if num_cells is None:
         pairs = similar_pairs_bruteforce(
             df, threshold, vec_col=vec_col, id_col=id_col

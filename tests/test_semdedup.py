@@ -69,16 +69,21 @@ class TestExactSemanticDedup:
                 (2, [1.0, 0.001]),  # dup of 1
                 (3, [0.0, 1.0]),
                 (4, None),  # NULL embedding: singleton, never paired
+                (None, [1.0, 0.0]),  # NULL id: dropped (key discipline)
             ],
             "vec_id long, embedding array<double>",
         )
-        rows = {r["vec_id"]: r for r in semantic_dedup(df, 0.99).collect()}
+        out = semantic_dedup(df, 0.99).collect()
+        rows = {r["vec_id"]: r for r in out}
+        assert None not in rows and len(out) == 4
         assert rows[1]["keep"] and rows[1]["cluster_id"] == 1
         assert not rows[2]["keep"] and rows[2]["cluster_id"] == 1
         assert rows[3]["keep"] and rows[3]["cluster_id"] == 3
         assert rows[4]["keep"] and rows[4]["cluster_id"] == 4
-        # keep <-> id == cluster_id, exactly one survivor per cluster
-        for r in rows.values():
+        # keep <-> id == cluster_id, exactly one survivor per cluster,
+        # and NEVER a three-valued keep
+        for r in out:
+            assert r["keep"] is not None
             assert r["keep"] == (r["vec_id"] == r["cluster_id"])
 
 
