@@ -141,6 +141,101 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.score_documents(documents)
 
 
+@register(
+    "streaming_quality_gated_ingest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(LEAST(len(toks), 256) AS DOUBLE) / 256.0 AS len_sat,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+               CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / len(toks)
+                   AS avg_token_len,
+               CAST(len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','you','that','it','was')))
+                   AS DOUBLE) / len(toks) AS stop_ratio
+        FROM t
+    )
+    SELECT doc_id
+    FROM f
+    WHERE -1.2 + 1.1 * len_sat + 0.6 * ttr
+              + -0.18 * avg_token_len + 6.5 * stop_ratio > -1.28
+    """,
+)
+def streaming_quality_gated_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quality-gated STREAMING ingest, end to end and hash-checked:
+    the corpus arrives as one micro-batch through the full
+    ``stream_ingest_with_neardup`` pipeline with the default linear
+    quality model active and the near-dup threshold set above 1.0
+    (estimated Jaccard never exceeds 1, so the near-dup stages pass
+    everything — isolating the id-gate + quality-gate composition the
+    oracle can replicate exactly). The warehouse the gate writes must
+    contain precisely the above-cutoff documents (the cutoff sits at
+    the synthetic corpus's median margin so both branches carry real
+    weight at every SF — and an all-rejected batch writes NO warehouse
+    at all, which the empty-safe read below must survive); the oracle
+    recomputes that set from the same rational feature math the
+    ``quality_model_filter`` oracle proved cross-engine-exact."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_ingest_with_neardup
+    from . import neardup_store as NS
+    from . import quality as Q
+
+    root = tempfile.mkdtemp(prefix="qgate_")
+    try:
+        src = _os.path.join(root, "incoming")
+        _os.makedirs(src)
+        shutil.copy(
+            _os.path.join(sf_dir, "documents.parquet"),
+            _os.path.join(src, "b1.parquet"),
+        )
+        schema = spark.read.parquet(src).schema
+        NS.build_minhash_store(
+            spark.createDataFrame([], schema),
+            _os.path.join(root, "store"),
+        )
+        wh = _os.path.join(root, "wh")
+        q = stream_ingest_with_neardup(
+            spark,
+            src,
+            schema,
+            wh,
+            _os.path.join(root, "store"),
+            _os.path.join(root, "ckpt"),
+            threshold=1.01,
+            metrics_path=_os.path.join(root, "metrics"),
+            quality_model=dict(Q.DEFAULT_MODEL),
+            quality_cutoff=-1.28,
+        )
+        q.awaitTermination()
+        from ..sources.parquet import read_table_or_empty
+
+        metrics = spark.read.parquet(_os.path.join(root, "metrics")).first()
+        accepted = (
+            read_table_or_empty(spark, wh, schema)
+            .select("doc_id")
+            .localCheckpoint(eager=True)  # outlives the temp dir
+        )
+        # the audit row must reconcile with what actually landed —
+        # a gate that miscounts its own funnel is a broken audit
+        n_wh = accepted.count()
+        if metrics.n_accepted != n_wh or (
+            metrics.n_quality_rejected
+            != metrics.n_fresh - n_wh
+        ):
+            raise AssertionError(
+                f"gate audit does not reconcile: {metrics} vs {n_wh} rows"
+            )
+        return accepted
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _lang_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
