@@ -63,14 +63,17 @@ def fit_pca(
     src = df.select(F.col(vec_col).alias("v")).where(F.col("v").isNotNull())
     if sample_limit is not None:
         src = src.limit(int(sample_limit))
+    src = src.withColumn("pid", F.spark_partition_id())
 
     def partial_moments(batches):
+        pid = -1
         n = 0
         s = None
         ss = None
         for pdf in batches:
             if not len(pdf):
                 continue
+            pid = int(pdf["pid"].iloc[0])
             X = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )
@@ -81,6 +84,7 @@ def fit_pca(
         if n:
             yield pd.DataFrame(
                 {
+                    "pid": [pid],
                     "n": [n],
                     "s": [s.tolist()],
                     "ss": [ss.reshape(-1).tolist()],
@@ -88,13 +92,17 @@ def fit_pca(
             )
 
     parts = src.mapInPandas(
-        partial_moments, schema="n long, s array<double>, ss array<double>"
+        partial_moments,
+        schema="pid int, n long, s array<double>, ss array<double>",
     ).collect()
     if not parts:
         raise ValueError(f"fit_pca: no non-NULL vectors in {vec_col!r}")
     # fixed combine order — double addition is not associative, and a
-    # shuffle-order-dependent covariance would make refits disagree
-    parts = sorted(parts, key=lambda r: (r["n"], r["s"]))
+    # shuffle-order-dependent covariance would make refits disagree.
+    # The partition id is a TOTAL order over the one-row-per-partition
+    # partials; sorting by content (n, s) alone ties whenever two
+    # partitions hold permutations of the same rows
+    parts = sorted(parts, key=lambda r: r["pid"])
     n = sum(r["n"] for r in parts)
     d = len(parts[0]["s"])
     s = np.zeros(d)

@@ -1021,7 +1021,8 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_exact",
     oracle="""
     WITH RECURSIVE
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id IS NOT NULL),
     p AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
         FROM e a JOIN e b ON a.vec_id < b.vec_id

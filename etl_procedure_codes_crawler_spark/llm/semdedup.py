@@ -104,13 +104,14 @@ def _pairs_within_cells(
         X = _unit_np(_stack_np(pdf["v"]))
         S = X @ X.T
         iu, ju = np.triu_indices(n, k=1)
-        hit = S[iu, ju] >= threshold
+        vals = S[iu, ju]  # gather the O(n²/2) triangle exactly once
+        hit = vals >= threshold
         a, b = ids[iu[hit]], ids[ju[hit]]
         return pd.DataFrame(
             {
                 "vec_a": np.minimum(a, b),
                 "vec_b": np.maximum(a, b),
-                "cosine": np.round(S[iu, ju][hit], 4),
+                "cosine": np.round(vals[hit], 4),
             }
         )
 
@@ -160,6 +161,10 @@ def semantic_dedup(
     else:
         if num_cells < 1:
             raise ValueError(f"num_cells must be >= 1, got {num_cells}")
+        if probes < 1:
+            # probes=0 would silently find zero pairs — a dedup run
+            # that deduplicates nothing, with no error
+            raise ValueError(f"probes must be >= 1, got {probes}")
         pairs = _pairs_within_cells(
             df.where(F.col(vec_col).isNotNull()),
             threshold,

@@ -214,9 +214,10 @@ def stream_ingest_with_neardup(
 
     With ``quality_model`` set (feature-name → coefficient, the
     ``llm.quality.score_documents`` contract), docs whose linear
-    quality margin is <= ``quality_cutoff`` are rejected right after
-    the id gate — BEFORE the near-dup machinery spends MinHash/
-    winnowing work on docs that were never going to enter the corpus.
+    quality margin is <= ``quality_cutoff`` — or whose text is NULL
+    (no score means no admission) — are rejected right after the id
+    gate, BEFORE the near-dup machinery spends MinHash/winnowing work
+    on docs that were never going to enter the corpus.
     The scorer is per-row column math (model-as-data, no UDF), so the
     stage adds no shuffle; rejects show as ``n_quality_rejected``.
     Like every other gate stage it only ever REMOVES batch docs, so
@@ -295,6 +296,9 @@ def stream_ingest_with_neardup(
             # cheapest gate first: per-row column math drops docs that
             # were never going to be accepted BEFORE MinHash/winnowing
             # work is spent on them
+            # NULL text scores NULL -> keep NULL; a bare ~keep would
+            # silently ACCEPT those rows (NULL is excluded by where).
+            # A corpus gate must reject what it cannot score.
             low_quality = (
                 score_documents(
                     fresh,
@@ -303,7 +307,7 @@ def stream_ingest_with_neardup(
                     id_col=id_col,
                     threshold=quality_cutoff,
                 )
-                .where(~F.col("keep"))
+                .where(~F.coalesce(F.col("keep"), F.lit(False)))
                 .select(id_col)
             )
             o_qual = Observation() if audit else None

@@ -593,6 +593,7 @@ def test_gate_quality_filter_rejects_before_neardup(spark, tmp_path):
             (1, BASE),  # stopword-rich prose: positive margin
             (2, "zzz xyzzy qqq www vvv"),  # no stopwords: rejected
             (3, "wholly distinct corpus content but the words flow"),
+            (4, None),  # NULL text: unscorable -> rejected, not passed
         ],
     )
     from pyspark.sql.types import (
@@ -618,8 +619,8 @@ def test_gate_quality_filter_rejects_before_neardup(spark, tmp_path):
     )
     q.awaitTermination()
     row = spark.read.parquet(metrics).first()
-    assert (row.n_input, row.n_fresh) == (3, 3)
-    assert row.n_quality_rejected == 1  # doc 2
+    assert (row.n_input, row.n_fresh) == (4, 4)
+    assert row.n_quality_rejected == 2  # doc 2 (low margin) + 4 (NULL)
     assert row.n_intra_dropped == 0 and row.n_neardup_rejected == 0
     assert row.n_accepted == 2
     wh = {r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()}
