@@ -115,6 +115,8 @@ HEADLINE = [
     "lm_perplexity_documents",
     # one-pass moment fit + Arrow whiten-projection + self-check aggs
     "embedding_pca_whiten_stats",
+    # mergeable per-source MinHash sketches (map-side min merge)
+    "source_overlap_minhash",
 ]
 
 

@@ -19,6 +19,7 @@ from . import dedup as D
 from . import fingerprint as FP
 from . import multimodal as M
 from . import lm as LM
+from . import overlap as OV
 from . import packing as PK
 from . import pca as PCA
 from . import semdedup as SD
@@ -1054,6 +1055,55 @@ def semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     = min id that reaches v), so clusters hash-match cross-engine."""
     embeddings = load(spark, sf_dir, "embeddings")
     return SD.semantic_dedup(embeddings, threshold=0.45)
+
+
+@register(
+    "source_overlap_exact",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents
+                  WHERE source IS NOT NULL),
+    sh AS (
+        SELECT DISTINCT source,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    shared AS (
+        SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT group_a, group_b,
+           CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+           CAST(c AS BIGINT) AS n_shared,
+           CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+    FROM shared
+      JOIN sizes x ON x.source = group_a
+      JOIN sizes y ON y.source = group_b
+    """,
+)
+def source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture design input: exact shingle-set Jaccard between
+    every pair of SOURCES (feeds) — two feeds carrying mostly the same
+    content should not both get full sampling weight. Posting-list
+    join (quadratic per shingle's source list, bounded by the source
+    count), integer counts, one final division (llm/overlap.py)."""
+    documents = load(spark, sf_dir, "documents")
+    return OV.group_shingle_overlap(documents)
+
+
+@register("source_overlap_minhash")  # rows-only (sketch estimate)
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twin: per-source 64-slot MinHash signatures merged
+    map-side (min is associative — the shingle multiset never
+    shuffles; 64 longs per source do), pairwise matching-slot
+    fraction as the Jaccard estimate. Error floored vs the exact
+    path in tests/test_overlap.py."""
+    documents = load(spark, sf_dir, "documents")
+    return OV.group_overlap_minhash(documents)
 
 
 @register("embedding_pca_whiten_stats")  # rows-only (LAPACK eigh)
@@ -2962,6 +3012,7 @@ ROWS_ONLY = {
     "semantic_dedup_cells",
     "lm_perplexity_documents",
     "embedding_pca_whiten_stats",
+    "source_overlap_minhash",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
