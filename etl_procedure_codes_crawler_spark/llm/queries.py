@@ -1118,10 +1118,24 @@ def embedding_pca_whiten_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation keeps. Rows-only: eigh is LAPACK floating point."""
     embeddings = load(spark, sf_dir, "embeddings")
     model = PCA.fit_pca(embeddings)
-    proj = PCA.transform_pca(embeddings, model, k=8, whiten=True)
+    # filter on the INPUT column, not the projection: a filter on the
+    # UDF output makes Catalyst evaluate the Arrow projection twice
+    # (once for the predicate, once for the explode)
+    proj = PCA.transform_pca(
+        embeddings.where(F.col("embedding").isNotNull()),
+        model,
+        k=8,
+        whiten=True,
+    )
+    # posexplode_outer: the non-outer form plants an implicit
+    # size>0 filter on the UDF column, which splits the plan into TWO
+    # ArrowEvalPython stages (the projection would run twice); the
+    # outer form needs no filter, and a NULL/empty projection cannot
+    # occur for a non-NULL embedding
     stats = (
-        proj.where(F.col("projection").isNotNull())
-        .select(F.posexplode("projection").alias("component", "value"))
+        proj.select(
+            F.posexplode_outer("projection").alias("component", "value")
+        )
         .groupBy("component")
         .agg(
             F.round(F.avg("value"), 6).alias("proj_mean"),
