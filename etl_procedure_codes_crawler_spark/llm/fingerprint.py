@@ -109,12 +109,20 @@ def winnow_fingerprints(
     ascending-distinct within a doc. Documents shorter than ``k``
     normalized characters yield no rows."""
     winnow = _winnow_udf(k, window)
+    # explode_outer + null filter on the GENERATED column: a plain
+    # explode adds an implicit size>0 predicate on the UDF output,
+    # which splits the plan into two ArrowEvalPython stages — the
+    # winnow hash pass ran twice per document. Fingerprint elements
+    # are never NULL, so only the outer rows from empty arrays (docs
+    # too short to fingerprint) are filtered — the same rows plain
+    # explode dropped.
     return (
         df.select(
             F.col(id_col).alias("id"),
             winnow(_normalized_capped(text_col, max_chars)).alias("_fps"),
         )
-        .select("id", F.explode("_fps").alias("fingerprint"))
+        .select("id", F.explode_outer("_fps").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
     )
 
 

@@ -145,7 +145,13 @@ def similar_pairs_lsh(
         num_tables,
         planes_per_table,
     )
-    bn = with_norm(b, "v")
+    # materialize once: the self-join below consumes BOTH sides of
+    # this frame, and Spark plans the Arrow signature pass separately
+    # per side (no exchange reuse across the join's aliases) — the
+    # bucketing UDF ran twice over the corpus. One checkpoint halves
+    # the Python work; storage is the same (id, v, table, bucket)
+    # relation the join was about to shuffle anyway.
+    bn = with_norm(b, "v").localCheckpoint(eager=True)
     lhs = bn.select(
         "table",
         "bucket",
@@ -483,10 +489,21 @@ def lsh_table_buckets(
     # core (a single parquet file otherwise pins the matmul to one)
     if spread:
         df = spread_small_input(df)
-    return df.select(
-        F.col(id_alias),
-        F.col(vec_col),
-        F.posexplode(signature(F.col(vec_col))).alias("table", "bucket"),
+    # posexplode_outer + post-explode null filter: the non-outer form
+    # plants an implicit size>0 predicate on the UDF column, which
+    # ExtractPythonUDFs splits into TWO ArrowEvalPython stages — the
+    # signature batch ran twice per vector. Filtering the GENERATED
+    # column keeps one Python pass with identical semantics (outer
+    # rows from empty/NULL signatures carry NULL table/bucket).
+    return (
+        df.select(
+            F.col(id_alias),
+            F.col(vec_col),
+            F.posexplode_outer(signature(F.col(vec_col))).alias(
+                "table", "bucket"
+            ),
+        )
+        .where(F.col("bucket").isNotNull())
     )
 
 

@@ -21,6 +21,9 @@ NESTED_LOOP_EXEMPT = {
     "ann_cosine_topk": "brute-force top-k baseline (broadcast query side)",
     # small distinct domain crossed deliberately after shrinking
     "levenshtein_similar_sources": "distinct-shrunk fuzzy domain pairing",
+    # pairwise sketch comparison over the GROUP-sized signature table
+    # (one row per source) — non-equi by nature, tiny by construction
+    "source_overlap_minhash": "group-count-sized signature pair join",
     # scalar-aggregate threshold broadcast as a 1-row cross join
     "q22_global_sales_opportunity": "1-row threshold cross join",
     "tfidf_top_terms": "1-row doc-count scalar cross join",
