@@ -40,12 +40,17 @@ from pyspark.sql.types import ArrayType, DoubleType
 class PcaModel:
     """Fitted moments: projection = (x - mean) @ components[:, :k]
     (columns ordered by descending eigenvalue; optionally scaled by
-    1/sqrt(eigenvalue) when whitening)."""
+    1/sqrt(eigenvalue) when whitening). The RAW moment sums ride
+    along because they are additive — :func:`update_pca` folds a new
+    batch's moments in without rereading history, the same
+    incremental shape as the dedup store and the ANN index."""
 
     mean: np.ndarray  # (d,)
     components: np.ndarray  # (d, d), columns = eigenvectors
     eigenvalues: np.ndarray  # (d,), descending, >= 0 (clipped)
     n: int
+    moment_sum: np.ndarray  # (d,)  raw Σx
+    moment_sumsq: np.ndarray  # (d, d)  raw Σxxᵀ
 
     def explained_variance_ratio(self) -> np.ndarray:
         total = float(self.eigenvalues.sum())
@@ -54,12 +59,10 @@ class PcaModel:
         return self.eigenvalues / total
 
 
-def fit_pca(
-    df: DataFrame, vec_col: str = "embedding", sample_limit: int | None = None
-) -> PcaModel:
-    """Fit on every non-NULL vector (or the first ``sample_limit`` —
-    the quantizer-training trade: moments converge long before a
-    100 TB corpus is fully read). One corpus pass, d²-sized result."""
+def _collect_moments(
+    df: DataFrame, vec_col: str, sample_limit: int | None
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """ONE distributed pass → (n, Σx, Σxxᵀ); raises on zero vectors."""
     src = df.select(F.col(vec_col).alias("v")).where(F.col("v").isNotNull())
     if sample_limit is not None:
         src = src.limit(int(sample_limit))
@@ -110,6 +113,11 @@ def fit_pca(
     for r in parts:
         s += np.asarray(r["s"])
         ss += np.asarray(r["ss"]).reshape(d, d)
+    return n, s, ss
+
+
+def _model_from_moments(n: int, s: np.ndarray, ss: np.ndarray) -> PcaModel:
+    d = len(s)
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0  # enforce symmetry against fp drift
@@ -122,7 +130,40 @@ def fit_pca(
     flip = np.sign(evecs[np.abs(evecs).argmax(axis=0), np.arange(d)])
     flip[flip == 0] = 1.0
     evecs = evecs * flip
-    return PcaModel(mean=mean, components=evecs, eigenvalues=evals, n=n)
+    return PcaModel(
+        mean=mean,
+        components=evecs,
+        eigenvalues=evals,
+        n=n,
+        moment_sum=s,
+        moment_sumsq=ss,
+    )
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str = "embedding", sample_limit: int | None = None
+) -> PcaModel:
+    """Fit on every non-NULL vector (or the first ``sample_limit`` —
+    the quantizer-training trade: moments converge long before a
+    100 TB corpus is fully read). One corpus pass, d²-sized result."""
+    return _model_from_moments(*_collect_moments(df, vec_col, sample_limit))
+
+
+def update_pca(
+    df: DataFrame, model: PcaModel, vec_col: str = "embedding"
+) -> PcaModel:
+    """Fold a NEW batch into a fitted model: moments are additive, so
+    the incremental refit scans ONLY the new rows — the corpus the
+    model was fitted on is never reread. Matches a from-scratch fit
+    over old+new up to float-summation order (tests pin 1e-9). A
+    batch with no non-NULL vectors returns the model unchanged."""
+    try:
+        n2, s2, ss2 = _collect_moments(df, vec_col, None)
+    except ValueError:
+        return model
+    return _model_from_moments(
+        model.n + n2, model.moment_sum + s2, model.moment_sumsq + ss2
+    )
 
 
 def transform_pca(
