@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _heal_pruned_forget(fs, hpath, path: str) -> None:
+def _heal_pruned_forget(fs, hpath, path: str) -> list[str]:
     """Entry-time recovery for the file-pruned swap. The commit marker
     (``._forget_commit``) splits the crash window in two:
 
@@ -71,13 +71,36 @@ def _heal_pruned_forget(fs, hpath, path: str) -> None:
       staged survivor files may already be live — roll FORWARD by
       moving the remaining staged files in (moved ones are no longer
       in staging, so this is idempotent), then drop the originals.
+
+    Returns the ORIGINAL paths of files a roll-forward removed (their
+    partition-relative names under ``._forget_prev``, mapped back) —
+    the crashed run died before stamping its rewrite, so the caller
+    must stamp them or the expired versions would report "unknown
+    rewrite" instead of the takedown that caused them. Empty when no
+    roll-forward happened.
     """
     from ..sinks.fsutil import remove_stale
 
     prev = hpath(path.rstrip("/") + "._forget_prev")
     staging = hpath(path.rstrip("/") + "._forget_staging")
     marker = hpath(path.rstrip("/") + "._forget_commit")
+    healed_removed: list[str] = []
     if fs.exists(marker):
+        if fs.exists(prev):
+            prev_q = fs.makeQualified(prev).toString().rstrip("/")
+            # stamps are matched against manifest entries, which are
+            # FULLY QUALIFIED (sinks.versions._data_files) — map the
+            # prev-relative names back through the qualified root
+            root_q = fs.makeQualified(hpath(path)).toString().rstrip("/")
+            it = fs.listFiles(prev, True)
+            while it.hasNext():
+                p = it.next().getPath()
+                name = p.getName()
+                if name.endswith(".parquet") and not name.startswith(
+                    ("_", ".")
+                ):
+                    rel = p.toString()[len(prev_q) + 1 :]
+                    healed_removed.append(f"{root_q}/{rel}")
         if fs.exists(staging):
             _move_tree(fs, hpath, path.rstrip("/") + "._forget_staging", path)
         remove_stale(fs, prev, staging, marker)
@@ -85,6 +108,7 @@ def _heal_pruned_forget(fs, hpath, path: str) -> None:
         if fs.exists(prev):
             _move_tree(fs, hpath, path.rstrip("/") + "._forget_prev", path)
         remove_stale(fs, prev, staging)
+    return healed_removed
 
 
 def _move_tree(fs, hpath, src_root: str, dst_root: str) -> None:
@@ -133,7 +157,12 @@ def _forget_plain(
     # (._previous holds the only copy) and a crashed pruned swap
     recover_interrupted_swap(spark, path)
     fs, hpath = hadoop_fs(spark, path)
-    _heal_pruned_forget(fs, hpath, path)
+    healed = _heal_pruned_forget(fs, hpath, path)
+    if healed:
+        # the crashed run passed its commit point but died before
+        # stamping — stamp its removed files now, or the versions it
+        # expired would blame an "unknown rewrite"
+        record_rewrite(spark, path, "forget", healed)
 
     doomed = ids.withColumnRenamed(ids.columns[0], key)
     per_file = (

@@ -260,6 +260,46 @@ def test_forget_plain_heals_postcommit_crash(spark, tmp_path):
         assert not os.path.exists(wh + suffix)
 
 
+def test_postcommit_heal_stamps_the_rewrite(spark, tmp_path):
+    """A run that crashes AFTER its commit point died before stamping
+    its rewrite: the heal's roll-forward must stamp the removed files
+    itself, or the versions it expired would blame an 'unknown
+    rewrite' instead of the takedown."""
+    from etl_procedure_codes_crawler_spark.sinks.versions import (
+        commit_version,
+        list_versions,
+    )
+
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(60)], "doc_id bigint, text string"
+    ).repartition(6).write.parquet(wh)
+    commit_version(spark, wh, note="pre-takedown")
+    files = sorted(glob.glob(os.path.join(wh, "*.parquet")))
+    affected = files[0]
+    doomed = [
+        r.doc_id
+        for r in spark.read.parquet(affected).select("doc_id").collect()
+    ][:2]
+    survivors = spark.read.parquet(affected).filter(
+        ~F.col("doc_id").isin(doomed)
+    ).localCheckpoint(eager=True)
+    survivors.write.parquet(wh + "._forget_staging")
+    os.makedirs(wh + "._forget_prev")
+    os.rename(
+        affected, os.path.join(wh + "._forget_prev", os.path.basename(affected))
+    )
+    open(wh + "._forget_commit", "w").close()
+    # crash; the re-run heals forward AND stamps
+    removed = FG.forget_documents(_ids(spark, doomed), warehouse_path=wh)
+    assert removed["warehouse"] == 0
+    detail = list_versions(spark, wh, detail=True)
+    assert len(detail) == 1
+    assert not detail[0]["readable"]
+    assert "forget" in detail[0]["expired_by"]
+    assert "unknown" not in detail[0]["expired_by"]
+
+
 def test_forget_preserves_untouched_version_manifests(spark, tmp_path):
     """File pruning keeps time travel alive through takedowns: a
     version whose files a later forget never touched must stay
