@@ -67,7 +67,7 @@ def build_ivfpq_index(
     from .text import spread_small_input
 
     train_X = _train_vectors(corpus, vec_col, train_sample)
-    codebook, codes_udf, _lut_udf, _adc = _pq_context(
+    codebook, codes_udf, _lut_udf, _adc, _rot = _pq_context(
         corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
         train_X=train_X,
     )

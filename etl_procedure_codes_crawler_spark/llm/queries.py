@@ -997,6 +997,23 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivfpq(embeddings, queries, k=5, nprobe=6, dim=64)
 
 
+@register("ann_cosine_topk_opq")  # rows-only (approximate by design)
+def ann_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with an OPQ rotation (Ge et al. 2013, eigenvalue
+    allocation): the train sample is PCA-decorrelated and its
+    principal directions dealt to the m subspaces so per-subspace
+    variance products balance — on anisotropic embeddings raw slicing
+    starves most codebooks. The rotation is orthonormal (exact
+    re-rank untouched) and rides the encode/LUT UDF closures; cell
+    probing stays in the original frame (see similarity._opq_rotation,
+    rotation mechanics pinned in tests/test_llm_similarity.py)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_ivfpq(
+        embeddings, queries, k=5, nprobe=6, dim=64, rotate=True
+    )
+
+
 @register(
     "embedding_similar_pairs",
     oracle=f"""
@@ -3013,6 +3030,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
     "ann_cosine_topk_ivfpq",
+    "ann_cosine_topk_opq",
     "ann_index_ivfpq_query",
     "ann_index_health",
     "bpe_train_merges",

@@ -271,11 +271,61 @@ def _stack_np(vectors: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in vectors])
 
 
-def _pq_codes_udf(codebook: np.ndarray, m: int, sub: int):
-    """Arrow-batched PQ encode: unit-normalize, slice into ``m``
-    subvectors, argmin against the closure codebook — one
-    (n·m, sub) @ (sub, k) matmul per batch (the sanctioned pandas-UDF
-    case, same rationale as :func:`_all_bucket_signatures`)."""
+def _opq_rotation(train_X: np.ndarray, m: int, seed: int) -> np.ndarray:
+    """OPQ-style orthonormal rotation (Ge et al. 2013, the
+    eigenvalue-allocation variant): PCA-decorrelate the (normalized)
+    training sample, then GREEDILY deal the principal directions to
+    the ``m`` subspaces so each subspace's eigenvalue PRODUCT stays
+    balanced — product quantization splits the vector into blind
+    slices, and on anisotropic data the raw slicing gives a few
+    subspaces all the variance (codebooks there saturate while the
+    rest encode noise). The rotation is orthonormal, so cosine/L2
+    geometry — and the exact re-rank — are untouched; only the code
+    assignment improves. Returns R with the convention
+    ``rotated = x @ R`` (columns are the permuted eigenvectors)."""
+    X = _unit_np(np.asarray(train_X, dtype=np.float64))
+    d = X.shape[1]
+    assert d % m == 0
+    sub = d // m
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / max(1, len(X))
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1]
+    evals = np.clip(evals[order], 0.0, None)
+    evecs = evecs[:, order]
+    # eigenvalue allocation as LPT scheduling on log-eigenvalues:
+    # balancing per-subspace PRODUCTS = balancing SUMS of log λ. The
+    # logs are negative (unit-normalized data ⇒ λ < 1), so the naive
+    # "give the next eigen-dim to the smallest-product bucket" greedy
+    # degenerates (whichever bucket receives the first factor has the
+    # smallest product forever — identity allocation). LPT on the
+    # magnitudes is the classic fix: place the most extreme log first,
+    # each into the non-full bucket whose running sum is currently
+    # LARGEST (least negative), which equalizes the final sums.
+    logs = np.log(np.maximum(evals, 1e-12))
+    totals = np.zeros(m)
+    counts = np.zeros(m, dtype=int)
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for i in sorted(range(d), key=lambda i: logs[i]):
+        j = max(
+            (jj for jj in range(m) if counts[jj] < sub),
+            key=lambda jj: totals[jj],
+        )
+        slots[j].append(i)
+        totals[j] += logs[i]
+        counts[j] += 1
+    perm = [i for block in slots for i in block]
+    return np.ascontiguousarray(evecs[:, perm])
+
+
+def _pq_codes_udf(
+    codebook: np.ndarray, m: int, sub: int, R: np.ndarray | None = None
+):
+    """Arrow-batched PQ encode: unit-normalize, (optionally) rotate,
+    slice into ``m`` subvectors, argmin against the closure codebook —
+    one (n·m, sub) @ (sub, k) matmul per batch (the sanctioned
+    pandas-UDF case, same rationale as
+    :func:`_all_bucket_signatures`)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -283,17 +333,21 @@ def _pq_codes_udf(codebook: np.ndarray, m: int, sub: int):
 
     @pandas_udf(ArrayType(IntegerType()))
     def codes(vectors: pd.Series) -> pd.Series:
-        S_ = _unit_np(_stack_np(vectors)).reshape(-1, sub)
-        lab = _sq_dists_np(S_, C).argmin(axis=1)
+        X = _unit_np(_stack_np(vectors))
+        if R is not None:
+            X = X @ R
+        lab = _sq_dists_np(X.reshape(-1, sub), C).argmin(axis=1)
         return pd.Series(list(lab.reshape(-1, m).astype(np.int32)))
 
     return codes
 
 
-def _pq_lut_udf(codebook: np.ndarray, m: int, sub: int):
+def _pq_lut_udf(
+    codebook: np.ndarray, m: int, sub: int, R: np.ndarray | None = None
+):
     """Arrow-batched ADC lookup table: for each query, the dot of every
-    subvector slice with every codebook entry — flattened (m·k,) so a
-    candidate's score is ``m`` element_at adds."""
+    (rotated) subvector slice with every codebook entry — flattened
+    (m·k,) so a candidate's score is ``m`` element_at adds."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
@@ -302,6 +356,8 @@ def _pq_lut_udf(codebook: np.ndarray, m: int, sub: int):
     @pandas_udf(ArrayType(DoubleType()))
     def lut(vectors: pd.Series) -> pd.Series:
         X = _unit_np(_stack_np(vectors))
+        if R is not None:
+            X = X @ R
         out = (X.reshape(len(X), m, sub) @ C.T).reshape(len(X), -1)
         return pd.Series(list(out))
 
@@ -664,6 +720,7 @@ def _pq_context(
     dim: int | None = None,
     train_sample: int = 1 << 16,
     train_X: np.ndarray | None = None,
+    rotate: bool = False,
 ):
     """Train the shared PQ codebook and return the column builders the
     PQ variants compose: ``codes_udf`` (Arrow-batched argmin encode),
@@ -702,7 +759,12 @@ def _pq_context(
     # m slices of each row out consecutively — same pooling an
     # explode would produce. Cap the pooled set so the Lloyd distance
     # matrix stays small even at the full train_sample.
-    pooled = _unit_np(train_X).reshape(-1, sub)
+    # optional OPQ rotation (``rotate=True``): decorrelate + balance
+    # variance across the m subspaces BEFORE pooling, so the shared
+    # codebook trains on the same geometry the encode path will see
+    R = _opq_rotation(train_X, m, seed) if rotate else None
+    rotated = _unit_np(train_X) @ R if R is not None else _unit_np(train_X)
+    pooled = rotated.reshape(-1, sub)
     pool_cap = 1 << 17
     if len(pooled) > pool_cap:
         idx = np.random.RandomState(seed).choice(
@@ -710,8 +772,8 @@ def _pq_context(
         )
         pooled = pooled[idx]
     codebook = _kmeans_np(pooled, codebook_size, seed, max_iter)
-    codes_udf = _pq_codes_udf(codebook, m, sub)
-    lut_udf = _pq_lut_udf(codebook, m, sub)
+    codes_udf = _pq_codes_udf(codebook, m, sub, R)
+    lut_udf = _pq_lut_udf(codebook, m, sub, R)
 
     def adc_score(codes_col, lut_colname):
         # unrolled, lambda-free: m element_at adds — whole-stage
@@ -729,7 +791,7 @@ def _pq_context(
             total = total + t
         return total
 
-    return codebook, codes_udf, lut_udf, adc_score
+    return codebook, codes_udf, lut_udf, adc_score, R
 
 
 def _adc_shortlist_rerank(
@@ -809,6 +871,7 @@ def cosine_topk_pq(
     shortlist_factor: int = 10,
     dim: int | None = None,
     train_sample: int = 1 << 16,
+    rotate: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN with ADC (asymmetric distance
     computation) scoring: the corpus is stored as ``m`` small codes
@@ -836,9 +899,9 @@ def cosine_topk_pq(
     """
     from .text import spread_small_input
 
-    _, codes_udf, lut_udf, adc_score = _pq_context(
+    _, codes_udf, lut_udf, adc_score, _R = _pq_context(
         corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
-        train_sample=train_sample,
+        train_sample=train_sample, rotate=rotate,
     )
     coded = spread_small_input(
         corpus.select(
@@ -878,6 +941,7 @@ def cosine_topk_ivfpq(
     shortlist_factor: int = 10,
     dim: int | None = None,
     train_sample: int = 1 << 16,
+    rotate: bool = False,
 ) -> DataFrame:
     """IVF + PQ — the canonical billion-scale ANN pipeline, composed
     from this module's two halves:
@@ -904,9 +968,9 @@ def cosine_topk_ivfpq(
     from .text import spread_small_input
 
     train_X = _train_vectors(corpus, vec_col, train_sample)
-    _, codes_udf, lut_udf, adc_score = _pq_context(
+    _, codes_udf, lut_udf, adc_score, _R = _pq_context(
         corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
-        train_X=train_X,
+        train_X=train_X, rotate=rotate,
     )
 
     # IVF cells on the unit vectors (cosine geometry)

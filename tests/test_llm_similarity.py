@@ -154,6 +154,66 @@ class TestPQ:
             assert 1 <= r.rank <= 5
         assert all(n == 5 for n in per_q.values())
 
+    def test_opq_rotation_is_orthonormal_and_balances_variance(self):
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm.similarity import (
+            _opq_rotation,
+            _unit_np,
+        )
+
+        rng = np.random.RandomState(7)
+        # anisotropic data: variance concentrated in the first dims
+        scales = np.linspace(4.0, 0.05, 16)
+        X = rng.randn(2000, 16) * scales
+        m = 4
+        R = _opq_rotation(X, m, seed=42)
+        # orthonormal: geometry (and the exact re-rank) untouched
+        np.testing.assert_allclose(R.T @ R, np.eye(16), atol=1e-9)
+        # subspace variances of the ROTATED data are far more balanced
+        # than raw slicing's
+        # eigenvalue allocation balances per-subspace variance
+        # PRODUCTS (log-sums), the quantity that drives per-subspace
+        # codebook quality — compare log-product spread
+        U = _unit_np(X)
+
+        def log_product_spread(Y):
+            lp = [
+                np.log(Y[:, j * 4 : (j + 1) * 4].var(axis=0) + 1e-12).sum()
+                for j in range(m)
+            ]
+            return max(lp) - min(lp)
+
+        assert log_product_spread(U @ R) < log_product_spread(U) / 4
+
+    def test_opq_recall_at_least_matches_pq(self, spark, sf_dir):
+        """rotate=True must keep the recall floor (the rotation is
+        orthonormal, the exact re-rank is identical) — and the OPQ
+        result set stays k-per-query well-formed."""
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(emb, qs, k=5).collect()
+        }
+        opq = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_pq(emb, qs, k=5, rotate=True).collect()
+        }
+        recall = len(exact & opq) / len(exact)
+        assert recall >= 0.6, f"OPQ recall {recall:.2f}"
+        ivfpq = S.cosine_topk_ivfpq(
+            emb, qs, k=5, nprobe=6, rotate=True
+        ).collect()
+        per_q: dict[int, int] = {}
+        for r in ivfpq:
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert all(n == 5 for n in per_q.values())
+
     def test_pq_is_deterministic(self, spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -212,7 +272,7 @@ def test_pq_dim_param_and_empty_corpus_error(spark):
         [(i, [float(i * j % 7) for j in range(64)]) for i in range(8)],
         "vec_id bigint, embedding array<float>",
     )
-    codebook, codes_udf, lut_udf, adc_score = S._pq_context(
+    codebook, codes_udf, lut_udf, adc_score, _rot = S._pq_context(
         tiny, "embedding", 8, 4, 42, 1, dim=64
     )
     assert codebook.shape == (4, 8)
