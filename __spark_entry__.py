@@ -71,7 +71,11 @@ _GATE_PRIORITY = [
     # LLM text analysis
     "token_count_bpe_documents",
     "text_quality_documents",
-    "lang_id_documents",
+    # round-7 data-selection family (DSIR importance weighting) —
+    # fully hash-oracled; lang_id_documents cedes its slot (text
+    # family keeps two other hash rows) and stays oracled in the
+    # full registry
+    "dsir_importance_topk",
 
     # LLM dedup family
     "dedup_exact_documents",

@@ -117,6 +117,12 @@ HEADLINE = [
     "embedding_pca_whiten_stats",
     # mergeable per-source MinHash sketches (map-side min merge)
     "source_overlap_minhash",
+    # OPQ-rotated IVF+PQ: regressions in the rotation closure must be
+    # visible round-over-round like the other ANN variants
+    "ann_cosine_topk_opq",
+    # DSIR importance-weighted selection: two raw-pool scans + one
+    # target scan, all-broadcast joins, TakeOrderedAndProject top-k
+    "dsir_importance_topk",
 ]
 
 

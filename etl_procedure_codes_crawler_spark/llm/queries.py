@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.timestamps import epoch_micros
 from ..plans.relational import ORACLES, load, register
 from . import dedup as D
+from . import dsir as DS
 from . import fingerprint as FP
 from . import multimodal as M
 from . import lm as LM
@@ -1121,6 +1122,117 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     path in tests/test_overlap.py."""
     documents = load(spark, sf_dir, "documents")
     return OV.group_overlap_minhash(documents)
+
+
+# hashed unigram+bigram buckets over a 1024-char text cap, shared by
+# the DSIR oracle CTEs; the Horner-mod hash is the winnowing family's
+# (fingerprint.py), already proven codepoint-exact across engines
+_DSIR_GRAMS = """
+    tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(substr(text, 1, 1024)), '\\s+')
+                   AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, list_concat(toks,
+            list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS gs
+        FROM tok
+    ),
+    occ AS (
+        SELECT doc_id,
+               CASE WHEN length(g) = 0 THEN 0 ELSE
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, length(g)),
+                           j -> CAST(unicode(substr(g, j, 1)) AS BIGINT)),
+                       (acc, c) -> (acc * 257 + c) % 1000000007)
+               END % 2048 AS bucket
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+    )
+"""
+
+
+@register(
+    "dsir_importance_topk",
+    oracle=f"""
+    WITH {_DSIR_GRAMS},
+    tcnt AS (
+        SELECT bucket, COUNT(*) AS t_n FROM occ
+        WHERE doc_id % 7 = 0 GROUP BY bucket
+    ),
+    rcnt AS (
+        SELECT bucket, COUNT(*) AS r_n FROM occ
+        WHERE doc_id % 7 <> 0 GROUP BY bucket
+    ),
+    tot AS (
+        SELECT (SELECT SUM(t_n) FROM tcnt) AS t_total,
+               (SELECT SUM(r_n) FROM rcnt) AS r_total
+    ),
+    ratios AS (
+        SELECT s.bucket,
+               CAST(ROUND((
+                   LN((COALESCE(t_n, 0) + 1) / (t_total + 2048.0))
+                 - LN((COALESCE(r_n, 0) + 1) / (r_total + 2048.0))
+               ) * 1e6) AS BIGINT) AS ratio_micro
+        FROM range(2048) s(bucket)
+        LEFT JOIN tcnt USING (bucket)
+        LEFT JOIN rcnt USING (bucket)
+        CROSS JOIN tot
+    )
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(ratio_micro) AS BIGINT) AS weight_micro
+    FROM occ JOIN ratios USING (bucket)
+    WHERE doc_id % 7 <> 0
+    GROUP BY doc_id
+    ORDER BY weight_micro DESC, id ASC
+    LIMIT 100
+    """,
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023), deterministic variant:
+    fit hashed unigram+bigram bucket distributions over a pseudo
+    target domain (doc_id % 7 == 0) and the remaining raw pool, then
+    keep the 100 raw documents most target-like by Laplace-smoothed
+    importance log-ratio. Featurization is pure JVM array algebra
+    (no UDF); per-bucket ratios snap to integer micro-units so the
+    per-doc weight is an exact integer sum — hash-oracled end to end
+    (llm/dsir.py)."""
+    documents = load(spark, sf_dir, "documents").withColumn(
+        "text_c", F.substring("text", 1, 1024)
+    )
+    target = documents.where(F.col("doc_id") % 7 == 0)
+    raw = documents.where(F.col("doc_id") % 7 != 0)
+    ratios = DS.bucket_log_ratios(
+        target, raw, text_col="text_c", num_buckets=2048
+    )
+    return DS.importance_topk(
+        raw, ratios, k=100, text_col="text_c", num_buckets=2048
+    )
+
+
+@register("dsir_resample_documents")  # rows-only (float Gumbel keys)
+def dsir_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's sampled variant: Gumbel-top-k over the same importance
+    weights draws 200 documents without replacement with probability
+    ∝ exp(weight/temperature). Noise comes from a deterministic
+    integer hash of the id (reruns and AQE re-plans see identical
+    samples — ``rand()`` would not survive either). Rows-only: the
+    perturbed sort key is float."""
+    documents = load(spark, sf_dir, "documents").withColumn(
+        "text_c", F.substring("text", 1, 1024)
+    )
+    target = documents.where(F.col("doc_id") % 7 == 0)
+    raw = documents.where(F.col("doc_id") % 7 != 0)
+    ratios = DS.bucket_log_ratios(
+        target, raw, text_col="text_c", num_buckets=2048
+    )
+    return DS.dsir_resample(
+        raw, ratios, n=200, seed=7, temperature=2.0,
+        text_col="text_c", num_buckets=2048,
+    )
 
 
 @register("embedding_pca_whiten_stats")  # rows-only (LAPACK eigh)
@@ -3045,6 +3157,7 @@ ROWS_ONLY = {
     "lm_perplexity_documents",
     "embedding_pca_whiten_stats",
     "source_overlap_minhash",
+    "dsir_resample_documents",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",

@@ -79,6 +79,7 @@ def test_family_coverage_in_gate_sample(entry):
         "trends": {"user_value_trends"},
         "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms"},
         "packing": {"sequence_packing_stats"},
+        "data_selection": {"dsir_importance_topk"},
     }
     uncovered = [fam for fam, members in families.items() if not members & sample]
     assert not uncovered, f"families with no gate-sample hash row: {uncovered}"
