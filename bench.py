@@ -123,6 +123,8 @@ HEADLINE = [
     # DSIR importance-weighted selection: two raw-pool scans + one
     # target scan, all-broadcast joins, TakeOrderedAndProject top-k
     "dsir_importance_topk",
+    # single-scan rollup of per-source + corpus-total HLL sketches
+    "source_cardinality_hll",
 ]
 
 

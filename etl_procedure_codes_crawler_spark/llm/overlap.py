@@ -156,3 +156,71 @@ def group_overlap_minhash(
             ),
         )
     )
+
+
+def group_cardinality_sketches(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """(group, sketch) — a Datasketches HLL per group over its
+    distinct k-shingles, built by ``hll_sketch_agg`` (JVM-side,
+    partially aggregated: per-partition sketches merge map-side, so
+    per group one ~2^lg_config_k-byte binary crosses the wire — the
+    same mergeable-state shape as the MinHash signatures, but
+    answering CARDINALITY instead of overlap). The sketch column is
+    the keepable artifact: persist it per ingest batch and
+    ``hll_union_agg`` folds history without rereading it."""
+    sh = _group_shingles(df, group_col, text_col, k)
+    return (
+        sh.groupBy("grp")
+        .agg(F.hll_sketch_agg("shingle", F.lit(lg_config_k)).alias("sketch"))
+        .select(F.col("grp").alias("group"), "sketch")
+    )
+
+
+def group_cardinality_estimates(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-group estimated distinct-shingle counts PLUS the corpus
+    total row (group NULL) in ONE corpus scan: ``rollup(group)`` makes
+    the grand-total sketch a second grouping set of the SAME partial
+    aggregation — never a second pass (HLL union is lossless on the
+    registers, so merging the per-group sketches estimates the same
+    set; :func:`union_cardinality` is that fold over PERSISTED
+    sketches — the two paths agree to within sketch error, not bit-
+    exactly, because the Datasketches union operator carries a wider
+    internal register type than the direct aggregation). Standard error
+    ~1.04/sqrt(2^lg_config_k) ≈ 1.6% at the default; floored against
+    exact distinct counts in tests."""
+    sh = _group_shingles(df, group_col, text_col, k)
+    return (
+        sh.rollup("grp")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("shingle", F.lit(lg_config_k))
+            ).alias("est_distinct")
+        )
+        .select(F.col("grp").alias("group"), "est_distinct")
+    )
+
+
+def union_cardinality(sketches: DataFrame) -> DataFrame:
+    """Fold a table of persisted per-group sketches
+    (:func:`group_cardinality_sketches` output — e.g. one per ingest
+    batch) into a single estimated distinct count WITHOUT touching the
+    data they summarize: ``hll_union_agg`` over kilobyte-sized state.
+    This is the incremental path — the rollup row in
+    :func:`group_cardinality_estimates` is the same algebra fused into
+    the fit scan."""
+    return sketches.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(True))
+        ).alias("est_distinct")
+    )

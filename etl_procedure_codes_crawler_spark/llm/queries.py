@@ -1124,6 +1124,19 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OV.group_overlap_minhash(documents)
 
 
+@register("source_cardinality_hll")  # rows-only (HLL sketch estimate)
+def source_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality via Datasketches HLL
+    (JVM ``hll_sketch_agg``, per-partition sketches merged map-side)
+    plus the corpus-union row computed by MERGING the per-source
+    sketches — never rescanning the corpus. The third mergeable-state
+    family next to the MinHash overlap sketches and the PCA moments;
+    estimates floored vs exact distinct counts in tests/test_overlap.py.
+    Rows-only: HLL estimates have no DuckDB-exact twin."""
+    documents = load(spark, sf_dir, "documents")
+    return OV.group_cardinality_estimates(documents)
+
+
 # hashed unigram+bigram buckets over a 1024-char text cap, shared by
 # the DSIR oracle CTEs; the Horner-mod hash is the winnowing family's
 # (fingerprint.py), already proven codepoint-exact across engines
@@ -3158,6 +3171,7 @@ ROWS_ONLY = {
     "embedding_pca_whiten_stats",
     "source_overlap_minhash",
     "dsir_resample_documents",
+    "source_cardinality_hll",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",

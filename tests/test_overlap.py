@@ -118,3 +118,71 @@ class TestMinhashOverlap:
         a = sorted(group_overlap_minhash(docs).collect())
         b = sorted(group_overlap_minhash(docs).collect())
         assert a == b
+
+
+class TestHllCardinality:
+    def test_estimates_within_sketch_error_of_exact(self, spark, sf_dir):
+        from etl_procedure_codes_crawler_spark.llm.overlap import (
+            _group_shingles,
+            group_cardinality_estimates,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        est = {
+            r.group: r.est_distinct
+            for r in group_cardinality_estimates(docs).collect()
+        }
+        sh = _group_shingles(docs, "source", "text", 3)
+        exact = {
+            r.grp: r.n
+            for r in sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total_exact = sh.select("shingle").distinct().count()
+        # lg_config_k=12 -> se ~1.6%; 3 sigma + slack
+        for grp, n in exact.items():
+            assert abs(est[grp] - n) / n <= 0.08, (grp, n, est[grp])
+        assert abs(est[None] - total_exact) / total_exact <= 0.08
+        # union row present exactly once, >= any single source
+        assert sum(1 for g in est if g is None) == 1
+        assert est[None] >= max(v for g, v in est.items() if g is not None)
+
+    def test_single_scan_rollup_plan(self, spark, sf_dir):
+        """Per-group + grand-total come from ONE rollup aggregation —
+        exactly one scan of the documents table in the plan."""
+        from etl_procedure_codes_crawler_spark.llm.overlap import (
+            group_cardinality_estimates,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        plan = (
+            group_cardinality_estimates(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("Relation") == 1
+        assert "Expand" in plan  # the rollup grouping sets
+
+    def test_union_of_persisted_sketches_matches_rollup_row(
+        self, spark, sf_dir
+    ):
+        """Folding per-group sketches with hll_union_agg must land
+        within sketch error of the rollup's grand-total row (not bit-
+        equal: the Datasketches union operator carries a wider internal
+        register type than direct aggregation) — what makes per-batch
+        sketches safe to persist and merge later."""
+        from etl_procedure_codes_crawler_spark.llm.overlap import (
+            group_cardinality_estimates,
+            group_cardinality_sketches,
+            union_cardinality,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        rollup_total = {
+            r.group: r.est_distinct
+            for r in group_cardinality_estimates(docs).collect()
+        }[None]
+        merged = union_cardinality(
+            group_cardinality_sketches(docs)
+        ).collect()[0].est_distinct
+        assert abs(merged - rollup_total) / rollup_total <= 0.05
