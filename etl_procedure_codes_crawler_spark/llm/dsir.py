@@ -124,7 +124,17 @@ def bucket_log_ratios(
     shuffle) left-joined onto a full ``spark.range`` bucket spine,
     with the corpus totals attached via broadcast scalar aggregates —
     fully lazy, no driver-side collect. Exactly ``num_buckets`` rows:
-    broadcast-sized by construction regardless of corpus size."""
+    broadcast-sized by construction regardless of corpus size.
+
+    An EMPTY corpus (target or raw with zero n-gram occurrences)
+    raises at execution time instead of yielding all-NULL ratios —
+    NULL ratios would make every downstream weight NULL and
+    :func:`importance_topk` would silently return k arbitrary
+    documents ordered by id. The guard is a ``raise_error`` branch
+    that only evaluates when a ratio comes out NULL, which (smoothing
+    keeps every log argument strictly positive) happens exactly when
+    a corpus total is NULL — zero cost on the happy path, laziness
+    preserved."""
     spark = target.sparkSession
 
     def counts(df: DataFrame, name: str) -> DataFrame:
@@ -153,9 +163,18 @@ def bucket_log_ratios(
         .crossJoin(F.broadcast(r_tot))
         .select(
             "bucket",
-            F.round((F.log(smoothed_t) - F.log(smoothed_r)) * 1e6)
-            .cast("long")
-            .alias("ratio_micro"),
+            F.coalesce(
+                F.round((F.log(smoothed_t) - F.log(smoothed_r)) * 1e6).cast(
+                    "long"
+                ),
+                F.raise_error(
+                    F.lit(
+                        "bucket_log_ratios: target or raw corpus has zero "
+                        "n-gram occurrences — importance ratios are "
+                        "undefined over an empty distribution"
+                    )
+                ).cast("long"),
+            ).alias("ratio_micro"),
         )
     )
 

@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _heal_pruned_forget(fs, hpath, path: str) -> list[str]:
+def _heal_pruned_forget(spark, fs, hpath, path: str) -> None:
     """Entry-time recovery for the file-pruned swap. The commit marker
     (``._forget_commit``) splits the crash window in two:
 
@@ -72,20 +72,24 @@ def _heal_pruned_forget(fs, hpath, path: str) -> list[str]:
       moving the remaining staged files in (moved ones are no longer
       in staging, so this is idempotent), then drop the originals.
 
-    Returns the ORIGINAL paths of files a roll-forward removed (their
-    partition-relative names under ``._forget_prev``, mapped back) —
-    the crashed run died before stamping its rewrite, so the caller
-    must stamp them or the expired versions would report "unknown
-    rewrite" instead of the takedown that caused them. Empty when no
-    roll-forward happened.
+    A roll-forward STAMPS the removed originals (their partition-
+    relative names under ``._forget_prev``, mapped back to dataset
+    paths) BEFORE deleting the evidence — the crashed run may have
+    died before writing its own stamp, and stamping after the
+    cleanup would reopen the exact window being healed (crash between
+    cleanup and stamp → evidence gone → versions expired by the
+    takedown permanently report "unknown rewrite"). Files the crashed
+    run DID stamp are skipped, so a crash after its stamp does not
+    double-record.
     """
     from ..sinks.fsutil import remove_stale
+    from ..sinks.versions import _rewrite_records, record_rewrite
 
     prev = hpath(path.rstrip("/") + "._forget_prev")
     staging = hpath(path.rstrip("/") + "._forget_staging")
     marker = hpath(path.rstrip("/") + "._forget_commit")
-    healed_removed: list[str] = []
     if fs.exists(marker):
+        healed_removed: list[str] = []
         if fs.exists(prev):
             prev_q = fs.makeQualified(prev).toString().rstrip("/")
             # stamps are matched against manifest entries, which are
@@ -103,12 +107,19 @@ def _heal_pruned_forget(fs, hpath, path: str) -> list[str]:
                     healed_removed.append(f"{root_q}/{rel}")
         if fs.exists(staging):
             _move_tree(fs, hpath, path.rstrip("/") + "._forget_staging", path)
+        already = {
+            f
+            for rec in _rewrite_records(fs, hpath, path)
+            for f in rec["files"]
+        }
+        unstamped = [f for f in healed_removed if f not in already]
+        if unstamped:
+            record_rewrite(spark, path, "forget", unstamped)
         remove_stale(fs, prev, staging, marker)
     else:
         if fs.exists(prev):
             _move_tree(fs, hpath, path.rstrip("/") + "._forget_prev", path)
         remove_stale(fs, prev, staging)
-    return healed_removed
 
 
 def _move_tree(fs, hpath, src_root: str, dst_root: str) -> None:
@@ -157,12 +168,7 @@ def _forget_plain(
     # (._previous holds the only copy) and a crashed pruned swap
     recover_interrupted_swap(spark, path)
     fs, hpath = hadoop_fs(spark, path)
-    healed = _heal_pruned_forget(fs, hpath, path)
-    if healed:
-        # the crashed run passed its commit point but died before
-        # stamping — stamp its removed files now, or the versions it
-        # expired would blame an "unknown rewrite"
-        record_rewrite(spark, path, "forget", healed)
+    _heal_pruned_forget(spark, fs, hpath, path)
 
     doomed = ids.withColumnRenamed(ids.columns[0], key)
     per_file = (
@@ -251,6 +257,14 @@ def _forget_plain(
         checked_rename(fs, hpath(f), dst)
     # commit point: from here recovery rolls FORWARD, never back
     fs.create(hpath(marker), True).close()
+    # stamp BEFORE the cleanup below deletes the recovery evidence:
+    # past the commit point the removal of `affected` is inevitable
+    # (heal rolls forward), so the stamp is never premature — while
+    # stamping after the deletes would leave a crash window in which
+    # the expired versions permanently blame an "unknown rewrite".
+    # A crash between marker and stamp is covered by the heal, which
+    # stamps from ._forget_prev.
+    record_rewrite(spark, path, "forget", affected)
     # phase 2: move survivor files in at their partition-relative
     # paths (fresh writer UUID — no collision with surviving
     # originals)
@@ -258,7 +272,6 @@ def _forget_plain(
     fs.delete(hpath(prev), True)
     fs.delete(hpath(staging), True)
     fs.delete(hpath(marker), False)
-    record_rewrite(spark, path, "forget", affected)
     return n
 
 
@@ -342,6 +355,13 @@ def _forget_index_cells(
         if fs.exists(hpath(_versions_dir(coded_path)))
         else []
     )
+    # stamp BEFORE the swaps: a stamp is attribution metadata consulted
+    # only for files that ARE missing, so recording files that a crash
+    # leaves live is inert — whereas stamping after the swaps leaves a
+    # window (crash between the last rename and the stamp) in which
+    # the versions this takedown expired blame an "unknown rewrite"
+    # with the evidence already gone.
+    record_rewrite(spark, coded_path, "forget", removed_files)
     staging = coded_path + "._forget_staging"
     prev_root = coded_path + "._forget_prev"
     if kept:
@@ -366,7 +386,6 @@ def _forget_index_cells(
     # delete is idempotent — a crash mid-loop just re-deletes
     for cell in emptied:
         fs.delete(hpath(f"{coded_path}/cell={cell}"), True)
-    record_rewrite(spark, coded_path, "forget", removed_files)
     return n
 
 

@@ -61,8 +61,12 @@ class PcaModel:
 
 def _collect_moments(
     df: DataFrame, vec_col: str, sample_limit: int | None
-) -> tuple[int, np.ndarray, np.ndarray]:
-    """ONE distributed pass → (n, Σx, Σxxᵀ); raises on zero vectors."""
+) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """ONE distributed pass → (n, Σx, Σxxᵀ); ``None`` when the input
+    holds no non-NULL vectors. The empty case is signalled by return
+    value, NOT an exception — real data errors (e.g. mixed vector
+    dimensions raising ValueError inside the numpy combine) must
+    propagate, not be mistaken for "empty batch" by callers."""
     src = df.select(F.col(vec_col).alias("v")).where(F.col("v").isNotNull())
     if sample_limit is not None:
         src = src.limit(int(sample_limit))
@@ -99,7 +103,7 @@ def _collect_moments(
         schema="pid int, n long, s array<double>, ss array<double>",
     ).collect()
     if not parts:
-        raise ValueError(f"fit_pca: no non-NULL vectors in {vec_col!r}")
+        return None
     # fixed combine order — double addition is not associative, and a
     # shuffle-order-dependent covariance would make refits disagree.
     # The partition id is a TOTAL order over the one-row-per-partition
@@ -146,7 +150,10 @@ def fit_pca(
     """Fit on every non-NULL vector (or the first ``sample_limit`` —
     the quantizer-training trade: moments converge long before a
     100 TB corpus is fully read). One corpus pass, d²-sized result."""
-    return _model_from_moments(*_collect_moments(df, vec_col, sample_limit))
+    moments = _collect_moments(df, vec_col, sample_limit)
+    if moments is None:
+        raise ValueError(f"fit_pca: no non-NULL vectors in {vec_col!r}")
+    return _model_from_moments(*moments)
 
 
 def update_pca(
@@ -156,11 +163,14 @@ def update_pca(
     the incremental refit scans ONLY the new rows — the corpus the
     model was fitted on is never reread. Matches a from-scratch fit
     over old+new up to float-summation order (tests pin 1e-9). A
-    batch with no non-NULL vectors returns the model unchanged."""
-    try:
-        n2, s2, ss2 = _collect_moments(df, vec_col, None)
-    except ValueError:
+    batch with no non-NULL vectors returns the model unchanged —
+    detected by return value, so a genuinely broken batch (mixed
+    vector dimensions → numpy broadcast ValueError) still raises
+    instead of being silently dropped."""
+    moments = _collect_moments(df, vec_col, None)
+    if moments is None:
         return model
+    n2, s2, ss2 = moments
     return _model_from_moments(
         model.n + n2, model.moment_sum + s2, model.moment_sumsq + ss2
     )

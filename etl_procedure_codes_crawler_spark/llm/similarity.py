@@ -145,13 +145,15 @@ def similar_pairs_lsh(
         num_tables,
         planes_per_table,
     )
-    # materialize once: the self-join below consumes BOTH sides of
-    # this frame, and Spark plans the Arrow signature pass separately
-    # per side (no exchange reuse across the join's aliases) — the
-    # bucketing UDF ran twice over the corpus. One checkpoint halves
-    # the Python work; storage is the same (id, v, table, bucket)
-    # relation the join was about to shuffle anyway.
-    bn = with_norm(b, "v").localCheckpoint(eager=True)
+    # cache once: the self-join below consumes BOTH sides of this
+    # frame, and Spark plans the Arrow signature pass separately per
+    # side (no exchange reuse across the join's aliases) — the
+    # bucketing UDF ran twice over the corpus. persist() dedupes the
+    # Python work while staying RECOMPUTABLE — unlike localCheckpoint,
+    # a lost executor recomputes the blocks from lineage instead of
+    # failing the query (nothing here rewrites the input files, so
+    # cutting lineage buys nothing; contrast forget.py's swaps).
+    bn = with_norm(b, "v").persist()
     lhs = bn.select(
         "table",
         "bucket",
@@ -271,7 +273,7 @@ def _stack_np(vectors: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in vectors])
 
 
-def _opq_rotation(train_X: np.ndarray, m: int, seed: int) -> np.ndarray:
+def _opq_rotation(train_X: np.ndarray, m: int) -> np.ndarray:
     """OPQ-style orthonormal rotation (Ge et al. 2013, the
     eigenvalue-allocation variant): PCA-decorrelate the (normalized)
     training sample, then GREEDILY deal the principal directions to
@@ -762,7 +764,9 @@ def _pq_context(
     # optional OPQ rotation (``rotate=True``): decorrelate + balance
     # variance across the m subspaces BEFORE pooling, so the shared
     # codebook trains on the same geometry the encode path will see
-    R = _opq_rotation(train_X, m, seed) if rotate else None
+    # fully deterministic from the training sample (mean/cov/eigh +
+    # greedy allocation) — deliberately NOT seed-controlled
+    R = _opq_rotation(train_X, m) if rotate else None
     rotated = _unit_np(train_X) @ R if R is not None else _unit_np(train_X)
     pooled = rotated.reshape(-1, sub)
     pool_cap = 1 << 17

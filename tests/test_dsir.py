@@ -121,6 +121,22 @@ class TestWeights:
         rows = bucket_log_ratios(target, raw, num_buckets=B).collect()
         assert sorted(r.bucket for r in rows) == list(range(B))
 
+    def test_empty_target_raises_loudly(self, spark, frames):
+        """An empty target corpus must raise at execution, not yield
+        all-NULL ratios that make importance_topk return k arbitrary
+        documents ordered by id."""
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException, SparkRuntimeException
+
+        _, raw = frames
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(
+            (SparkRuntimeException, PythonException, Py4JJavaError),
+            match="zero n-gram occurrences",
+        ):
+            bucket_log_ratios(empty, raw, num_buckets=B).collect()
+
     def test_weights_match_python_replica_exactly(self, frames):
         target, raw = frames
         ratios = bucket_log_ratios(target, raw, num_buckets=B)

@@ -300,6 +300,59 @@ def test_postcommit_heal_stamps_the_rewrite(spark, tmp_path):
     assert "unknown" not in detail[0]["expired_by"]
 
 
+def test_postcommit_heal_skips_already_stamped_files(spark, tmp_path):
+    """Stamps are written BEFORE the cleanup deletes the recovery
+    evidence, so a crash between the stamp and the cleanup leaves
+    both the stamp AND ._forget_prev behind — the heal's roll-forward
+    must recognize the existing stamp and not record the same files a
+    second time."""
+    import json
+
+    from etl_procedure_codes_crawler_spark.sinks.versions import (
+        commit_version,
+        list_versions,
+        record_rewrite,
+    )
+
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(60)], "doc_id bigint, text string"
+    ).repartition(6).write.parquet(wh)
+    commit_version(spark, wh, note="pre-takedown")
+    files = sorted(glob.glob(os.path.join(wh, "*.parquet")))
+    affected = files[0]
+    with open(os.path.join(wh + "._versions", "v1.json")) as fh:
+        manifest = json.load(fh)
+    qualified = [
+        f
+        for f in manifest["files"]
+        if f.endswith("/" + os.path.basename(affected))
+    ]
+    assert len(qualified) == 1
+    doomed = [
+        r.doc_id
+        for r in spark.read.parquet(affected).select("doc_id").collect()
+    ][:2]
+    survivors = spark.read.parquet(affected).filter(
+        ~F.col("doc_id").isin(doomed)
+    ).localCheckpoint(eager=True)
+    survivors.write.parquet(wh + "._forget_staging")
+    os.makedirs(wh + "._forget_prev")
+    os.rename(
+        affected, os.path.join(wh + "._forget_prev", os.path.basename(affected))
+    )
+    open(wh + "._forget_commit", "w").close()
+    # the crashed run got as far as its stamp — then died pre-cleanup
+    record_rewrite(spark, wh, "forget", qualified)
+    removed = FG.forget_documents(_ids(spark, doomed), warehouse_path=wh)
+    assert removed["warehouse"] == 0
+    stamps = glob.glob(os.path.join(wh + "._versions", "_rewrites", "rw*.json"))
+    assert len(stamps) == 1, f"heal double-stamped: {stamps}"
+    detail = list_versions(spark, wh, detail=True)
+    assert not detail[0]["readable"]
+    assert detail[0]["expired_by"] == "forget (rw1)"
+
+
 def test_forget_preserves_untouched_version_manifests(spark, tmp_path):
     """File pruning keeps time travel alive through takedowns: a
     version whose files a later forget never touched must stay

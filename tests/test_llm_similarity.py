@@ -167,7 +167,7 @@ class TestPQ:
         scales = np.linspace(4.0, 0.05, 16)
         X = rng.randn(2000, 16) * scales
         m = 4
-        R = _opq_rotation(X, m, seed=42)
+        R = _opq_rotation(X, m)
         # orthonormal: geometry (and the exact re-rank) untouched
         np.testing.assert_allclose(R.T @ R, np.eye(16), atol=1e-9)
         # subspace variances of the ROTATED data are far more balanced

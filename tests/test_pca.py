@@ -77,6 +77,22 @@ class TestUpdatePca:
         )
         assert update_pca(empty, model) is model
 
+    def test_broken_batch_raises_instead_of_silent_drop(self, spark, sf_dir):
+        """Mixed vector dimensions in a batch must RAISE, not be
+        mistaken for 'empty batch' and silently dropped (the empty
+        case is signalled by return value, not exception)."""
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        emb = load(spark, sf_dir, "embeddings")
+        model = fit_pca(emb)
+        bad = spark.createDataFrame(
+            [(1, [1.0] * 32), (2, [1.0] * 64)],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1)
+        with pytest.raises((PythonException, Py4JJavaError)):
+            update_pca(bad, model)
+
     def test_update_never_rereads_the_fitted_corpus(self, spark, sf_dir):
         """The incremental scan must touch only the new batch: moments
         are carried in the model, so update's n grows by exactly the
