@@ -1,0 +1,157 @@
+"""UniMax-style source budget allocation for training mixtures.
+
+Given per-source token counts, a total training-token budget, and a
+repeat ceiling, UniMax (Chung et al., ICLR 2023 — public paper)
+allocates the budget by WATER-FILLING: every source is repeated up to
+``max_epochs`` times, small sources cap out at their ceiling, and the
+remaining budget is split evenly across the sources still unfilled.
+This replaces ad-hoc temperature sampling with an allocation that (a)
+never over-repeats a small source past the ceiling and (b) gives
+every large source the same token count — the fairness property the
+paper demonstrates for multilingual pretraining, equally applicable
+to any source/domain axis.
+
+Exact integer spec (cross-engine determinism — the same discipline as
+DSIR's micro-units): order sources by (token_count, source) ascending;
+source ``i`` (1-based, ``n`` sources, prefix token sum ``P``) is
+CAPPED iff
+
+    max_epochs * c_i * (n - i + 1) + max_epochs * P_{i-1} <= budget
+
+(the greedy "fits under its ceiling within the current fair share"
+test; capping is monotone in ``i``, so the capped set is a prefix).
+Capped sources get exactly ``max_epochs * c_i`` tokens; the rest each
+get ``(budget - max_epochs * P_k) div (n - k)`` — integer division,
+with the sub-``(n-k)``-token remainder deliberately unallocated. All
+arithmetic is on BIGINTs, so Spark and the SQL oracle agree bit for
+bit; the only double is the derived ``epochs`` ratio of two exact
+integers (identical IEEE result on both engines).
+
+Spark shape (100 TB story): the ONLY corpus-sized work is the
+per-source token aggregation (map-side combinable). The allocation
+itself runs on the per-source relation — at most thousands of rows at
+any realistic source axis — packed into ONE array row and solved with
+JVM higher-order functions (the prefix sums are O(sources²) array
+algebra inside a single row: microseconds, no window, no extra
+shuffle). A global ``Window.orderBy`` would hit the repo's banned
+single-partition WindowExec for no benefit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def source_token_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_tokens) per source — the corpus-sized pass
+    feeding :func:`unimax_budgets`. Whitespace token counts, matching
+    the corpus-stats family."""
+    return df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def unimax_budgets(
+    per_source: DataFrame,
+    max_epochs: int = 4,
+    budget_tokens: int | None = None,
+    budget_frac_pct: int | None = None,
+) -> DataFrame:
+    """UniMax water-filling over a (source, n_docs, n_tokens) relation
+    → one row per source with
+
+    - ``capped``: whether the source hit its ``max_epochs`` ceiling,
+    - ``alloc_tokens``: its exact integer token allocation,
+    - ``epochs``: ``alloc_tokens / n_tokens`` (≤ ``max_epochs``).
+
+    The budget is ``budget_tokens`` if given, else
+    ``(budget_frac_pct * total) div 100`` (integer percent of the
+    corpus total — kept integral so both engines derive the identical
+    budget). Exactly one of the two must be provided. An empty input
+    yields an empty result."""
+    if (budget_tokens is None) == (budget_frac_pct is None):
+        raise ValueError(
+            "unimax_budgets: provide exactly one of budget_tokens / "
+            "budget_frac_pct"
+        )
+    e = F.lit(int(max_epochs)).cast("long")
+    packed = (
+        per_source.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("n_tokens").cast("long").alias("c"),
+                        F.col("source").alias("s"),
+                        F.col("n_docs").cast("long").alias("d"),
+                    )
+                )
+            ).alias("xs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total"),
+        )
+        # groupless agg on an empty input still returns one row (empty
+        # list, NULL total) — drop it so empty in → empty out
+        .where(F.size("xs") > 0)
+    )
+    n = F.size("xs")
+    cs = F.transform(F.col("xs"), lambda x: x["c"])
+    budget = (
+        F.lit(int(budget_tokens)).cast("long")
+        if budget_tokens is not None
+        else F.expr(f"(total * {int(budget_frac_pct)}L) div 100L")
+    )
+
+    def presum(i):
+        # token sum of the i smallest sources (i may be 0 → empty
+        # slice → the initial accumulator)
+        return F.aggregate(
+            F.slice(cs, F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c,
+        )
+
+    capped_arr = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (
+            e * F.element_at(cs, i) * (n - i + 1) + e * presum(i - 1)
+        )
+        <= budget,
+    )
+    # capping is monotone (a source that exceeds its fair share only
+    # looks worse to every later, larger source), so the capped set is
+    # a prefix and its size identifies it completely
+    k = F.size(F.filter(capped_arr, lambda b: b))
+    meta = packed.select(
+        "xs",
+        n.alias("n"),
+        k.alias("k"),
+        budget.alias("b"),
+        (e * presum(k)).alias("p_k"),
+    ).withColumn(
+        "share",
+        F.when(
+            F.col("n") > F.col("k"),
+            F.expr("(b - p_k) div (n - k)"),
+        ).cast("long"),
+    )
+    x = F.col("x")
+    alloc = F.when(F.col("i0") < F.col("k"), e * x["c"]).otherwise(
+        F.col("share")
+    )
+    return meta.select(
+        "n", "k", "share", F.posexplode("xs").alias("i0", "x")
+    ).select(
+        x["s"].alias("source"),
+        x["d"].alias("n_docs"),
+        x["c"].alias("n_tokens"),
+        (F.col("i0") < F.col("k")).alias("capped"),
+        alloc.alias("alloc_tokens"),
+        (alloc.cast("double") / x["c"]).alias("epochs"),
+    )

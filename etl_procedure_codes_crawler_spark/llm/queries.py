@@ -20,6 +20,7 @@ from . import dsir as DS
 from . import fingerprint as FP
 from . import multimodal as M
 from . import lm as LM
+from . import mixture as MX
 from . import overlap as OV
 from . import packing as PK
 from . import pca as PCA
@@ -885,6 +886,63 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_sources") * F.col("n_tokens"))
             ).alias("uniform_upweight"),
         )
+    )
+
+
+@register(
+    "unimax_source_budgets",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n
+        FROM per_source
+    ),
+    ordered AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source)
+                    AS BIGINT) AS i,
+               CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS p
+        FROM per_source
+    ),
+    flags AS (
+        SELECT o.source, o.n_docs, o.n_tokens,
+               ((t.total * 360) // 100) AS b, t.n,
+               (4 * o.n_tokens * (t.n - o.i + 1) + 4 * (o.p - o.n_tokens)
+                   <= ((t.total * 360) // 100)) AS capped
+        FROM ordered o CROSS JOIN tot t
+    ),
+    kk AS (
+        SELECT COUNT(*) FILTER (WHERE capped) AS k,
+               COALESCE(SUM(n_tokens) FILTER (WHERE capped), 0) AS ck
+        FROM flags
+    )
+    SELECT f.source, f.n_docs, f.n_tokens, f.capped,
+           CAST(CASE WHEN f.capped THEN 4 * f.n_tokens
+                     ELSE (f.b - 4 * kk.ck) // (f.n - kk.k) END
+                AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN f.capped THEN 4 * f.n_tokens
+                     ELSE (f.b - 4 * kk.ck) // (f.n - kk.k) END
+                AS DOUBLE) / f.n_tokens AS epochs
+    FROM flags f CROSS JOIN kk
+    """,
+)
+def unimax_source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling (Chung et al., ICLR 2023): allocate a
+    training-token budget of 360% of the corpus total across sources
+    with a 4-epoch repeat ceiling — the mixed regime on this data,
+    where the smallest sources cap out at 4× and the rest split the
+    remaining budget evenly. Pure integer arithmetic end to end
+    (see llm/mixture.py) so the oracle matches bit for bit; the only
+    corpus-sized work is the per-source token aggregation."""
+    documents = load(spark, sf_dir, "documents")
+    return MX.unimax_budgets(
+        MX.source_token_stats(documents), max_epochs=4, budget_frac_pct=360
     )
 
 
