@@ -125,6 +125,9 @@ HEADLINE = [
     "dsir_importance_topk",
     # single-scan rollup of per-source + corpus-total HLL sketches
     "source_cardinality_hll",
+    # UniMax water-filling: one map-side-combined token aggregation,
+    # allocation solved on the metadata-sized per-source relation
+    "unimax_source_budgets",
 ]
 
 
