@@ -946,6 +946,81 @@ def unimax_source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unimax_mixture_manifest",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n
+        FROM per_source
+    ),
+    ordered AS (
+        SELECT source, n_tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source)
+                    AS BIGINT) AS i,
+               CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS p
+        FROM per_source
+    ),
+    flags AS (
+        SELECT o.source, o.n_tokens,
+               ((t.total * 360) // 100) AS b, t.n,
+               (4 * o.n_tokens * (t.n - o.i + 1) + 4 * (o.p - o.n_tokens)
+                   <= ((t.total * 360) // 100)) AS capped
+        FROM ordered o CROSS JOIN tot t
+    ),
+    kk AS (
+        SELECT COUNT(*) FILTER (WHERE capped) AS k,
+               COALESCE(SUM(n_tokens) FILTER (WHERE capped), 0) AS ck
+        FROM flags
+    ),
+    budgets AS (
+        SELECT f.source, f.n_tokens,
+               CAST(CASE WHEN f.capped THEN 4 * f.n_tokens
+                         ELSE (f.b - 4 * kk.ck) // (f.n - kk.k) END
+                    AS BIGINT) AS alloc
+        FROM flags f CROSS JOIN kk
+    ),
+    keyed AS (
+        SELECT d.doc_id, d.source,
+               ((((d.doc_id % 2147483647) + 7) % 2147483647)
+                   * 48271 % 2147483647) * 48271 % 2147483647 AS key,
+               (b.alloc // b.n_tokens) AS whole,
+               CAST(FLOOR(CAST(b.alloc % b.n_tokens AS DOUBLE)
+                    * 2147483647.0 / CAST(b.n_tokens AS DOUBLE))
+                    AS BIGINT) AS thr
+        FROM documents d JOIN budgets b USING (source)
+    ),
+    copies AS (
+        SELECT doc_id, source,
+               CAST(whole + (CASE WHEN key < thr THEN 1 ELSE 0 END)
+                    AS INT) AS n_copies
+        FROM keyed
+    )
+    SELECT doc_id, source, n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+    FROM copies WHERE n_copies > 0
+    """,
+)
+def unimax_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation MATERIALIZED: every document appears its
+    source's whole-epoch count, plus one more copy for the Lehmer-
+    keyed doc subset sized to the fractional epoch — the manifest a
+    shard writer would consume. Broadcast budget join + map-side key
+    + bounded explode; the only shuffles are the allocation's own
+    per-source aggregation (see llm/mixture.unimax_manifest)."""
+    documents = load(spark, sf_dir, "documents")
+    budgets = MX.unimax_budgets(
+        MX.source_token_stats(documents), max_epochs=4, budget_frac_pct=360
+    )
+    return MX.unimax_manifest(documents, budgets, seed=7)
+
+
 @register("minhash_near_dup_pairs")  # LSH: rows-only (probabilistic recall)
 def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")
