@@ -128,6 +128,9 @@ HEADLINE = [
     # UniMax water-filling: one map-side-combined token aggregation,
     # allocation solved on the metadata-sized per-source relation
     "unimax_source_budgets",
+    # exact duplicate-span extraction: capped gram self-join +
+    # diagonal-island coalescing (the Lee-et-al substring dedup shape)
+    "duplicate_spans_documents",
 ]
 
 

@@ -240,6 +240,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    max_gram_freq: int = 64,
+) -> DataFrame:
+    """Maximal exact duplicate token spans across documents — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", public paper) re-expressed
+    relationally instead of with a suffix array: every maximal run of
+    ``>= min_len`` consecutive tokens shared VERBATIM between two
+    documents, with its start position in both. One row per
+    ``(doc_a, doc_b, a_start, b_start, span_tokens)``, ``doc_a <
+    doc_b``. Complements the winnowing family (which SAMPLES
+    fingerprints under a detection guarantee) with exact positions and
+    exact maximal lengths — what a span-REMOVAL pass needs.
+
+    Relational shape: explode each doc into its ``min_len``-token
+    grams with positions (one row per token — the shingle families'
+    cardinality), self-join on the gram STRING (exact; no hash, no
+    collisions), then coalesce matches into maximal spans by DIAGONAL
+    ISLANDS: matches of one doc pair on one diagonal (``pos_a -
+    pos_b`` constant) with consecutive ``pos_a`` are one span of
+    ``run + min_len - 1`` tokens. The island window is partitioned by
+    (doc_a, doc_b, diag) — bounded by document length, never global.
+
+    ``max_gram_freq`` caps a gram's posting list before the join —
+    the same quadratic-bomb guard as :func:`ngram_jaccard_pairs` (a
+    boilerplate sentence in m docs emits m² rows); spans made solely
+    of over-cap boilerplate grams are not reported, and the count
+    rides the repartition the join needs anyway. At 100 TB this is
+    the verify/extract stage after LSH candidate generation, not the
+    all-corpus candidate generator."""
+    base = (
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        .where(F.size("t") >= min_len)
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - min_len + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, min_len)),
+            )
+        ).alias("i0", "g"),
+    ).select("id", (F.col("i0") + 1).cast("long").alias("pos"), "g")
+    # one exchange on the gram feeds the cap window AND both join
+    # sides (ReuseExchange); explicit count exempts it from AQE
+    # coalescing — the join's OUTPUT is quadratic per gram while its
+    # input is small (same rationale as ngram_jaccard_pairs)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    grams = grams.repartition(max(parallelism, 16), "g")
+    grams = (
+        grams.withColumn(
+            "_pf", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .where(F.col("_pf") <= max_gram_freq)
+        .drop("_pf")
+    )
+    a = grams.select(
+        F.col("id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    b = grams.select(
+        F.col("id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    m = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "_isl")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.count(F.lit(1)) + min_len - 1).alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (scale path)
 # ---------------------------------------------------------------------------

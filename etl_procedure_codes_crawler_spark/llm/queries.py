@@ -660,6 +660,55 @@ def ngram_jaccard_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(documents, threshold=0.05, max_doc_freq=50)
 
 
+@register(
+    "duplicate_spans_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    positions AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 7)) AS pos
+        FROM toks WHERE len(t) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(t[pos:pos+7], ' ') AS g
+        FROM positions
+    ),
+    keep AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT *, pos_a - ROW_NUMBER() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+        ) AS island
+        FROM m
+    )
+    SELECT doc_a, doc_b,
+           MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    """,
+)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring extraction (Lee et al. 2022): every
+    maximal run of >= 8 consecutive tokens shared verbatim between two
+    documents, with start positions in both — the positions a span-
+    removal pass needs, exact where winnowing samples. Gram self-join
+    capped at 64 postings per gram + diagonal-island coalescing (see
+    llm/dedup.duplicate_spans)."""
+    documents = load(spark, sf_dir, "documents")
+    return D.duplicate_spans(documents, min_len=8, max_gram_freq=64)
+
+
 #: the shingle list WITHOUT dedup (duplicate shingles are the signal
 #: for repetition metrics) — DuckDB spelling of llm/dedup.shingles_column
 _SQL_ALL_SHINGLES = f"""CASE WHEN len(t) >= 3 THEN

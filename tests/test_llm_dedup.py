@@ -260,3 +260,58 @@ def test_pii_redact_transform(spark):
     assert got[1] == "mail me at [EMAIL] or [IP] ok"
     assert got[2] == "card [NUM] twice [NUM]"
     assert got[3] == "nothing sensitive here"
+
+
+class TestDuplicateSpans:
+    def _spans(self, spark, rows, min_len=3, cap=64):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return sorted(
+            map(
+                tuple,
+                D.duplicate_spans(
+                    df, min_len=min_len, max_gram_freq=cap
+                ).collect(),
+            )
+        )
+
+    def test_single_maximal_span_with_positions(self, spark):
+        # docs share "c d e f g" (5 tokens) at positions 3 and 1
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "c d e f g x y z"),
+        ]
+        assert self._spans(spark, rows, min_len=3) == [(1, 2, 3, 1, 5)]
+
+    def test_two_separate_runs_are_two_spans(self, spark):
+        # shared: "p q r" at (1,1) and "x y z" at (5,4) — distinct
+        # diagonals, so two spans even though both are 3 tokens
+        rows = [
+            (1, "p q r m n x y z"),
+            (2, "p q r o x y z"),
+        ]
+        got = self._spans(spark, rows, min_len=3)
+        assert got == [(1, 2, 1, 1, 3), (1, 2, 6, 5, 3)]
+
+    def test_run_shorter_than_min_len_not_reported(self, spark):
+        rows = [(1, "a b c d"), (2, "a b x y")]
+        assert self._spans(spark, rows, min_len=3) == []
+
+    def test_maximality_no_sub_spans(self, spark):
+        # a 6-token shared run must yield ONE span of 6, not the four
+        # constituent 3-gram matches
+        rows = [(1, "u v w x y z"), (2, "u v w x y z")]
+        assert self._spans(spark, rows, min_len=3) == [(1, 2, 1, 1, 6)]
+
+    def test_gram_freq_cap_drops_boilerplate(self, spark):
+        # the same 3 tokens in 10 docs → posting list 10 > cap 8 →
+        # nothing reported; under a generous cap all 45 pairs appear
+        rows = [(i, "same old line") for i in range(10)]
+        assert self._spans(spark, rows, min_len=3, cap=8) == []
+        assert len(self._spans(spark, rows, min_len=3, cap=64)) == 45
+
+    def test_repeated_gram_within_doc_keeps_diagonals_apart(self, spark):
+        # doc 1 contains the shared run twice; each occurrence aligns
+        # with doc 2's single copy on its own diagonal
+        rows = [(1, "k l m z z k l m"), (2, "k l m")]
+        got = self._spans(spark, rows, min_len=3)
+        assert got == [(1, 2, 1, 1, 3), (1, 2, 6, 1, 3)]
