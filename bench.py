@@ -128,9 +128,10 @@ HEADLINE = [
     # UniMax water-filling: one map-side-combined token aggregation,
     # allocation solved on the metadata-sized per-source relation
     "unimax_source_budgets",
-    # exact duplicate-span extraction: capped gram self-join +
-    # diagonal-island coalescing (the Lee-et-al substring dedup shape)
+    # exact duplicate-span extraction + the keep-one-copy removal pass
+    # (capped gram self-join + diagonal islands; one array filter to cut)
     "duplicate_spans_documents",
+    "remove_duplicate_spans_documents",
 ]
 
 

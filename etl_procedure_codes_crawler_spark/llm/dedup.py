@@ -331,6 +331,65 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    max_gram_freq: int = 64,
+) -> DataFrame:
+    """The removal pass :func:`duplicate_spans` exists to feed (Lee et
+    al. 2022 keep-one-copy semantics): every span duplicated from a
+    LOWER-id document is cut out of the higher-id one, so exactly one
+    copy of each duplicated run survives in the corpus. Returns
+    ``(id, text_clean, n_tokens_removed)`` for EVERY document —
+    untouched docs pass through with 0 removed (their text is
+    re-joined from tokens, so whitespace is normalized corpus-wide,
+    keeping the output deterministic rather than mixed-format).
+
+    Spark shape: spans explode into per-doc doomed POSITION sets
+    (bounded by document length — overlapping spans union away in the
+    set), which join back on the id hash; the cut itself is one JVM
+    array ``filter`` with a positional lambda — the corpus is never
+    exploded per token. The per-doc membership test is linear in the
+    doomed set (``array_contains``), fine at realistic span densities;
+    a pathological everything-duplicated doc costs O(len²) for that
+    doc alone."""
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col, id_col, min_len=min_len, max_gram_freq=max_gram_freq
+        )
+    doomed = (
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("span_tokens") - 1,
+                )
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_doomed"))
+    )
+    toks = tokens(text_col)
+    d = F.coalesce(F.col("_doomed"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        toks, lambda t, i: ~F.array_contains(d, (i + 1).cast("long"))
+    )
+    return (
+        df.join(doomed, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("text_clean"),
+            (F.size(toks) - F.size(kept)).cast("long").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (scale path)
 # ---------------------------------------------------------------------------

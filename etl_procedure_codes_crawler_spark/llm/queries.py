@@ -709,6 +709,77 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(documents, min_len=8, max_gram_freq=64)
 
 
+@register(
+    "remove_duplicate_spans_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    positions AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 7)) AS pos
+        FROM toks WHERE len(t) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(t[pos:pos+7], ' ') AS g
+        FROM positions
+    ),
+    keep AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT *, pos_a - ROW_NUMBER() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+        ) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_b, MIN(pos_b) AS b_start,
+               CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+    ),
+    doomed AS (
+        SELECT doc_b AS doc_id,
+               unnest(generate_series(b_start, b_start + span_tokens - 1))
+                   AS p
+        FROM spans
+    ),
+    dsets AS (
+        SELECT doc_id, list(DISTINCT p) AS dl FROM doomed GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           -- COALESCE: array_to_string of an EMPTY list is NULL in
+           -- DuckDB, while Spark's concat_ws gives '' — a fully
+           -- duplicated doc must compare equal across engines
+           COALESCE(array_to_string(
+               [tk.t[i] for i in generate_series(1, len(tk.t))
+                if NOT list_contains(COALESCE(ds.dl, []), i)], ' '), '')
+               AS text_clean,
+           CAST(len(tk.t)
+                - len([i for i in generate_series(1, len(tk.t))
+                       if NOT list_contains(COALESCE(ds.dl, []), i)])
+                AS BIGINT) AS n_tokens_removed
+    FROM toks tk LEFT JOIN dsets ds USING (doc_id)
+    """,
+)
+def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REMOVAL pass: every >= 8-token run duplicated from a
+    lower-id document is cut from the higher-id one (keep-one-copy,
+    Lee et al. 2022); text is re-joined from surviving tokens. One
+    JVM array filter per document — the corpus is never exploded per
+    token (see llm/dedup.remove_duplicate_spans)."""
+    documents = load(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(documents, min_len=8, max_gram_freq=64)
+
+
 #: the shingle list WITHOUT dedup (duplicate shingles are the signal
 #: for repetition metrics) — DuckDB spelling of llm/dedup.shingles_column
 _SQL_ALL_SHINGLES = f"""CASE WHEN len(t) >= 3 THEN

@@ -315,3 +315,53 @@ class TestDuplicateSpans:
         rows = [(1, "k l m z z k l m"), (2, "k l m")]
         got = self._spans(spark, rows, min_len=3)
         assert got == [(1, 2, 1, 1, 3), (1, 2, 6, 1, 3)]
+
+
+class TestRemoveDuplicateSpans:
+    def _clean(self, spark, rows, min_len=3, cap=64):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r.doc_id: (r.text_clean, r.n_tokens_removed)
+            for r in D.remove_duplicate_spans(
+                df, min_len=min_len, max_gram_freq=cap
+            ).collect()
+        }
+
+    def test_higher_id_loses_the_span_lower_keeps_it(self, spark):
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "c d e f g x y z"),
+        ]
+        got = self._clean(spark, rows, min_len=3)
+        assert got[1] == ("a b c d e f g h", 0)
+        assert got[2] == ("x y z", 5)
+
+    def test_overlapping_spans_union_not_double_count(self, spark):
+        # doc 3 duplicates from BOTH 1 and 2; overlapping doomed
+        # positions must be removed once
+        rows = [
+            (1, "a b c d e"),
+            (2, "c d e f g"),
+            (3, "a b c d e f g"),
+        ]
+        got = self._clean(spark, rows, min_len=3)
+        assert got[3] == ("", 7)
+        # doc 2 also shares "c d e" with doc 1
+        assert got[2] == ("f g", 3)
+        assert got[1] == ("a b c d e", 0)
+
+    def test_untouched_docs_pass_through_token_normalized(self, spark):
+        rows = [(1, "  lone   doc  here "), (2, "another one entirely")]
+        got = self._clean(spark, rows, min_len=3)
+        assert got[1] == ("lone doc here", 0)
+        assert got[2] == ("another one entirely", 0)
+
+    def test_precomputed_spans_accepted(self, spark):
+        rows = [(1, "a b c d"), (2, "a b c d")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        spans = D.duplicate_spans(df, min_len=3)
+        got = {
+            r.doc_id: (r.text_clean, r.n_tokens_removed)
+            for r in D.remove_duplicate_spans(df, spans=spans).collect()
+        }
+        assert got == {1: ("a b c d", 0), 2: ("", 4)}
