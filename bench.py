@@ -132,6 +132,9 @@ HEADLINE = [
     # (capped gram self-join + diagonal islands; one array filter to cut)
     "duplicate_spans_documents",
     "remove_duplicate_spans_documents",
+    # the span family's scale shape: LSH candidates -> pair-scoped
+    # extraction (key joins only, no posting-list self-join)
+    "duplicate_spans_lsh_scoped",
 ]
 
 

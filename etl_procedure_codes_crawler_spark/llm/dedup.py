@@ -274,20 +274,7 @@ def duplicate_spans(
     rides the repartition the join needs anyway. At 100 TB this is
     the verify/extract stage after LSH candidate generation, not the
     all-corpus candidate generator."""
-    base = (
-        spread_small_input(df)
-        .select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
-        .where(F.size("t") >= min_len)
-    )
-    grams = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - min_len + 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, min_len)),
-            )
-        ).alias("i0", "g"),
-    ).select("id", (F.col("i0") + 1).cast("long").alias("pos"), "g")
+    grams = _positioned_grams(df, text_col, id_col, min_len)
     # one exchange on the gram feeds the cap window AND both join
     # sides (ReuseExchange); explicit count exempts it from AQE
     # coalescing — the join's OUTPUT is quadratic per gram while its
@@ -318,6 +305,36 @@ def duplicate_spans(
             (F.col("pos_a") - F.col("pos_b")).alias("diag"),
         )
     )
+    return _spans_from_matches(m, min_len)
+
+
+def _positioned_grams(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, g): every doc's ``min_len``-token grams with their
+    1-based start positions — one row per token, the shingle
+    families' cardinality."""
+    base = (
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        .where(F.size("t") >= min_len)
+    )
+    return base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - min_len + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, min_len)),
+            )
+        ).alias("i0", "g"),
+    ).select("id", (F.col("i0") + 1).cast("long").alias("pos"), "g")
+
+
+def _spans_from_matches(m: DataFrame, min_len: int) -> DataFrame:
+    """Diagonal-island coalescing: gram matches of one doc pair on one
+    diagonal with consecutive ``pos_a`` are one maximal span of
+    ``run + min_len - 1`` tokens. The window is partitioned by
+    (doc_a, doc_b, diag) — bounded by document length, never global."""
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     return (
         m.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
@@ -329,6 +346,59 @@ def duplicate_spans(
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+
+
+def duplicate_spans_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """The 100 TB path for :func:`duplicate_spans`: extract maximal
+    shared spans ONLY for the given candidate ``pairs`` (doc_a, doc_b)
+    — e.g. from :func:`minhash_lsh_candidate_pairs` — instead of the
+    all-corpus posting-list self-join. Given every pair, the result
+    equals :func:`duplicate_spans` without its posting cap (pinned in
+    tests); given LSH candidates, recall is the LSH recall.
+
+    Shuffle shape: grams route THROUGH the pair relation — one hash
+    join on doc id attaches each candidate pair to its a-side grams,
+    one equi-join on (doc_b, g) finds the matching b-side positions.
+    Both are key joins sized by |pairs| × grams-per-doc; no posting
+    list is ever self-joined, so a boilerplate gram shared by a
+    million docs costs nothing unless LSH actually paired those docs
+    (the reason the cap parameter does not exist here)."""
+    grams = _positioned_grams(df, text_col, id_col, min_len)
+    a0 = F.col("doc_a").cast("long")
+    b0 = F.col("doc_b").cast("long")
+    p = (
+        # normalize orientation (doc_a < doc_b) so reversed candidate
+        # pairs neither vanish nor report mirrored positions
+        pairs.select(
+            F.least(a0, b0).alias("doc_a"), F.greatest(a0, b0).alias("doc_b")
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ga = grams.select(
+        F.col("id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    gb = grams.select(
+        F.col("id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    m = (
+        p.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    return _spans_from_matches(m, min_len)
 
 
 def remove_duplicate_spans(

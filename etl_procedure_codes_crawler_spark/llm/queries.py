@@ -780,6 +780,19 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return D.remove_duplicate_spans(documents, min_len=8, max_gram_freq=64)
 
 
+@register("duplicate_spans_lsh_scoped")  # rows-only (LSH recall)
+def duplicate_spans_lsh_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span family's 100 TB shape: MinHash-LSH candidate pairs
+    first, exact span extraction ONLY for those pairs — grams route
+    through the pair relation as key joins, no posting-list self-join
+    anywhere (see llm/dedup.duplicate_spans_for_pairs). Rows-only:
+    LSH recall is probabilistic; subset-of-full + recall floor are
+    pinned in tests/test_llm_dedup.py."""
+    documents = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidate_pairs(documents)
+    return D.duplicate_spans_for_pairs(documents, pairs, min_len=8)
+
+
 #: the shingle list WITHOUT dedup (duplicate shingles are the signal
 #: for repetition metrics) — DuckDB spelling of llm/dedup.shingles_column
 _SQL_ALL_SHINGLES = f"""CASE WHEN len(t) >= 3 THEN

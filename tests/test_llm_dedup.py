@@ -365,3 +365,56 @@ class TestRemoveDuplicateSpans:
             for r in D.remove_duplicate_spans(df, spans=spans).collect()
         }
         assert got == {1: ("a b c d", 0), 2: ("", 4)}
+
+
+class TestDuplicateSpansForPairs:
+    def test_all_pairs_reproduces_full_result(self, spark, sf_dir):
+        """Fed every doc pair, the pair-scoped path must equal the
+        posting-list path without its cap — same spans, same
+        positions."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        full = D.duplicate_spans(
+            docs, min_len=8, max_gram_freq=10**9
+        ).collect()
+        all_pairs = (
+            D.duplicate_spans(docs, min_len=8, max_gram_freq=10**9)
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        scoped = D.duplicate_spans_for_pairs(
+            docs, all_pairs, min_len=8
+        ).collect()
+        assert sorted(map(tuple, scoped)) == sorted(map(tuple, full))
+
+    def test_reversed_pairs_normalize(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")],
+            "doc_id bigint, text string",
+        )
+        rev = spark.createDataFrame([(2, 1)], "doc_a bigint, doc_b bigint")
+        got = D.duplicate_spans_for_pairs(df, rev, min_len=3).collect()
+        assert [tuple(r) for r in got] == [(1, 2, 1, 1, 5)]
+
+    def test_lsh_scoped_is_subset_with_recall(self, spark, sf_dir):
+        import etl_procedure_codes_crawler_spark.llm.queries  # noqa: F401
+        from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+        full = {
+            tuple(r)
+            for r in QUERIES["duplicate_spans_documents"](
+                spark, sf_dir
+            ).collect()
+        }
+        scoped = {
+            tuple(r)
+            for r in QUERIES["duplicate_spans_lsh_scoped"](
+                spark, sf_dir
+            ).collect()
+        }
+        # scoped may additionally see spans the full path's gram cap
+        # suppressed; restrict the subset check to capped-visible pairs
+        full_pairs = {(a, b) for a, b, *_ in full}
+        assert {s for s in scoped if (s[0], s[1]) in full_pairs} <= full
+        if full:
+            recall = len(scoped & full) / len(full)
+            assert recall >= 0.5, f"LSH-scoped span recall {recall:.2f}"
