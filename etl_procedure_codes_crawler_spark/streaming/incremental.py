@@ -167,6 +167,7 @@ def stream_ingest_with_neardup(
     metrics_path: str | None = None,
     quality_model: dict | None = None,
     quality_cutoff: float = 0.0,
+    version_each_batch: bool = False,
 ):
     """The full corpus ingest gate as one continuous pipeline: each
     arriving batch is (1) id-deduped against the warehouse (replay
@@ -222,6 +223,12 @@ def stream_ingest_with_neardup(
     stage adds no shuffle; rejects show as ``n_quality_rejected``.
     Like every other gate stage it only ever REMOVES batch docs, so
     crash replay and store reconciliation are unchanged.
+
+    With ``version_each_batch`` set, every batch that appends rows
+    also commits a warehouse version (:mod:`..sinks.versions`, note
+    ``"ingest batch <id>"``) — training runs can pin "the corpus as
+    of batch N" and time-travel across ingest history for free
+    (manifests are metadata-only).
 
     Build the store first (``neardup_store.build_minhash_store`` — an
     empty corpus is fine). Crash semantics: the id anti-join makes a
@@ -398,6 +405,24 @@ def stream_ingest_with_neardup(
                 accepted.write.mode("append").option(
                     "compression", "snappy"
                 ).parquet(warehouse_path)
+                if version_each_batch:
+                    # stamp the warehouse AS OF this batch — a training
+                    # run can pin "the corpus after ingest batch N"
+                    # (sinks.versions manifests are metadata-only and
+                    # live in a SIBLING directory the stream never
+                    # reads). Committed right after the append so the
+                    # version exists even if the store append below
+                    # crashes; a crash BETWEEN append and commit loses
+                    # only this batch's version stamp (the data is safe
+                    # and the replay no-ops), visible as a gap in the
+                    # version notes.
+                    from ..sinks.versions import commit_version
+
+                    commit_version(
+                        spark,
+                        warehouse_path,
+                        note=f"ingest batch {int(batch_id)}",
+                    )
                 # sign the newly accepted docs; a crash between the
                 # two writes above is healed by the reconciliation at
                 # the TOP of the next replay
