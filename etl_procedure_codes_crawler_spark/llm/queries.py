@@ -3268,6 +3268,15 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v1_rows, v2_rows = rv1.count(), rv2.count()
         live_rows, first_rows = live.count(), first.count()
+        # incremental leg: the v1->v2 delta must be EXACTLY the second
+        # batch (file-set diff == row diff under append-only writes),
+        # planned over only the appended files
+        delta = V.diff_versions(spark, wh, v1, v2)
+        diff_ok = (
+            sorted(delta.columns) == live_cols
+            and {r.doc_id for r in delta.select("doc_id").collect()}
+            == {r.doc_id for r in second.select("doc_id").collect()}
+        )
         # the takedown leg: doom two SECOND-batch docs — only the
         # appended files are rewritten, so v1 survives and v2 expires
         doomed = spark.createDataFrame(
@@ -3287,12 +3296,14 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 live_rows,
                 first_rows,
                 bool(schema_ok),
+                bool(diff_ok),
                 bool(v1_survives and status[v1]["readable"]),
                 bool(not status[v2]["readable"] and "forget" in expired_by),
             )],
             "v1 bigint, v1_rows bigint, v2 bigint, v2_rows bigint, "
             "live_rows bigint, expected_v1_rows bigint, "
             "schema_matches_live boolean, "
+            "diff_equals_appended_batch boolean, "
             "v1_survives_pruned_takedown boolean, "
             "v2_expired_by_forget boolean",
         ).localCheckpoint()

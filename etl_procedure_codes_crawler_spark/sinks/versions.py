@@ -240,6 +240,73 @@ def commit_version(spark: SparkSession, path: str, note: str = "") -> int:
     return version
 
 
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The rows appended between two committed versions — the
+    INCREMENTAL read a training pipeline wants ("what landed since
+    version N"): under this engine's append-only write discipline the
+    manifest FILE-set difference IS the row difference, so the delta
+    read plans over exactly the new files — no anti-join, no data
+    compare, metadata-only planning no matter how big the warehouse.
+
+    ``to_version`` defaults to the latest commit. Raises loudly when:
+    ``from_version`` does not precede ``to_version``; a file of
+    ``from_version`` is absent from ``to_version``'s manifest (a
+    rewrite — compaction/forget — happened between the commits, so
+    the file diff is no longer the row diff); or a delta file has
+    since been rewritten away (same expiry attribution as
+    :func:`read_version`). An empty delta returns an empty DataFrame
+    with the dataset's schema."""
+    versions = list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no committed versions under {path}")
+    if to_version is None:
+        to_version = versions[-1]
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    if from_version >= to_version:
+        raise ValueError(
+            f"diff_versions: from_version {from_version} must precede "
+            f"to_version {to_version}"
+        )
+    fs, hpath = hadoop_fs(spark, path)
+    vdir = _versions_dir(path)
+    man_from = _read_json(fs, hpath, f"{vdir}/v{from_version}.json")
+    man_to = _read_json(fs, hpath, f"{vdir}/v{to_version}.json")
+    from_files = set(man_from["files"])
+    vanished = [f for f in from_files if f not in set(man_to["files"])]
+    if vanished:
+        raise ValueError(
+            f"diff_versions: {len(vanished)} files of v{from_version} are "
+            f"not in v{to_version}'s manifest — a rewrite (compaction/"
+            "forget) happened between the commits, so the file diff no "
+            f"longer equals the row diff; first: {vanished[0]}"
+        )
+    delta = [f for f in man_to["files"] if f not in from_files]
+    if not delta:
+        return read_version(spark, path, to_version).limit(0)
+    current = set(_data_files(fs, hpath, path))
+    missing = [f for f in delta if f not in current]
+    if missing:
+        records = _rewrite_records(fs, hpath, path)
+        for rec in records:
+            rec["_fileset"] = set(rec["files"])
+        raise ValueError(
+            f"diff v{from_version}->v{to_version} expired: {len(missing)} "
+            f"of {len(delta)} delta files were rewritten since the commit "
+            f"by {_expired_by(records, missing)} — first missing: "
+            f"{missing[0]}"
+        )
+    return (
+        spark.read.option("basePath", path.rstrip("/")).parquet(*delta)
+    )
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

@@ -250,3 +250,107 @@ def test_interrupted_commit_leaves_no_visible_version(spark, tmp_path):
     assert V.read_version(spark, path).count() == 3  # latest = intact v1
     assert V.commit_version(spark, path) == 2  # tmp cleared, commit lands
     assert V.read_version(spark, path, 2).count() == 3
+
+
+class TestDiffVersions:
+    def _setup(self, spark, tmp_path, partitioned=False):
+        from etl_procedure_codes_crawler_spark.sinks.versions import (
+            commit_version,
+        )
+
+        wh = str(tmp_path / "wh")
+        first = spark.createDataFrame(
+            [(i, f"t{i}", i % 2) for i in range(20)],
+            "doc_id bigint, text string, part bigint",
+        )
+        second = spark.createDataFrame(
+            [(i, f"t{i}", i % 2) for i in range(20, 35)],
+            "doc_id bigint, text string, part bigint",
+        )
+        w1 = first.write
+        w2 = second.write.mode("append")
+        if partitioned:
+            w1, w2 = w1.partitionBy("part"), w2.partitionBy("part")
+        w1.parquet(wh)
+        v1 = commit_version(spark, wh, note="first")
+        w2.parquet(wh)
+        v2 = commit_version(spark, wh, note="second")
+        return wh, v1, v2
+
+    def test_delta_is_exactly_the_appended_batch(self, spark, tmp_path):
+        from etl_procedure_codes_crawler_spark.sinks.versions import (
+            diff_versions,
+        )
+
+        wh, v1, v2 = self._setup(spark, tmp_path)
+        delta = diff_versions(spark, wh, v1, v2)
+        assert {r.doc_id for r in delta.collect()} == set(range(20, 35))
+
+    def test_partitioned_delta_keeps_partition_column(self, spark, tmp_path):
+        from etl_procedure_codes_crawler_spark.sinks.versions import (
+            diff_versions,
+        )
+
+        wh, v1, v2 = self._setup(spark, tmp_path, partitioned=True)
+        delta = diff_versions(spark, wh, v1)  # to_version defaults latest
+        assert "part" in delta.columns
+        got = {(r.doc_id, r.part) for r in delta.collect()}
+        assert got == {(i, i % 2) for i in range(20, 35)}
+
+    def test_from_must_precede_to(self, spark, tmp_path):
+        import pytest
+
+        from etl_procedure_codes_crawler_spark.sinks.versions import (
+            diff_versions,
+        )
+
+        wh, v1, v2 = self._setup(spark, tmp_path)
+        with pytest.raises(ValueError, match="must precede"):
+            diff_versions(spark, wh, v2, v1)
+        with pytest.raises(ValueError, match="must precede"):
+            diff_versions(spark, wh, v1, v1)
+
+    def test_rewrite_between_commits_raises(self, spark, tmp_path):
+        """A forget between the two commits rewrites v1 files — the
+        file diff no longer equals the row diff, so diff must refuse
+        rather than return wrong rows."""
+        import pytest
+
+        from etl_procedure_codes_crawler_spark.llm.forget import (
+            forget_documents,
+        )
+        from etl_procedure_codes_crawler_spark.sinks.versions import (
+            commit_version,
+            diff_versions,
+        )
+
+        wh, v1, v2 = self._setup(spark, tmp_path)
+        forget_documents(
+            spark.createDataFrame([(0,), (1,)], "doc_id bigint"),
+            warehouse_path=wh,
+        )
+        v3 = commit_version(spark, wh, note="post-takedown")
+        with pytest.raises(ValueError, match="no longer equals the row diff"):
+            diff_versions(spark, wh, v1, v3)
+
+    def test_expired_delta_names_the_rewrite(self, spark, tmp_path):
+        """Delta files rewritten away AFTER the commits → loud expiry
+        with the takedown named, like read_version."""
+        import pytest
+
+        from etl_procedure_codes_crawler_spark.llm.forget import (
+            forget_documents,
+        )
+        from etl_procedure_codes_crawler_spark.sinks.versions import (
+            diff_versions,
+        )
+
+        wh, v1, v2 = self._setup(spark, tmp_path)
+        # doom second-batch docs only: v1 files stay byte-identical,
+        # some delta files get rewritten
+        forget_documents(
+            spark.createDataFrame([(25,), (30,)], "doc_id bigint"),
+            warehouse_path=wh,
+        )
+        with pytest.raises(ValueError, match="forget"):
+            diff_versions(spark, wh, v1, v2)
