@@ -3449,6 +3449,7 @@ ROWS_ONLY = {
     "source_overlap_minhash",
     "dsir_resample_documents",
     "source_cardinality_hll",
+    "duplicate_spans_lsh_scoped",
     "user_value_trends_grouped_map",
     "multimodal_feature_stats",
     "approx_distinct_users",
