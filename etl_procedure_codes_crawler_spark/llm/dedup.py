@@ -448,14 +448,20 @@ def remove_duplicate_spans(
     kept = F.filter(
         toks, lambda t, i: ~F.array_contains(d, (i + 1).cast("long"))
     )
+    null_text = F.col(text_col).isNull()
     return (
         df.join(doomed, id_col, "left")
         .select(
             id_col,
-            F.concat_ws(" ", kept).alias("text_clean"),
-            (F.size(toks) - F.size(kept)).cast("long").alias(
-                "n_tokens_removed"
-            ),
+            # NULL text stays NULL (concat_ws would fabricate '') and
+            # removes nothing — unscoreable rows pass through intact
+            F.when(null_text, F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias("text_clean"),
+            F.when(null_text, F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .cast("long")
+            .alias("n_tokens_removed"),
         )
     )
 

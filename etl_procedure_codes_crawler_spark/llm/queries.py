@@ -758,15 +758,18 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tk.doc_id,
            -- COALESCE: array_to_string of an EMPTY list is NULL in
            -- DuckDB, while Spark's concat_ws gives '' — a fully
-           -- duplicated doc must compare equal across engines
-           COALESCE(array_to_string(
-               [tk.t[i] for i in generate_series(1, len(tk.t))
-                if NOT list_contains(COALESCE(ds.dl, []), i)], ' '), '')
-               AS text_clean,
-           CAST(len(tk.t)
-                - len([i for i in generate_series(1, len(tk.t))
-                       if NOT list_contains(COALESCE(ds.dl, []), i)])
-                AS BIGINT) AS n_tokens_removed
+           -- duplicated doc must compare equal across engines. NULL
+           -- text stays NULL with 0 removed on both sides.
+           CASE WHEN tk.t IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(
+                    [tk.t[i] for i in generate_series(1, len(tk.t))
+                     if NOT list_contains(COALESCE(ds.dl, []), i)], ' '),
+                    '') END AS text_clean,
+           CAST(CASE WHEN tk.t IS NULL THEN 0
+                ELSE len(tk.t)
+                     - len([i for i in generate_series(1, len(tk.t))
+                            if NOT list_contains(COALESCE(ds.dl, []), i)])
+                END AS BIGINT) AS n_tokens_removed
     FROM toks tk LEFT JOIN dsets ds USING (doc_id)
     """,
 )

@@ -366,6 +366,13 @@ class TestRemoveDuplicateSpans:
         }
         assert got == {1: ("a b c d", 0), 2: ("", 4)}
 
+    def test_null_text_passes_through_as_null(self, spark):
+        rows = [(1, None), (2, "a b c d"), (3, "a b c d")]
+        got = self._clean(spark, rows, min_len=3)
+        assert got[1] == (None, 0)
+        assert got[2] == ("a b c d", 0)
+        assert got[3] == ("", 4)
+
 
 class TestDuplicateSpansForPairs:
     def test_all_pairs_reproduces_full_result(self, spark, sf_dir):
