@@ -47,6 +47,103 @@ DEFAULT_MODEL = {
 FEATURE_ORDER = ("len_sat", "ttr", "avg_token_len", "stop_ratio")
 
 
+#: the 8 "must contain ≥2 of these" words from the Gopher rule battery
+#: (Rae et al. 2021, appendix A1.1 — public paper)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, A1.1) as one pure JVM
+    projection — the published hand-rule complement to the trained
+    scorer above. Per document: the raw feature values plus the final
+    ``keep`` decision (every rule must pass). No UDF, no shuffle; at
+    100 TB this is a map-only pass that rides whatever scan partition
+    layout the corpus already has.
+
+    Rules (thresholds are the paper's, except ``min_words`` which the
+    caller can drop for short-document corpora):
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_len, max_mean_len];
+    - symbol-to-word ratio ('#' chars + '...' runs) ≤ max_symbol_ratio;
+    - ≤ max_bullet_ratio of lines start with a bullet;
+    - ≤ max_ellipsis_ratio of lines end with an ellipsis;
+    - ≥ min_alpha_ratio of words contain an alphabetic character;
+    - at least min_stop_hits distinct words from GOPHER_STOPWORDS.
+
+    All ratios are single IEEE divisions of exact integer counts, so
+    the DuckDB oracle hash-matches bit-exactly.
+    """
+    text = F.col(text_col)
+    toks = T.tokens(text_col)
+    n = F.size(toks).cast("bigint")
+    mean_len = T.token_lengths_sum(toks).cast("double") / n
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n
+    )
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ellipsis_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_count + ellipsis_count).cast("double") / n
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines).cast("bigint")
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+                | F.startswith(F.ltrim(l), F.lit("*")),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_line_ratio = (
+        F.size(
+            F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+        ).cast("double")
+        / n_lines
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    ).cast("bigint")
+    keep = (
+        (n >= F.lit(int(min_words)))
+        & (n <= F.lit(int(max_words)))
+        & (mean_len >= F.lit(float(min_mean_len)))
+        & (mean_len <= F.lit(float(max_mean_len)))
+        & (symbol_ratio <= F.lit(float(max_symbol_ratio)))
+        & (bullet_ratio <= F.lit(float(max_bullet_ratio)))
+        & (ellipsis_line_ratio <= F.lit(float(max_ellipsis_ratio)))
+        & (alpha_ratio >= F.lit(float(min_alpha_ratio)))
+        & (stop_hits >= F.lit(int(min_stop_hits)))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_line_ratio.alias("ellipsis_line_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 def quality_features(text_col: str = "text") -> dict:
     """The four feature columns, shared by the scorer and any future
     trainer; token math comes from :mod:`.text` (JVM higher-order

@@ -239,6 +239,68 @@ def streaming_quality_gated_ingest(
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / len(toks)
+                   AS mean_word_len,
+               CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks) AS alpha_ratio,
+               CAST((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) / 3
+                    AS DOUBLE) / len(toks) AS symbol_ratio,
+               CAST(len(list_filter(lines,
+                        l -> starts_with(ltrim(l), '-')
+                          OR starts_with(ltrim(l), '*'))) AS DOUBLE)
+                   / len(lines) AS bullet_ratio,
+               CAST(len(list_filter(lines,
+                        l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                   / len(lines) AS ellipsis_line_ratio,
+               CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+           bullet_ratio, ellipsis_line_ratio, stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_ratio >= 0.8
+            AND stop_hits >= 1) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher hand-rule battery (Rae et al. 2021 A1.1)
+    as one map-only JVM projection — word-count bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alphabetic-word ratio, and
+    the stopword-presence rule (llm/quality.py:gopher_rules). The
+    trained-scorer complement is ``quality_model_filter``.
+
+    Gate knobs: ``min_stop_hits=1`` — the synthetic corpus vocabulary
+    contains exactly one of the paper's 8 required stopwords ("the"),
+    so the paper's ≥2 default rejects every row; at 1 the word-count
+    and stopword rules each split the corpus near its median and the
+    keep column carries real weight at every SF. The paper default
+    stays the operator's default."""
+    from . import quality as Q
+
+    documents = load(spark, sf_dir, "documents")
+    return Q.gopher_rules(documents, min_stop_hits=1)
+
+
 def _lang_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
