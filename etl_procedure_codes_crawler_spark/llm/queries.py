@@ -301,6 +301,58 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.gopher_rules(documents, min_stop_hits=1)
 
 
+@register(
+    "token_drift_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    st AS (
+        SELECT source, token, COUNT(*) AS cnt_s
+        FROM toks GROUP BY source, token
+    ),
+    tok AS (SELECT token, SUM(cnt_s) AS cnt_c FROM st GROUP BY token),
+    src AS (SELECT source, SUM(cnt_s) AS n_s FROM st GROUP BY source),
+    nc AS (SELECT SUM(cnt_c) AS n_c FROM tok),
+    j AS (
+        SELECT st.source, st.token,
+               CAST(cnt_s AS BIGINT) * CAST(n_c AS BIGINT)
+                 - CAST(cnt_c AS BIGINT) * CAST(n_s AS BIGINT) AS diff,
+               CAST(cnt_c AS BIGINT) AS cnt_c,
+               CAST(n_s AS BIGINT) AS n_s, CAST(n_c AS BIGINT) AS n_c
+        FROM st JOIN tok USING (token) JOIN src USING (source) CROSS JOIN nc
+    ),
+    ps AS (
+        SELECT source, n_s, n_c,
+               SUM(ABS(diff)) + n_s * (n_c - SUM(cnt_c)) AS abs_sum
+        FROM j GROUP BY source, n_s, n_c
+    ),
+    top AS (
+        SELECT source, token AS top_token FROM (
+            SELECT source, token,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY diff DESC, token ASC) AS rk
+            FROM j
+        ) WHERE rk = 1
+    )
+    SELECT ps.source, n_s AS n_tokens,
+           CAST(abs_sum AS DOUBLE) / CAST(2 * n_s * n_c AS DOUBLE)
+               AS tv_distance,
+           top_token
+    FROM ps JOIN top USING (source)
+    """,
+)
+def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram drift vs the corpus as exact total-variation
+    distance (llm/drift.py) — the mixture-monitoring signal, computed
+    with one corpus-sized shuffle and rational arithmetic only (no
+    libm transcendentals, so the oracle hash-matches bit-exactly)."""
+    from . import drift as DR
+
+    documents = load(spark, sf_dir, "documents")
+    return DR.token_drift_by_source(documents)
+
+
 def _lang_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
