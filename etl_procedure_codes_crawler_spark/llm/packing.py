@@ -355,9 +355,17 @@ def holdout_split(
     ``fractions`` maps split name → target fraction, in priority
     order; thresholds are cumulative integer cut-points on the key
     space. Map-side only — no shuffle, no sampling state."""
+    key = shuffle_key(F.col(id_col), seed)
+    return df.select(
+        F.col(id_col), _split_case(key, fractions).alias("split")
+    )
+
+
+def _split_case(key, fractions: dict[str, float]):
+    """Cumulative integer cut-points on the Lehmer key space as a
+    CASE column — shared by the per-doc and per-cluster splits."""
     if abs(sum(fractions.values()) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {fractions}")
-    key = shuffle_key(F.col(id_col), seed)
     out = None
     acc = 0.0
     names = list(fractions)
@@ -366,12 +374,52 @@ def holdout_split(
         edge = F.lit(int(round(acc * _SHUFFLE_M)))
         branch = F.when(key < edge, F.lit(name))
         out = branch if out is None else out.when(key < edge, F.lit(name))
-    split = (
+    return (
         out.otherwise(F.lit(names[-1]))
         if out is not None
         else F.lit(names[-1])
     )
-    return df.select(F.col(id_col), split.alias("split"))
+
+
+def cluster_holdout_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split unit is the
+    NEAR-DUP CLUSTER, not the document — the split key is the cluster
+    representative's Lehmer key, so two (near-)identical documents can
+    never straddle train and test. That straddle is the classic eval-
+    contamination failure of per-doc hashing splits: a test document's
+    twin sits in train and the eval leaks (the reason decontamination
+    pipelines split after clustering, cf. Lee et al. 2022 §6).
+
+    ``pairs`` is any duplicate-pair edge set (exact-fingerprint stars,
+    MinHash/SimHash LSH candidates, semantic-dedup pairs). Returns
+    ``(doc_id, cluster_id, split)``.
+
+    Scale shape: connected components run over the EDGE relation
+    (llm/cluster.py — edge-sized hash-min iterations, never the
+    corpus); singleton closure is one anti-join on ids; the split
+    itself is a map-side expression on cluster_id. Unpaired docs keep
+    their own id as cluster_id, so their assignment is bit-identical
+    to :func:`holdout_split` — adding dedup information only ever
+    MOVES a duplicate's twin into its representative's split."""
+    from .cluster import duplicate_clusters
+
+    clusters = duplicate_clusters(
+        pairs, all_ids=df, id_col=id_col, src=src, dst=dst
+    )
+    key = shuffle_key(F.col("cluster_id"), seed)
+    return clusters.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        _split_case(key, fractions).alias("split"),
+    )
 
 
 def training_shuffle_incremental(

@@ -2870,6 +2870,83 @@ def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_aware_holdout",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT doc_a, doc_b
+        FROM shared
+          JOIN sizes x ON x.doc_id = doc_a
+          JOIN sizes y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    ),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM p
+        UNION ALL
+        SELECT doc_b AS x, doc_a AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    ),
+    cl AS (SELECT v AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY v),
+    keyed AS (
+        SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+               ((((cluster_id % 2147483647) + 3) % 2147483647)
+                   * 48271 % 2147483647) * 48271 % 2147483647 AS key
+        FROM cl
+    )
+    SELECT doc_id, cluster_id,
+           CASE
+               WHEN key < CAST(ROUND(0.90 * 2147483647) AS BIGINT)
+                   THEN 'train'
+               WHEN key < CAST(ROUND(0.95 * 2147483647) AS BIGINT)
+                   THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM keyed
+    """,
+)
+def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/5/5 split (llm/packing.cluster_holdout_split):
+    near-dup clusters are the split unit, so a test document can never
+    have a near-identical twin in train — the per-doc
+    ``corpus_holdout_split`` cannot guarantee that. Edges are the same
+    exact n-gram Jaccard ≥ 0.05 pairs as ``ngram_jaccard_pairs``;
+    clusters are hash-min connected components; the oracle recomputes
+    the identical fixpoint with a recursive CTE. The operator accepts
+    any pair set (exact fingerprints, MinHash/SimHash LSH, semantic)
+    for the same guarantee."""
+    documents = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(documents, threshold=0.05).select(
+        "doc_a", "doc_b"
+    )
+    return PK.cluster_holdout_split(
+        documents,
+        pairs,
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        seed=3,
+    )
+
+
+@register(
     "training_shuffle_incremental",
     oracle="""
     WITH old_keyed AS (

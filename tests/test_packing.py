@@ -275,6 +275,59 @@ class TestHoldoutSplit:
             PK.holdout_split(df, {"train": 0.5, "val": 0.1})
 
 
+class TestClusterHoldoutSplit:
+    FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def _run(self, spark, n_docs, pairs):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(n_docs)], "doc_id bigint"
+        )
+        edges = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+        return PK.cluster_holdout_split(docs, edges, self.FR, seed=3)
+
+    def test_clusters_never_straddle_splits(self, spark):
+        # chain 0-1-2, pair 10-11, transitive 20-21 + 21-22
+        pairs = [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22)]
+        rows = self._run(spark, 200, pairs).collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        by_doc = {r.doc_id: r for r in rows}
+        assert by_doc[2].cluster_id == 0 and by_doc[2].split == by_doc[0].split
+        assert by_doc[22].cluster_id == 20
+
+    def test_singletons_match_plain_holdout(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(300)], "doc_id bigint"
+        )
+        plain = {
+            r.doc_id: r.split
+            for r in PK.holdout_split(docs, self.FR, seed=3).collect()
+        }
+        clustered = {
+            r.doc_id: r
+            for r in self._run(spark, 300, [(5, 6), (100, 250)]).collect()
+        }
+        for i in range(300):
+            if i in (6, 250):  # moved into their representative's split
+                rep = 5 if i == 6 else 100
+                assert clustered[i].split == plain[rep]
+                assert clustered[i].cluster_id == rep
+            else:
+                assert clustered[i].split == plain[i]
+                assert clustered[i].cluster_id == i
+
+    def test_every_doc_assigned_exactly_once(self, spark):
+        out = self._run(spark, 120, [(1, 2), (2, 3), (3, 4)]).collect()
+        assert len(out) == 120
+        assert len({r.doc_id for r in out}) == 120
+
+
 class TestIncrementalShuffle:
     def test_extends_without_moving_snapshot(self, spark):
         from etl_procedure_codes_crawler_spark.llm import packing as PK
