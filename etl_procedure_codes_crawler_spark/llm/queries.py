@@ -2946,6 +2946,47 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bloom_prefilter_documents")
+def bloom_prefilter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-membership ingest prefilter (llm/bloom.py), end to
+    end: build the filter over the already-ingested half of the corpus
+    (doc_id below the midpoint), merge it from two per-batch filters
+    (the OR-fold the incremental store relies on), probe the full
+    corpus, and return (doc_id, maybe_seen). Every ingested doc MUST
+    probe true (no false negatives — asserted here, not just in
+    tests); fresh docs are mostly false with the designed 1% FPR.
+    Rows-only: positions come from JVM xxhash64, which DuckDB cannot
+    reproduce."""
+    from . import bloom as B
+
+    documents = load(spark, sf_dir, "documents")
+    fps = documents.select(
+        "doc_id", T.fingerprint_sha256("text").alias("fp")
+    )
+    mid = fps.agg(
+        F.percentile_approx("doc_id", 0.5).alias("m")
+    ).first()["m"]
+    seen = fps.where(F.col("doc_id") <= F.lit(mid))
+    n_seen = seen.count()
+    m_bits, k = B.bloom_parameters(max(n_seen, 1), fpr=0.01)
+    half_a = B.build_bloom(
+        seen.where(F.col("doc_id") % 2 == 0), "fp", m_bits, k
+    )
+    half_b = B.build_bloom(
+        seen.where(F.col("doc_id") % 2 == 1), "fp", m_bits, k
+    )
+    bloom = B.merge_blooms(half_a, half_b).localCheckpoint(eager=True)
+    probed = B.probe_bloom(fps, "fp", bloom, m_bits, k)
+    missed = probed.where(
+        (F.col("doc_id") <= F.lit(mid)) & ~F.col("maybe_seen")
+    ).count()
+    if missed:
+        raise AssertionError(
+            f"bloom false negatives: {missed} ingested docs probed false"
+        )
+    return probed.select("doc_id", "maybe_seen")
+
+
 @register(
     "training_shuffle_incremental",
     oracle="""
@@ -3650,4 +3691,5 @@ ROWS_ONLY = {
     "hll_sketch_union_users",
     "approx_quantiles_prices",
     "heavy_hitter_tokens",
+    "bloom_prefilter_documents",
 }
