@@ -125,6 +125,138 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bestfit(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Whole-document packing by best-fit-decreasing bin packing —
+    the padding-minimizing alternative to :func:`pack_sequences` when
+    boundary-crossing documents are unacceptable (no attention-mask
+    support, or contrastive objectives where a split document poisons
+    the batch).
+
+    Each document lands WHOLE in exactly one ``seq_len``-capacity
+    sequence; documents longer than ``seq_len`` get a dedicated
+    sequence flagged ``oversize=true`` (the caller truncates or
+    re-chunks those — silently splitting would defeat the contract).
+    BFD is the classic 11/9·OPT+1 guarantee; concat-and-chunk has
+    near-zero padding but crossings, BFD has zero crossings and
+    bounded padding — the two ends of the packing trade-off.
+
+    The fit loop is inherently sequential per shard, so it runs as
+    ``applyInPandas`` over the shard key (bisect-based best-fit,
+    O(n log n) per shard) — the SAME one-shuffle-then-pack-in-
+    parallel layout as ``pack_sequences``; shards must individually
+    fit a task's memory, which is the operator family's standing
+    sizing contract. Assignment is deterministic: docs descend by
+    (n_tokens, doc_id asc), best-fit ties break to the lowest
+    remaining capacity then lowest sequence id.
+
+    Returns (shard, doc_id, n_tokens, seq_id, oversize).
+    """
+    count_expr = (
+        F.when(
+            F.col(n_tokens_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"pack_sequences_bestfit: NULL {n_tokens_col} — count "
+                    "every document or filter explicitly upstream"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col(n_tokens_col).cast("bigint"))
+        if n_tokens_col is not None
+        else token_count(text_col)
+    )
+    sized = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        count_expr.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    shard_type = sized.schema["shard"].dataType.simpleString()
+    out_schema = (
+        f"shard {shard_type}, doc_id bigint, n_tokens bigint, "
+        "seq_id bigint, oversize boolean"
+    )
+    cap = int(seq_len)
+
+    def _pack(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        bins: list[tuple[int, int]] = []  # sorted (remaining, seq_id)
+        next_id = 0
+        seq_ids, oversize = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > cap:
+                seq_ids.append(next_id)
+                oversize.append(True)
+                next_id += 1
+                continue
+            oversize.append(False)
+            i = bisect.bisect_left(bins, (n, -1))
+            if i < len(bins):
+                rem, sid = bins.pop(i)
+                rem -= n
+                if rem > 0:
+                    bisect.insort(bins, (rem, sid))
+                seq_ids.append(sid)
+            else:
+                sid = next_id
+                next_id += 1
+                rem = cap - n
+                if rem > 0:
+                    bisect.insort(bins, (rem, sid))
+                seq_ids.append(sid)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].values,
+                "doc_id": pdf["doc_id"].values,
+                "n_tokens": pdf["n_tokens"].values,
+                "seq_id": seq_ids,
+                "oversize": oversize,
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
+def bestfit_packing_stats(
+    packed: DataFrame, seq_len: int
+) -> DataFrame:
+    """Per-shard accounting for a :func:`pack_sequences_bestfit`
+    result: documents, sequences, oversize count, and total padding
+    (empty capacity across non-oversize sequences). One groupBy over
+    the packed relation."""
+    cap = int(seq_len)
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("over").cast("bigint").alias("n_oversize"),
+            F.sum(
+                F.when(
+                    F.col("over") == 0, F.lit(cap) - F.col("fill")
+                ).otherwise(F.lit(0))
+            ).alias("total_padding"),
+        )
+    )
+
+
 def sequence_manifest(
     df: DataFrame,
     seq_len: int,

@@ -2572,6 +2572,21 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.sequence_stats(documents, seq_len=512, shard_col="source")
 
 
+@register("sequence_packing_bestfit")
+def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document best-fit-decreasing packing at seq_len=512
+    (llm/packing.pack_sequences_bestfit) — zero boundary crossings in
+    exchange for bounded padding; per-shard stats prove the
+    accounting. Rows-only: the fit loop is sequential per shard (an
+    applyInPandas algorithm, not a SQL expression); determinism and
+    replica-exactness are pinned in tests/test_packing.py."""
+    documents = load(spark, sf_dir, "documents")
+    packed = PK.pack_sequences_bestfit(
+        documents, seq_len=512, shard_col="source"
+    )
+    return PK.bestfit_packing_stats(packed, seq_len=512).orderBy("shard")
+
+
 @register(
     "sequence_manifest",
     oracle=f"""
@@ -3692,4 +3707,5 @@ ROWS_ONLY = {
     "approx_quantiles_prices",
     "heavy_hitter_tokens",
     "bloom_prefilter_documents",
+    "sequence_packing_bestfit",
 }

@@ -275,6 +275,87 @@ class TestHoldoutSplit:
             PK.holdout_split(df, {"train": 0.5, "val": 0.1})
 
 
+class TestBestFitPacking:
+    CAP = 100
+
+    def _pack(self, spark, sizes):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        rows = [("s", i, n) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(
+            rows, "source string, doc_id bigint, n bigint"
+        )
+        return PK.pack_sequences_bestfit(
+            df, self.CAP, n_tokens_col="n"
+        ).collect()
+
+    @staticmethod
+    def _replica(sizes, cap):
+        import bisect
+
+        order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+        bins, nxt, out = [], 0, {}
+        for i in order:
+            n = sizes[i]
+            if n > cap:
+                out[i] = (nxt, True)
+                nxt += 1
+                continue
+            j = bisect.bisect_left(bins, (n, -1))
+            if j < len(bins):
+                rem, sid = bins.pop(j)
+                if rem - n > 0:
+                    bisect.insort(bins, (rem - n, sid))
+            else:
+                sid = nxt
+                nxt += 1
+                if cap - n > 0:
+                    bisect.insort(bins, (cap - n, sid))
+            out[i] = (sid, False)
+        return out
+
+    def test_matches_pure_replica(self, spark):
+        sizes = [60, 40, 40, 30, 30, 30, 150, 99, 1, 1, 70, 25, 5]
+        got = {r.doc_id: (r.seq_id, r.oversize) for r in self._pack(spark, sizes)}
+        assert got == self._replica(sizes, self.CAP)
+
+    def test_invariants(self, spark):
+        sizes = [37, 81, 12, 55, 99, 100, 101, 3, 64, 48, 29, 76]
+        rows = self._pack(spark, sizes)
+        assert sorted(r.doc_id for r in rows) == list(range(len(sizes)))
+        fills: dict = {}
+        for r in rows:
+            fills.setdefault(r.seq_id, []).append(r)
+        for seq_rows in fills.values():
+            if any(r.oversize for r in seq_rows):
+                assert len(seq_rows) == 1  # oversize docs sit alone
+            else:
+                assert sum(r.n_tokens for r in seq_rows) <= self.CAP
+        # bin count sane: at least the volume bound, at most one per doc
+        import math
+
+        n_seqs = len(fills)
+        vol = math.ceil(sum(s for s in sizes if s <= self.CAP) / self.CAP)
+        assert vol <= n_seqs <= len(sizes)
+
+    def test_zero_token_docs_occupy_nothing(self, spark):
+        got = self._pack(spark, [0, 10])
+        assert [r.doc_id for r in got] == [1]
+
+    def test_stats_accounting(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+        rows = [("s", i, n) for i, n in enumerate([90, 10, 60, 150])]
+        df = spark.createDataFrame(
+            rows, "source string, doc_id bigint, n bigint"
+        )
+        packed = PK.pack_sequences_bestfit(df, self.CAP, n_tokens_col="n")
+        st = PK.bestfit_packing_stats(packed, self.CAP).collect()[0]
+        # bins: {90,10} full, {60} pad 40, {150} oversize
+        assert st.n_docs == 4 and st.n_seqs == 3
+        assert st.n_oversize == 1 and st.total_padding == 40
+
+
 class TestClusterHoldoutSplit:
     FR = {"train": 0.8, "val": 0.1, "test": 0.1}
 
