@@ -135,6 +135,17 @@ HEADLINE = [
     # the span family's scale shape: LSH candidates -> pair-scoped
     # extraction (key joins only, no posting-list self-join)
     "duplicate_spans_lsh_scoped",
+    # round-7 second half: the Gopher hand-rule battery (map-only
+    # projection), exact TV drift (one corpus shuffle + pinned
+    # marginals), leakage-safe cluster holdout (jaccard edges +
+    # hash-min components), Bloom build/merge/probe (bit_or agg +
+    # k broadcast joins), and best-fit whole-doc packing
+    # (applyInPandas per shard)
+    "gopher_quality_filter",
+    "token_drift_by_source",
+    "cluster_aware_holdout",
+    "bloom_prefilter_documents",
+    "sequence_packing_bestfit",
 ]
 
 

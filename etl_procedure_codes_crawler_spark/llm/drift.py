@@ -63,11 +63,14 @@ def token_drift_by_source(
     # everything below is vocab×sources sized
     tok = st.groupBy("token").agg(F.sum("cnt_s").alias("cnt_c"))
     src = st.groupBy("source").agg(F.sum("cnt_s").alias("n_s"))
-    n_c = tok.agg(F.sum("cnt_c").alias("n_c"))
+    # the corpus total is ONE number off the pinned vocab-sized table —
+    # fold it in as a literal (a broadcast cross join would put a
+    # nested-loop operator in the plan for no reason)
+    n_c_val = int(st.agg(F.sum("cnt_s")).first()[0] or 0)
     joined = (
         st.join(F.broadcast(tok), "token")
         .join(F.broadcast(src), "source")
-        .crossJoin(F.broadcast(n_c))
+        .withColumn("n_c", F.lit(n_c_val))
         # cnt·N products stay BIGINT-exact to ~3e9 tokens/slice; cast
         # these two to decimal(38,0) for corpora beyond that
         .withColumn(

@@ -2961,6 +2961,49 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=rf"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+               ' ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')))
+               AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text,
+               ' ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')))
+               AS DOUBLE)
+             / SUM(len({_TOKS})) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per word) per language —
+    the standard multilingual-tokenizer health metric: a language
+    whose fertility balloons is under-served by the vocabulary and
+    its token budget silently shrinks. Exact integer sums + one IEEE
+    division; single scan, one tiny groupBy."""
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.bpe_pretoken_count("text")).alias("n_bpe_tokens"),
+            F.sum(T.token_count("text")).alias("n_words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_bpe_tokens",
+            "n_words",
+            (
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
+            ).alias("fertility"),
+        )
+    )
+
+
 @register("bloom_prefilter_documents")
 def bloom_prefilter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom-membership ingest prefilter (llm/bloom.py), end to
