@@ -33,9 +33,10 @@ tests in tests/test_bloom.py.
 
 from __future__ import annotations
 
+import json
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _WORD = 64
@@ -142,3 +143,105 @@ def probe_bloom(
     seen = F.when(F.col("_b_val").isNull(), F.lit(False)).otherwise(seen)
     keep = [c for c in df.columns]
     return out.select(*keep, seen.alias("maybe_seen"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted store: append-only segments, OR-idempotent under replay
+# ---------------------------------------------------------------------------
+#
+# Each accepted batch APPENDS its own (word_idx, bits) segment; the
+# read path folds all segments with one bit_or groupBy (m/64 rows out,
+# regardless of segment count). Because OR is idempotent, a crash-
+# replayed batch re-appending the same segment changes nothing — the
+# store needs no atomic swap on the hot path, only on compaction.
+
+
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "/meta"
+
+
+def _segments_path(path: str) -> str:
+    return path.rstrip("/") + "/segments"
+
+
+def create_bloom_store(
+    spark: SparkSession,
+    path: str,
+    n_items: int,
+    fpr: float = 0.01,
+    seed_df: DataFrame | None = None,
+    col: str | None = None,
+) -> dict:
+    """Initialize a store sized for ``n_items`` at ``fpr``. If the
+    guarded warehouse already has rows, pass them as ``seed_df[col]``
+    — a bloom that under-covers its warehouse would wrongly wave
+    known keys through the definitely-new fast path."""
+    m_bits, k = bloom_parameters(n_items, fpr)
+    meta = {"m_bits": m_bits, "k": k, "fpr": fpr, "version": 1}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").repartition(
+        1
+    ).write.mode("overwrite").parquet(_meta_path(path))
+    if seed_df is not None:
+        if col is None:
+            raise ValueError("seed_df requires col")
+        build_bloom(seed_df, col, m_bits, k).write.mode("overwrite").parquet(
+            _segments_path(path)
+        )
+    return meta
+
+
+def load_bloom_meta(spark: SparkSession, path: str) -> dict:
+    return json.loads(
+        spark.read.parquet(_meta_path(path)).first()["meta"]
+    )
+
+
+def read_bloom_store(spark: SparkSession, path: str) -> DataFrame:
+    """The folded filter relation (m/64 rows max). Empty store folds
+    to an empty relation — every probe returns definitely-new, which
+    is correct for a store with nothing inserted."""
+    from ..sources.parquet import read_table_or_empty
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("word_idx", LongType()), StructField("bits", LongType())]
+    )
+    segs = read_table_or_empty(spark, _segments_path(path), schema)
+    return segs.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def append_to_bloom_store(
+    spark: SparkSession, path: str, items: DataFrame, col: str
+) -> None:
+    """Append one segment covering ``items[col]``. Idempotent under
+    replay (OR), safe to run BEFORE the guarded warehouse append —
+    over-approximation only routes rows to the exact check."""
+    meta = load_bloom_meta(spark, path)
+    build_bloom(items, col, meta["m_bits"], meta["k"]).write.mode(
+        "append"
+    ).parquet(_segments_path(path))
+
+
+def compact_bloom_store(spark: SparkSession, path: str) -> int:
+    """Fold accreted segments into one (atomic swap, crash-healed by
+    the next call — same discipline as sinks.parquet.compact_dataset).
+    Returns the folded row count."""
+    from ..sinks.fsutil import checked_rename, hadoop_fs, remove_stale
+
+    fs, hpath = hadoop_fs(spark, path)
+    seg = _segments_path(path)
+    src = hpath(seg)
+    tmp = seg + "._compacting"
+    backup = hpath(seg + "._precompact")
+    if (not fs.exists(src)) and fs.exists(backup):
+        checked_rename(fs, backup, src)
+    remove_stale(fs, hpath(tmp), backup)
+    if not fs.exists(src):
+        return 0
+    folded = read_bloom_store(spark, path).localCheckpoint(eager=True)
+    n = folded.count()
+    folded.repartition(1).write.mode("overwrite").parquet(tmp)
+    checked_rename(fs, src, backup)
+    checked_rename(fs, hpath(tmp), src)
+    fs.delete(backup, True)
+    return n

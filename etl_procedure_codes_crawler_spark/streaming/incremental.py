@@ -42,10 +42,24 @@ def stream_incremental_append(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    bloom_store_path: str | None = None,
 ):
     """Stream files from ``source_dir`` into ``warehouse_path``,
     appending only rows whose ``key`` is new (vs the warehouse AND
-    within the batch). Returns the StreamingQuery handle."""
+    within the batch). Returns the StreamingQuery handle.
+
+    With ``bloom_store_path`` set (a store from
+    ``llm.bloom.create_bloom_store`` — create it alongside the
+    warehouse, or seeded from it), each batch probes the persisted
+    Bloom filter first: keys probing definitely-new skip the
+    warehouse anti-join entirely, and only the maybe-seen slice pays
+    the exact check. At 100 TB that turns a per-batch
+    full-warehouse-side shuffle into k broadcast joins plus an
+    anti-join over ~fpr·batch rows. Exactly-once is preserved by
+    ordering: the batch's segment is appended to the bloom store
+    BEFORE the warehouse append — a crash between the two leaves the
+    filter over-approximating, which only routes rows to the exact
+    check; segment re-appends on replay are OR-idempotent."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         rows = batch
@@ -57,13 +71,34 @@ def stream_incremental_append(
         # breaking both dedup and the exactly-once story. Same guard
         # as the batch path's incremental_new_rows.
         rows = rows.filter(F.col(key).isNotNull())
-        fresh = anti_join_on_key(
-            rows.dropDuplicates([key]), existing, key
-        )
+        rows = rows.dropDuplicates([key])
+        if bloom_store_path is not None:
+            from ..llm import bloom as B
+
+            meta = B.load_bloom_meta(spark, bloom_store_path)
+            flt = B.read_bloom_store(spark, bloom_store_path)
+            probed = B.probe_bloom(
+                rows, key, flt, meta["m_bits"], meta["k"]
+            )
+            definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            fresh = definite.unionByName(
+                anti_join_on_key(suspects, existing, key)
+            )
+        else:
+            fresh = anti_join_on_key(rows, existing, key)
         # materialize once: isEmpty would otherwise run the whole
         # anti-join plan and the write would run it AGAIN from scratch
         fresh = fresh.localCheckpoint(eager=True)
         if not fresh.isEmpty():
+            if bloom_store_path is not None:
+                from ..llm import bloom as B
+
+                # BEFORE the warehouse append — see the ordering note
+                # in the docstring
+                B.append_to_bloom_store(
+                    spark, bloom_store_path, fresh, key
+                )
             fresh.write.mode("append").option(
                 "compression", "snappy"
             ).parquet(warehouse_path)

@@ -189,3 +189,65 @@ def test_null_key_rows_do_not_reappend(spark, dirs):
     # NULL-key rows dropped entirely (matching incremental_new_rows);
     # real keys appended exactly once
     assert codes == ["a", "b"]
+
+
+class TestBloomGatedIngest:
+    """stream_incremental_append with bloom_store_path: identical
+    dedup semantics, probe fast path + store growth + replay safety."""
+
+    def _run(self, spark, dirs):
+        q = stream_incremental_append(
+            spark,
+            dirs["source"],
+            SCHEMA,
+            dirs["warehouse"],
+            key="code",
+            checkpoint_dir=dirs["checkpoint"],
+            bloom_store_path=dirs["bloom"],
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def test_semantics_match_plain_gate_and_store_grows(
+        self, spark, dirs, tmp_path
+    ):
+        from etl_procedure_codes_crawler_spark.llm import bloom as B
+
+        dirs["bloom"] = str(tmp_path / "bloom")
+        B.create_bloom_store(spark, dirs["bloom"], n_items=10_000)
+        _drop(spark, dirs["source"], "b1", [("a", 1), ("b", 2), ("a", 3)])
+        self._run(spark, dirs)
+        # overlapping second batch: 'b' must be caught by the bloom →
+        # exact-check route; 'c' rides the definitely-new fast path
+        _drop(spark, dirs["source"], "b2", [("b", 9), ("c", 4)])
+        self._run(spark, dirs)
+        rows = spark.read.parquet(dirs["warehouse"]).collect()
+        assert sorted(r.code for r in rows) == ["a", "b", "c"]
+        meta = B.load_bloom_meta(spark, dirs["bloom"])
+        flt = B.read_bloom_store(spark, dirs["bloom"])
+        ingested = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "code string"
+        )
+        probed = B.probe_bloom(
+            ingested, "code", flt, meta["m_bits"], meta["k"]
+        )
+        assert probed.filter("NOT maybe_seen").count() == 0
+
+    def test_replay_with_stale_checkpoint_is_idempotent(
+        self, spark, dirs, tmp_path
+    ):
+        from etl_procedure_codes_crawler_spark.llm import bloom as B
+
+        dirs["bloom"] = str(tmp_path / "bloom")
+        B.create_bloom_store(spark, dirs["bloom"], n_items=10_000)
+        _drop(spark, dirs["source"], "b1", [("a", 1), ("b", 2)])
+        self._run(spark, dirs)
+        # simulate the crash-replay: wipe the checkpoint so the SAME
+        # file reprocesses — the bloom routes both keys to the exact
+        # check, which skips them
+        import shutil
+
+        shutil.rmtree(dirs["checkpoint"])
+        self._run(spark, dirs)
+        rows = spark.read.parquet(dirs["warehouse"]).collect()
+        assert sorted(r.code for r in rows) == ["a", "b"]
