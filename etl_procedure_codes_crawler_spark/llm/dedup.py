@@ -401,6 +401,64 @@ def duplicate_spans_for_pairs(
     return _spans_from_matches(m, min_len)
 
 
+def remove_intra_doc_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 8,
+) -> DataFrame:
+    """WITHIN-document repetition removal: split each document into
+    non-overlapping ``block``-token blocks and keep only each block's
+    FIRST occurrence — the cheap kill for looped boilerplate, repeated
+    headers/footers, and template spam inside a single document (the
+    within-doc complement of :func:`remove_duplicate_spans`, which
+    works across documents).
+
+    Entirely per-row JVM array algebra — zero shuffle, no UDF: blocks
+    come from one ``transform`` over a ``sequence`` of block indexes,
+    and first-occurrence filtering is ``array_position(blocks, b) ==
+    i+1`` (explicit first-index semantics; array_distinct's ordering
+    guarantee is never relied on, so the DuckDB oracle is exact).
+    NULL text passes through NULL with 0 counts — removal must not
+    invent content.
+
+    Returns ``(id, n_blocks, n_kept, text_clean)``; text is re-joined
+    from kept blocks, so whitespace normalizes corpus-wide like the
+    span-removal pass.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    b = int(block)
+    # token counts are int32-bounded per doc, so floor of one IEEE
+    # division is exact here (the corpus-scale div-discipline concern
+    # applies to cumulative sums, not per-doc sizes)
+    n_blocks = F.floor((n + F.lit(b - 1)) / F.lit(b)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(toks, i * b + 1, b), " "),
+    )
+    kept = F.filter(
+        blocks, lambda blk, i: F.array_position(blocks, blk) == i + 1
+    )
+    out_blocks = F.when(F.col(text_col).isNull(), None).otherwise(kept)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(out_blocks), F.lit(0)).cast("bigint").alias(
+            "n_blocks_kept"
+        ),
+        F.coalesce(
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(n_blocks),
+            F.lit(0),
+        ).cast("bigint").alias("n_blocks"),
+        F.array_join(out_blocks, " ").alias("text_clean"),
+    ).select(
+        id_col,
+        "n_blocks",
+        F.col("n_blocks_kept").alias("n_kept"),
+        "text_clean",
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     spans: DataFrame | None = None,

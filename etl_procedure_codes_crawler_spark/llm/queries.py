@@ -2962,6 +2962,51 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intra_doc_block_dedup",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    blk AS (
+        SELECT doc_id, text,
+               CASE WHEN text IS NULL THEN NULL ELSE
+                   [array_to_string(tk[((i-1)*2+1):(i*2)], ' ')
+                    for i in generate_series(1,
+                        CAST(ceil(len(tk) / 2.0) AS BIGINT))]
+               END AS blocks
+        FROM t
+    ),
+    kept AS (
+        SELECT doc_id, blocks,
+               CASE WHEN blocks IS NULL THEN NULL ELSE
+                   [blocks[i] for i in generate_series(1, len(blocks))
+                    if list_position(blocks, blocks[i]) = i]
+               END AS keep
+        FROM blk
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN blocks IS NULL THEN 0
+                ELSE len(blocks) END AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN keep IS NULL THEN 0
+                ELSE len(keep) END AS BIGINT) AS n_kept,
+           array_to_string(keep, ' ') AS text_clean
+    FROM kept
+    """,
+)
+def intra_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-block removal at block=2
+    (llm/dedup.remove_intra_doc_repeats) — first occurrence survives,
+    later copies are cut; zero shuffle, pure JVM array algebra with
+    explicit array_position first-index semantics so the oracle is
+    exact. Gate knob: block=2 — the synthetic corpus has no repeated
+    runs longer than 3 tokens, so the paper-ish default 8 would keep
+    every document untouched; at 2 the removal branch carries real
+    weight (180/500 docs at sf0.001)."""
+    documents = load(spark, sf_dir, "documents")
+    return D.remove_intra_doc_repeats(documents, block=2)
+
+
+@register(
     "tokenizer_fertility_by_lang",
     oracle=rf"""
     SELECT lang,

@@ -425,3 +425,50 @@ class TestDuplicateSpansForPairs:
         if full:
             recall = len(scoped & full) / len(full)
             assert recall >= 0.5, f"LSH-scoped span recall {recall:.2f}"
+
+
+class TestIntraDocRepeats:
+    def _run(self, spark, rows, block=2):
+        from etl_procedure_codes_crawler_spark.llm import dedup as D
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r.doc_id: r
+            for r in D.remove_intra_doc_repeats(df, block=block).collect()
+        }
+
+    def test_repeats_removed_first_kept(self, spark):
+        out = self._run(spark, [(1, "a b c d a b e f")])
+        r = out[1]
+        assert r.n_blocks == 4 and r.n_kept == 3
+        assert r.text_clean == "a b c d e f"
+
+    def test_partial_tail_block_preserved(self, spark):
+        out = self._run(spark, [(1, "a b a b c")])
+        # blocks: "a b", "a b", "c" -> keep "a b", "c"
+        assert out[1].n_blocks == 3 and out[1].n_kept == 2
+        assert out[1].text_clean == "a b c"
+
+    def test_unique_doc_untouched(self, spark):
+        out = self._run(spark, [(1, "w x y z")])
+        assert out[1].n_kept == out[1].n_blocks == 2
+        assert out[1].text_clean == "w x y z"
+
+    def test_null_text_passes_through(self, spark):
+        out = self._run(spark, [(1, None), (2, "a b a b")])
+        assert out[1].text_clean is None
+        assert out[1].n_blocks == 0 and out[1].n_kept == 0
+        assert out[2].text_clean == "a b"
+
+    def test_zero_shuffle_no_python(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import dedup as D
+
+        df = spark.createDataFrame([(1, "a b a b")], "doc_id bigint, text string")
+        plan = (
+            D.remove_intra_doc_repeats(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
