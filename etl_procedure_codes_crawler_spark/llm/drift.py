@@ -37,6 +37,76 @@ from pyspark.sql import functions as F
 from . import text as T
 
 
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt) unigram counts — the persistable reference
+    distribution for :func:`tv_between` (vocabulary-sized output,
+    map-side combined)."""
+    return (
+        df.select(F.explode(T.tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def tv_between(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """One-row exact total-variation distance between two unigram
+    count tables (a = the slice under test, b = the reference):
+    ``(n_tokens_a, n_tokens_b, tv_distance, top_token)`` where
+    top_token is the most over-represented token in a vs b (signed
+    diff max, ties by token string). Same rational-arithmetic
+    discipline as :func:`token_drift_by_source`; the full outer join
+    covers tokens missing from either side exactly. Both inputs are
+    vocabulary-sized, so every stage here is metadata-scale."""
+    a = a_counts.select("token", F.col("cnt").alias("cnt_a"))
+    b = b_counts.select("token", F.col("cnt").alias("cnt_b"))
+    n_a = int(a.agg(F.sum("cnt_a")).first()[0] or 0)
+    n_b = int(b.agg(F.sum("cnt_b")).first()[0] or 0)
+    if n_a == 0 or n_b == 0:
+        # an empty side has no distribution; TV defined as 1 when the
+        # other side has mass, 0 when both are empty
+        spark = a_counts.sparkSession
+        return spark.createDataFrame(
+            [(n_a, n_b, 0.0 if (n_a == 0 and n_b == 0) else 1.0, None)],
+            "n_tokens_a bigint, n_tokens_b bigint, tv_distance double, "
+            "top_token string",
+        )
+    joined = (
+        a.join(b, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
+        )
+        .withColumn(
+            "diff",
+            F.col("cnt_a") * F.lit(n_b) - F.col("cnt_b") * F.lit(n_a),
+        )
+    )
+    joined = joined.localCheckpoint(eager=True)  # two tiny consumers
+    top = joined.orderBy(
+        F.col("diff").desc(), F.col("token").asc()
+    ).first()
+    abs_sum = int(
+        joined.agg(F.sum(F.abs(F.col("diff")))).first()[0] or 0
+    )
+    spark = a_counts.sparkSession
+    # the result is ONE monitoring row computed from vocabulary-sized
+    # relations — assembling it driver-side keeps a 1×1 join (a
+    # nested-loop operator) out of every caller's plan
+    return spark.createDataFrame(
+        [
+            (
+                n_a,
+                n_b,
+                float(abs_sum) / float(2 * n_a * n_b),
+                top["token"] if top is not None else None,
+            )
+        ],
+        "n_tokens_a bigint, n_tokens_b bigint, tv_distance double, "
+        "top_token string",
+    )
+
+
 def token_drift_by_source(
     df: DataFrame,
     text_col: str = "text",

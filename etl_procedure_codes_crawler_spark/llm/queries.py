@@ -2962,6 +2962,88 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_token_drift_monitor",
+    oracle=f"""
+    WITH au AS (SELECT unnest({_TOKS}) AS token FROM documents
+                WHERE doc_id % 2 = 1),
+    ac AS (SELECT token, COUNT(*) AS ca FROM au GROUP BY token),
+    bu AS (SELECT unnest({_TOKS}) AS token FROM documents
+           WHERE doc_id % 2 = 0),
+    bc AS (SELECT token, COUNT(*) AS cb FROM bu GROUP BY token),
+    tot AS (SELECT (SELECT CAST(SUM(ca) AS BIGINT) FROM ac) AS na,
+                   (SELECT CAST(SUM(cb) AS BIGINT) FROM bc) AS nb),
+    j AS (
+        SELECT COALESCE(ac.token, bc.token) AS token,
+               CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+               CAST(COALESCE(cb, 0) AS BIGINT) AS cb
+        FROM ac FULL OUTER JOIN bc USING (token)
+    ),
+    d AS (SELECT token, ca * nb - cb * na AS diff FROM j, tot)
+    SELECT na AS n_tokens_batch, nb AS n_tokens_reference,
+           (SELECT CAST(SUM(ABS(diff)) AS DOUBLE) FROM d)
+               / CAST(2 * na * nb AS DOUBLE) AS tv_distance,
+           (SELECT token FROM d ORDER BY diff DESC, token ASC LIMIT 1)
+               AS top_token
+    FROM tot
+    """,
+)
+def streaming_token_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING drift monitor end to end (streaming/drift.py):
+    the reference distribution is built from the even-id half of the
+    corpus, the odd-id half arrives as one micro-batch, and the
+    monitor's metric row — exact TV distance + most over-represented
+    token — must hash-match the oracle's from-scratch recomputation.
+    Metric writes are batch-id idempotent (write_idempotent_run), so
+    crash replays re-report instead of double-reporting."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.drift import build_token_reference, stream_token_drift
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="drift_")
+    try:
+        ref = _os.path.join(root, "reference")
+        build_token_reference(
+            documents.where(F.col("doc_id") % 2 == 0), ref
+        )
+        src = _os.path.join(root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(root, "staging")
+        odd = documents.where(F.col("doc_id") % 2 == 1)
+        odd.coalesce(1).write.mode("overwrite").parquet(staging)
+        import glob as _glob
+
+        part = _glob.glob(_os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, _os.path.join(src, "b1.parquet"))
+        q = stream_token_drift(
+            spark,
+            src,
+            odd.schema,
+            ref,
+            _os.path.join(root, "metrics"),
+            _os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        metrics = (
+            spark.read.parquet(_os.path.join(root, "metrics"))
+            .select(
+                "n_tokens_batch",
+                "n_tokens_reference",
+                "tv_distance",
+                "top_token",
+            )
+            .localCheckpoint(eager=True)  # outlives the temp dir
+        )
+        return metrics
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "intra_doc_block_dedup",
     oracle=r"""
     WITH t AS (SELECT doc_id, text,

@@ -97,3 +97,79 @@ def test_one_corpus_sized_exchange(spark):
     # corpus-sized aggregation for each of the four marginal consumers
     assert plan.count("Generate explode") == 0
     assert "ExistingRDD" in plan
+
+
+class TestTvBetween:
+    def _counts(self, spark, text_rows):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(text_rows)],
+            "doc_id bigint, text string",
+        )
+        return DR.token_counts(df)
+
+    def test_identical_distributions_zero(self, spark):
+        a = self._counts(spark, ["a b c", "a b"])
+        # b is an exact 2x copy of a: identical proportions
+        b = self._counts(spark, ["a b c", "a b", "a b c", "a b"])
+        row = DR.tv_between(a, b).collect()[0]
+        assert row.tv_distance == 0.0
+
+    def test_fraction_replica(self, spark):
+        a_rows, b_rows = ["a a b x"], ["a b b c c"]
+        a, b = self._counts(spark, a_rows), self._counts(spark, b_rows)
+        row = DR.tv_between(a, b).collect()[0]
+        pa = {"a": 2 / 4, "b": 1 / 4, "x": 1 / 4}
+        pb = {"a": 1 / 5, "b": 2 / 5, "c": 2 / 5}
+        want = sum(
+            abs(pa.get(t, 0.0) - pb.get(t, 0.0)) for t in set(pa) | set(pb)
+        ) / 2
+        assert abs(row.tv_distance - want) < 1e-15
+        assert row.top_token == "a"  # most over-represented in a
+        assert row.n_tokens_a == 4 and row.n_tokens_b == 5
+
+    def test_empty_sides(self, spark):
+        empty = self._counts(spark, []).filter("1=0")
+        a = self._counts(spark, ["a b"])
+        assert DR.tv_between(empty, a).collect()[0].tv_distance == 1.0
+        assert DR.tv_between(a, empty).collect()[0].tv_distance == 1.0
+        assert DR.tv_between(empty, empty).collect()[0].tv_distance == 0.0
+
+
+class TestStreamingDriftMonitor:
+    def test_replayed_batch_replaces_its_metric_row(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from etl_procedure_codes_crawler_spark.streaming.drift import (
+            build_token_reference,
+            stream_token_drift,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a x y")], "doc_id bigint, text string"
+        )
+        ref = str(tmp_path / "ref")
+        build_token_reference(docs, ref)
+        src = tmp_path / "in"
+        src.mkdir()
+        staging = str(tmp_path / "stage")
+        docs.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / "b1.parquet"))
+        metrics = str(tmp_path / "metrics")
+
+        def run(ck):
+            q = stream_token_drift(
+                spark, str(src), docs.schema, ref, metrics, ck
+            )
+            q.awaitTermination(60)
+            q.stop()
+
+        run(str(tmp_path / "ck1"))
+        # crash-replay: fresh checkpoint reprocesses the same file ->
+        # the metric row for batch 0 is REPLACED, not duplicated
+        run(str(tmp_path / "ck2"))
+        rows = spark.read.parquet(metrics).collect()
+        assert len(rows) == 1
+        assert rows[0].tv_distance == 0.0  # batch IS the reference
