@@ -128,3 +128,39 @@ def duplicate_clusters(
         .withColumn("cluster_id", F.col(id_col))
     )
     return clustered.unionByName(singletons)
+
+
+def keep_best_in_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Survivor selection with a QUALITY argmax instead of min-id:
+    join per-doc scores onto (id, cluster_id) and keep, per cluster,
+    the highest-scoring member (ties break to the lowest id, so the
+    choice is total and deterministic). This is the FineWeb-style
+    upgrade over ``doc_id == cluster_id`` survivors — when a crawl
+    captures the same article as clean text and as boilerplate-soup,
+    min-id keeps whichever was crawled first; the argmax keeps the
+    better copy.
+
+    Returns ``(id, cluster_id, score, keep)`` for every document.
+    One equi-join + one cluster-keyed window; the window partitions
+    by cluster_id, so no single task ever sees more than one
+    cluster's rows."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(scored.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            score_col,
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )

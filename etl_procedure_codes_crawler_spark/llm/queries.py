@@ -2962,6 +2962,94 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT doc_a, doc_b
+        FROM shared
+          JOIN sizes x ON x.doc_id = doc_a
+          JOIN sizes y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    ),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM p
+        UNION ALL
+        SELECT doc_b AS x, doc_a AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    ),
+    cl AS (SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY v),
+    f AS (
+        SELECT doc_id,
+               CAST(LEAST(len(t), 256) AS DOUBLE) / 256.0 AS len_sat,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+               CAST(list_sum([len(x) for x in t]) AS DOUBLE) / len(t)
+                   AS avg_token_len,
+               CAST(len(list_filter(t, x -> x IN
+                   ('the','and','of','to','in','is','you','that','it','was')))
+                   AS DOUBLE) / len(t) AS stop_ratio
+        FROM toks
+    ),
+    s AS (
+        SELECT doc_id,
+               FLOOR((-1.2 + 1.1 * len_sat + 0.6 * ttr
+                      + -0.18 * avg_token_len + 6.5 * stop_ratio)
+                     * 10000.0) / 10000.0 AS quality_score
+        FROM f
+    ),
+    ranked AS (
+        SELECT cl.doc_id, cluster_id, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, cl.doc_id ASC) AS rn
+        FROM cl JOIN s ON s.doc_id = cl.doc_id
+    )
+    SELECT doc_id, cluster_id, quality_score, (rn = 1) AS keep
+    FROM ranked
+    """,
+)
+def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection
+    (llm/cluster.keep_best_in_cluster): clusters come from the exact
+    Jaccard ≥ 0.05 edges, the survivor is each cluster's
+    highest-quality member (the proven-exact linear margin, floor-
+    snapped), not its lowest id — the FineWeb-style "keep the best
+    copy" upgrade. Oracle recomputes the component fixpoint
+    recursively and the identical rational score."""
+    from . import cluster as CL
+    from . import quality as Q
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(documents, threshold=0.05).select(
+        "doc_a", "doc_b"
+    )
+    clusters = CL.duplicate_clusters(pairs, all_ids=documents)
+    scored = Q.score_documents(documents).select("doc_id", "quality_score")
+    return CL.keep_best_in_cluster(
+        clusters, scored, score_col="quality_score"
+    )
+
+
+@register(
     "streaming_token_drift_monitor",
     oracle=f"""
     WITH au AS (SELECT unnest({_TOKS}) AS token FROM documents

@@ -83,3 +83,52 @@ def test_clusters_from_real_minhash_pairs(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+class TestKeepBestInCluster:
+    def test_argmax_and_ties(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import cluster as CL
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+            "doc_id bigint, cluster_id bigint",
+        )
+        scored = spark.createDataFrame(
+            [(1, 0.1), (2, 0.9), (3, 0.9), (10, 0.5), (20, 0.4), (21, 0.4)],
+            "doc_id bigint, score double",
+        )
+        out = {
+            r.doc_id: r
+            for r in CL.keep_best_in_cluster(clusters, scored).collect()
+        }
+        assert len(out) == 6
+        # best score wins; tie at 0.9 breaks to lower id (2)
+        assert out[2].keep and not out[3].keep and not out[1].keep
+        assert out[10].keep  # singleton
+        assert out[20].keep and not out[21].keep  # tie -> lower id
+        # exactly one survivor per cluster
+        per = {}
+        for r in out.values():
+            per[r.cluster_id] = per.get(r.cluster_id, 0) + (1 if r.keep else 0)
+        assert all(v == 1 for v in per.values())
+
+    def test_window_is_cluster_partitioned(self, spark):
+        import re
+
+        from etl_procedure_codes_crawler_spark.llm import cluster as CL
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id bigint, cluster_id bigint"
+        )
+        scored = spark.createDataFrame(
+            [(1, 0.2), (2, 0.3)], "doc_id bigint, score double"
+        )
+        plan = (
+            CL.keep_best_in_cluster(clusters, scored)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # a global (unpartitioned) window would funnel the corpus
+        # through one task; the partition spec must be present
+        assert re.search(r"Window.*cluster_id", plan)
