@@ -61,30 +61,44 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql import Observation
+
     changed = 0
     for _ in range(max_iter):
         neighbor_side = labels.select(
-            F.col("v").alias("_lv"), F.col("label")
+            F.col("v").alias("_lv"), F.col("label").alias("_nl")
         )
-        neighbor_labels = (
+        # min over the neighbors' labels, keyed by the receiving vertex
+        nmins = (
             adj.join(neighbor_side, F.col("n") == F.col("_lv"))
-            .select("v", "label")
-        )
-        new_labels = (
-            labels.select("v", "label")
-            .unionByName(neighbor_labels)
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        obs = Observation()
+        new_labels = (
+            labels.join(nmins, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("_new"),
+                F.col("label").alias("_old"),
+            )
+            # the convergence check rides the SAME action that
+            # materializes the round (an Observation on the eager
+            # checkpoint) — no separate count job, no old-vs-new join
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("_new") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("v", F.col("_new").alias("label"))
             # truncate lineage each round: iterative plans otherwise
             # grow exponentially and stall the optimizer
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "v")
-            .filter(F.col("new.label") != F.col("old.label"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         # release the superseded round's checkpoint blocks — without
         # this, max_iter full (vertex, label) snapshots stay pinned in
         # executor storage simultaneously

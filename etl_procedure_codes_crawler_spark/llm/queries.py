@@ -2897,10 +2897,12 @@ def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE [array_to_string(t, ' ')] END) AS shingle
         FROM toks
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     p AS (
@@ -2943,16 +2945,18 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 90/5/5 split (llm/packing.cluster_holdout_split):
     near-dup clusters are the split unit, so a test document can never
     have a near-identical twin in train — the per-doc
-    ``corpus_holdout_split`` cannot guarantee that. Edges are the same
-    exact n-gram Jaccard ≥ 0.05 pairs as ``ngram_jaccard_pairs``;
+    ``corpus_holdout_split`` cannot guarantee that. Edges are the df-capped
+    exact n-gram Jaccard ≥ 0.05 pairs (``max_doc_freq=50``, the same
+    skew-safe shape as ``ngram_jaccard_pairs_dfcap`` — an uncapped
+    posting-list self-join is a quadratic bomb at scale);
     clusters are hash-min connected components; the oracle recomputes
     the identical fixpoint with a recursive CTE. The operator accepts
     any pair set (exact fingerprints, MinHash/SimHash LSH, semantic)
     for the same guarantee."""
     documents = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(documents, threshold=0.05).select(
-        "doc_a", "doc_b"
-    )
+    pairs = D.ngram_jaccard_pairs(
+        documents, threshold=0.05, max_doc_freq=50
+    ).select("doc_a", "doc_b")
     return PK.cluster_holdout_split(
         documents,
         pairs,
@@ -2974,10 +2978,12 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE [array_to_string(t, ' ')] END) AS shingle
         FROM toks
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     p AS (
@@ -3029,8 +3035,9 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup survivor selection
-    (llm/cluster.keep_best_in_cluster): clusters come from the exact
-    Jaccard ≥ 0.05 edges, the survivor is each cluster's
+    (llm/cluster.keep_best_in_cluster): clusters come from the
+    df-capped exact Jaccard ≥ 0.05 edges (skew-safe, as in
+    ``ngram_jaccard_pairs_dfcap``), the survivor is each cluster's
     highest-quality member (the proven-exact linear margin, floor-
     snapped), not its lowest id — the FineWeb-style "keep the best
     copy" upgrade. Oracle recomputes the component fixpoint
@@ -3039,9 +3046,9 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import quality as Q
 
     documents = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(documents, threshold=0.05).select(
-        "doc_a", "doc_b"
-    )
+    pairs = D.ngram_jaccard_pairs(
+        documents, threshold=0.05, max_doc_freq=50
+    ).select("doc_a", "doc_b")
     clusters = CL.duplicate_clusters(pairs, all_ids=documents)
     scored = Q.score_documents(documents).select("doc_id", "quality_score")
     return CL.keep_best_in_cluster(
