@@ -401,6 +401,29 @@ def duplicate_spans_for_pairs(
     return _spans_from_matches(m, min_len)
 
 
+def intra_doc_kept_blocks(text_col: str = "text", block: int = 8):
+    """(n_blocks, kept_blocks) Column pair for
+    :func:`remove_intra_doc_repeats` — exposed so funnel capstones can
+    ride the block-dedup signals inside a larger single-scan
+    projection. ``kept_blocks`` is NULL for NULL text."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    b = int(block)
+    # token counts are int32-bounded per doc, so floor of one IEEE
+    # division is exact here (the corpus-scale div-discipline concern
+    # applies to cumulative sums, not per-doc sizes)
+    n_blocks = F.floor((n + F.lit(b - 1)) / F.lit(b)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(toks, i * b + 1, b), " "),
+    )
+    kept = F.filter(
+        blocks, lambda blk, i: F.array_position(blocks, blk) == i + 1
+    )
+    kept = F.when(F.col(text_col).isNull(), None).otherwise(kept)
+    return n_blocks, kept
+
+
 def remove_intra_doc_repeats(
     df: DataFrame,
     text_col: str = "text",
@@ -426,21 +449,7 @@ def remove_intra_doc_repeats(
     from kept blocks, so whitespace normalizes corpus-wide like the
     span-removal pass.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    b = int(block)
-    # token counts are int32-bounded per doc, so floor of one IEEE
-    # division is exact here (the corpus-scale div-discipline concern
-    # applies to cumulative sums, not per-doc sizes)
-    n_blocks = F.floor((n + F.lit(b - 1)) / F.lit(b)).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), n_blocks - 1),
-        lambda i: F.array_join(F.slice(toks, i * b + 1, b), " "),
-    )
-    kept = F.filter(
-        blocks, lambda blk, i: F.array_position(blocks, blk) == i + 1
-    )
-    out_blocks = F.when(F.col(text_col).isNull(), None).otherwise(kept)
+    n_blocks, out_blocks = intra_doc_kept_blocks(text_col, block)
     return df.select(
         F.col(id_col),
         F.coalesce(F.size(out_blocks), F.lit(0)).cast("bigint").alias(

@@ -52,10 +52,8 @@ FEATURE_ORDER = ("len_sat", "ttr", "avg_token_len", "stop_ratio")
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(
-    df: DataFrame,
+def gopher_columns(
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_len: float = 3.0,
@@ -65,27 +63,10 @@ def gopher_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
-) -> DataFrame:
-    """The Gopher rule battery (Rae et al. 2021, A1.1) as one pure JVM
-    projection — the published hand-rule complement to the trained
-    scorer above. Per document: the raw feature values plus the final
-    ``keep`` decision (every rule must pass). No UDF, no shuffle; at
-    100 TB this is a map-only pass that rides whatever scan partition
-    layout the corpus already has.
-
-    Rules (thresholds are the paper's, except ``min_words`` which the
-    caller can drop for short-document corpora):
-    - word count in [min_words, max_words];
-    - mean word length in [min_mean_len, max_mean_len];
-    - symbol-to-word ratio ('#' chars + '...' runs) ≤ max_symbol_ratio;
-    - ≤ max_bullet_ratio of lines start with a bullet;
-    - ≤ max_ellipsis_ratio of lines end with an ellipsis;
-    - ≥ min_alpha_ratio of words contain an alphabetic character;
-    - at least min_stop_hits distinct words from GOPHER_STOPWORDS.
-
-    All ratios are single IEEE divisions of exact integer counts, so
-    the DuckDB oracle hash-matches bit-exactly.
-    """
+) -> dict:
+    """The rule battery as named Column expressions — composable into
+    any projection (the funnel capstones ride them alongside other
+    signals in ONE scan). See :func:`gopher_rules` for semantics."""
     text = F.col(text_col)
     toks = T.tokens(text_col)
     n = F.size(toks).cast("bigint")
@@ -131,16 +112,83 @@ def gopher_rules(
         & (alpha_ratio >= F.lit(float(min_alpha_ratio)))
         & (stop_hits >= F.lit(int(min_stop_hits)))
     )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "alpha_ratio": alpha_ratio,
+        "symbol_ratio": symbol_ratio,
+        "bullet_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_line_ratio,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+def linear_margin(model: dict | None = None, text_col: str = "text"):
+    """The raw linear quality margin as ONE Column expression (fixed
+    term order — see :func:`score_documents` for why no sigmoid and
+    no reordering)."""
+    model = dict(DEFAULT_MODEL if model is None else model)
+    bias = float(model.pop("bias", 0.0))
+    feats = quality_features(text_col)
+    unknown = set(model) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown quality features: {sorted(unknown)}")
+    score = F.lit(bias)
+    for name in FEATURE_ORDER:
+        if name in model:
+            score = score + F.lit(float(model[name])) * feats[name]
+    return score
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, A1.1) as one pure JVM
+    projection — the published hand-rule complement to the trained
+    scorer above. Per document: the raw feature values plus the final
+    ``keep`` decision (every rule must pass). No UDF, no shuffle; at
+    100 TB this is a map-only pass that rides whatever scan partition
+    layout the corpus already has.
+
+    Rules (thresholds are the paper's, except ``min_words`` which the
+    caller can drop for short-document corpora):
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_len, max_mean_len];
+    - symbol-to-word ratio ('#' chars + '...' runs) ≤ max_symbol_ratio;
+    - ≤ max_bullet_ratio of lines start with a bullet;
+    - ≤ max_ellipsis_ratio of lines end with an ellipsis;
+    - ≥ min_alpha_ratio of words contain an alphabetic character;
+    - at least min_stop_hits distinct words from GOPHER_STOPWORDS.
+
+    All ratios are single IEEE divisions of exact integer counts, so
+    the DuckDB oracle hash-matches bit-exactly.
+    """
+    cols = gopher_columns(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_len=min_mean_len,
+        max_mean_len=max_mean_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_ratio=max_bullet_ratio,
+        max_ellipsis_ratio=max_ellipsis_ratio,
+        min_alpha_ratio=min_alpha_ratio,
+        min_stop_hits=min_stop_hits,
+    )
     return df.select(
-        F.col(id_col),
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_ratio"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_ratio.alias("bullet_ratio"),
-        ellipsis_line_ratio.alias("ellipsis_line_ratio"),
-        stop_hits.alias("stop_hits"),
-        keep.alias("keep"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -172,16 +220,7 @@ def score_documents(
     ``bias``) to coefficients; defaults to :data:`DEFAULT_MODEL`.
     Unknown feature names raise — silently ignoring a coefficient
     would score with a different model than the caller trained."""
-    model = dict(DEFAULT_MODEL if model is None else model)
-    bias = float(model.pop("bias", 0.0))
-    feats = quality_features(text_col)
-    unknown = set(model) - set(feats)
-    if unknown:
-        raise ValueError(f"unknown quality features: {sorted(unknown)}")
-    score = F.lit(bias)
-    for name in FEATURE_ORDER:
-        if name in model:
-            score = score + F.lit(float(model[name])) * feats[name]
+    score = linear_margin(model, text_col)
     # 1e-4 grid by FLOOR, not round(): small-decimal weights times
     # simple token ratios land scores EXACTLY on .00005 boundaries,
     # where Spark's round (exact BigDecimal, HALF_UP) and DuckDB's

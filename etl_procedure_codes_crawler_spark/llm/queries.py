@@ -2966,6 +2966,183 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_corpus_prep_v3",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, source, text, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT doc_a, doc_b
+        FROM shared
+          JOIN sizes x ON x.doc_id = doc_a
+          JOIN sizes y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    ),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM p
+        UNION ALL
+        SELECT doc_b AS x, doc_a AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    ),
+    cl AS (SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY v),
+    sig AS (
+        SELECT doc_id, source,
+               CAST(len(t) AS BIGINT) AS n_words,
+               (len(t) >= 50 AND len(t) <= 100000
+                AND CAST(list_sum([len(x) for x in t]) AS DOUBLE)/len(t)
+                    >= 3.0
+                AND CAST(list_sum([len(x) for x in t]) AS DOUBLE)/len(t)
+                    <= 10.0
+                AND CAST((len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '...', ''))) / 3
+                     AS DOUBLE) / len(t) <= 0.1
+                AND CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> starts_with(ltrim(l), '-')
+                          OR starts_with(ltrim(l), '*'))) AS DOUBLE)
+                    / len(string_split(text, chr(10))) <= 0.9
+                AND CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                    / len(string_split(text, chr(10))) <= 0.3
+                AND CAST(len(list_filter(t,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / len(t) >= 0.8
+                AND len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(t, w))) >= 1) AS gopher_ok,
+               FLOOR((-1.2
+                      + 1.1 * (CAST(LEAST(len(t), 256) AS DOUBLE) / 256.0)
+                      + 0.6 * (CAST(len(list_distinct(t)) AS DOUBLE)/len(t))
+                      + -0.18 * (CAST(list_sum([len(x) for x in t])
+                                      AS DOUBLE) / len(t))
+                      + 6.5 * (CAST(len(list_filter(t, x -> x IN
+                            ('the','and','of','to','in','is','you',
+                             'that','it','was'))) AS DOUBLE) / len(t)))
+                     * 10000.0) / 10000.0 AS qs,
+               (SELECT CAST(COALESCE(list_sum(
+                    [len(string_split(b, ' ')) for b in
+                     [bl[i] for i in generate_series(1, len(bl))
+                      if list_position(bl, bl[i]) = i]]), 0) AS BIGINT)
+                FROM (SELECT [array_to_string(t[((i-1)*2+1):(i*2)], ' ')
+                              for i in generate_series(1,
+                                  CAST(ceil(len(t) / 2.0) AS BIGINT))]
+                          AS bl)
+               ) AS n_tokens_clean
+        FROM toks
+    ),
+    gated AS (
+        SELECT sig.*, cluster_id,
+               gopher_ok AND qs > -1.28 AS pass
+        FROM sig JOIN cl USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY CASE WHEN pass THEN 0 ELSE 1 END,
+                            qs DESC, doc_id ASC) AS rn
+        FROM gated
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN gopher_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher_pass,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_pass,
+           CAST(SUM(CASE WHEN pass AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_final,
+           CAST(SUM(CASE WHEN pass AND rn = 1 THEN n_tokens_clean
+                    ELSE 0 END) AS BIGINT) AS total_tokens_final
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def llm_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 funnel capstone: per source, survival through the
+    published Gopher rule battery → the trained linear quality gate →
+    near-dup CLUSTER survivor selection (best quality per cluster),
+    with the final token yield measured AFTER within-document
+    repeated-block removal.
+
+    Shape: every row-level signal — all 7 Gopher rules, the quality
+    margin, the block-dedup'd token count — is one JVM projection over
+    ONE corpus scan (the expression builders the standalone operators
+    share: quality.gopher_columns, quality.linear_margin,
+    dedup.intra_doc_kept_blocks). The only corpus-sized exchanges are
+    the df-capped shingle posting-list join that mines the near-dup
+    edges and the cluster-keyed survivor window; components iterate on
+    the edge relation only."""
+    from . import cluster as CL
+    from . import quality as Q
+
+    documents = T.spread_small_input(load(spark, sf_dir, "documents"))
+    g = Q.gopher_columns("text", min_stop_hits=1)
+    margin = Q.linear_margin()
+    qs = F.floor(margin * F.lit(10000.0)) / F.lit(10000.0)
+    _, kept = D.intra_doc_kept_blocks("text", block=2)
+    n_clean = F.aggregate(
+        kept,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.size(F.split(b, " ")).cast("bigint"),
+    )
+    sig = documents.select(
+        "doc_id",
+        "source",
+        g["n_words"].alias("n_words"),
+        g["keep"].alias("gopher_ok"),
+        qs.alias("qs"),
+        F.coalesce(n_clean, F.lit(0)).alias("n_tokens_clean"),
+    )
+    pairs = D.ngram_jaccard_pairs(
+        documents, threshold=0.05, max_doc_freq=50
+    ).select("doc_a", "doc_b")
+    clusters = CL.duplicate_clusters(pairs, all_ids=documents)
+    gated = sig.join(clusters, "doc_id").withColumn(
+        "pass", F.col("gopher_ok") & (F.col("qs") > F.lit(-1.28))
+    )
+    w = SparkWindow.partitionBy("cluster_id").orderBy(
+        F.when(F.col("pass"), 0).otherwise(1),
+        F.col("qs").desc(),
+        F.asc("doc_id"),
+    )
+    ranked = gated.withColumn("rn", F.row_number().over(w))
+    final = F.col("pass") & (F.col("rn") == 1)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("gopher_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gopher_pass"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_pass"),
+        F.sum(F.when(final, 1).otherwise(0)).cast("bigint").alias(
+            "n_docs_final"
+        ),
+        F.sum(F.when(final, F.col("n_tokens_clean")).otherwise(0))
+        .cast("bigint")
+        .alias("total_tokens_final"),
+    )
+
+
+@register(
     "near_dup_quality_survivors",
     oracle=f"""
     WITH RECURSIVE
