@@ -32,7 +32,6 @@ _GATE_PRIORITY = [
     # relational keepers — one per §2.5 family, all green r1-r4
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q10_returned_items",
     "anti_join_customers_without_orders",
     "clean_codes_normalize",
     "window_top3_orders_per_customer",
@@ -46,12 +45,20 @@ _GATE_PRIORITY = [
     "streaming_hourly_event_counts",
     # TPC-H completions — never driver-sampled before r5
     "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",
     "q21_last_to_ship_suppliers",
+    # round-7 session-2 families take four long-green TPC-H slots
+    # (q6/q7/q8/q10 stay oracled in the full registry + parity
+    # replica): exact TV drift, its streaming monitor twin,
+    # leakage-safe cluster holdout (recursive-components oracle), and
+    # the v3 funnel capstone — which also hash-proves the Gopher
+    # battery, the quality margin, intra-doc block dedup, and the
+    # quality-survivor ranking inside one sampled slot
+    "token_drift_by_source",
+    "streaming_token_drift_monitor",
+    "cluster_aware_holdout",
+    "llm_corpus_prep_v3",
     # temporal joins / funnels / distribution
     "asof_last_view_before_purchase",
     "range_join_purchases_within_hour_of_signup",

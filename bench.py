@@ -146,6 +146,10 @@ HEADLINE = [
     "cluster_aware_holdout",
     "bloom_prefilter_documents",
     "sequence_packing_bestfit",
+    # quality-argmax survivor selection + the v3 single-scan funnel
+    # capstone (gopher + margin + block dedup + cluster survivors)
+    "near_dup_quality_survivors",
+    "llm_corpus_prep_v3",
 ]
 
 

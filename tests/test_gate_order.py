@@ -80,6 +80,11 @@ def test_family_coverage_in_gate_sample(entry):
         "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms"},
         "packing": {"sequence_packing_stats"},
         "data_selection": {"dsir_importance_topk"},
+        "drift": {"token_drift_by_source", "streaming_token_drift_monitor"},
+        "leakage_safe_split": {"cluster_aware_holdout"},
+        # v3 hash-proves gopher rules + quality margin + intra-doc
+        # block dedup + cluster quality survivors in one slot
+        "round7_funnel": {"llm_corpus_prep_v3"},
     }
     uncovered = [fam for fam, members in families.items() if not members & sample]
     assert not uncovered, f"families with no gate-sample hash row: {uncovered}"
