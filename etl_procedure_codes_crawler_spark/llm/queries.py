@@ -2966,6 +2966,200 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_qa_report",
+    oracle="""
+    WITH flags AS (
+        SELECT label, embedding,
+               embedding IS NULL AS is_null,
+               COALESCE(len(list_filter(embedding,
+                   v -> isnan(CAST(v AS DOUBLE))
+                     OR isinf(CAST(v AS DOUBLE)))) > 0, FALSE) AS has_bad,
+               COALESCE(len(list_filter(embedding,
+                   v -> v <> 0)) = 0, FALSE) AS is_zero
+        FROM embeddings
+    ),
+    per_vec AS (
+        SELECT label, is_null, has_bad, is_zero,
+               -- NULL and non-finite vectors contribute 0 to the norm
+               -- sum (casting NaN/Inf to BIGINT is an error in both
+               -- engines, and a poisoned mean helps nobody)
+               CASE WHEN is_null OR has_bad THEN 0 ELSE
+                   CAST(list_sum([CAST(round(CAST(v AS DOUBLE)
+                       * CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                       for v in embedding]) AS BIGINT)
+               END AS sq6
+        FROM flags
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(SUM(CASE WHEN has_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(SUM(CASE WHEN is_zero AND NOT is_null THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero,
+           CAST(SUM(sq6) AS DOUBLE) / COUNT(*) / 1000000.0
+               AS mean_sq_norm
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-corpus health per label: NULL embeddings, non-finite
+    elements (NaN/Inf — the classic training-crash landmine), all-zero
+    vectors, and the mean squared norm (1e-6 fixed-point exact sums,
+    the embedding_dimension_means discipline — no libm sqrt, so the
+    oracle hash-matches). Map-side only; one tiny groupBy."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    sq6 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + F.round(e.cast("double") * e.cast("double") * 1000000).cast(
+            "bigint"
+        ),
+    )
+    flags = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        "embedding",
+        F.col("embedding").isNull().alias("is_null"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    "embedding",
+                    lambda e: F.isnan(e.cast("double"))
+                    | (e.cast("double") == float("inf"))
+                    | (e.cast("double") == float("-inf")),
+                )
+            )
+            > 0,
+            F.lit(False),
+        ).alias("has_bad"),
+        F.coalesce(
+            F.size(F.filter("embedding", lambda e: e != 0)) == 0,
+            F.lit(False),
+        ).alias("is_zero"),
+    )
+    per_vec = flags.select(
+        "label",
+        "is_null",
+        "has_bad",
+        "is_zero",
+        # NULL and non-finite vectors contribute 0 (NaN→BIGINT is an
+        # ANSI error, and a poisoned mean helps nobody)
+        F.when(
+            F.col("is_null") | F.col("has_bad"), F.lit(0).cast("bigint")
+        )
+        .otherwise(sq6)
+        .alias("sq6"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("is_null"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.sum(F.when(F.col("has_bad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.sum(
+            F.when(F.col("is_zero") & ~F.col("is_null"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_zero"),
+        (
+            F.sum("sq6").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("mean_sq_norm"),
+    )
+
+
+@register(
+    "boilerplate_prefix_groups",
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               array_to_string(
+                   (string_split_regex(trim(text), '\s+'))[1:3], ' ')
+                   AS prefix
+        FROM documents
+    )
+    SELECT prefix,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id
+    FROM p GROUP BY prefix HAVING COUNT(*) > 1
+    """,
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detection: documents opening with the
+    same first-k tokens (crawl templates, injected headers) grouped
+    with counts — the cheap precursor to span-level dedup (group by a
+    prefix hash, one shuffle of (prefix, id) pairs). Gate knob: k=3 —
+    the synthetic docs are short, so a realistic k=16 would find
+    nothing; a production corpus would use 16+."""
+    documents = load(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(T.tokens("text"), 1, 3), " ")
+    return (
+        documents.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "source_length_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n,
+               SUM(n_chars) AS sm,
+               SUM(n_chars * n_chars) AS sq
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST((d.n_chars * s.n - s.sm) AS DECIMAL(38,0))
+               * CAST((d.n_chars * s.n - s.sm) AS DECIMAL(38,0))
+             > 4 * (CAST(s.n AS DECIMAL(38,0)) * CAST(s.sq AS DECIMAL(38,0))
+                    - CAST(s.sm AS DECIMAL(38,0))
+                      * CAST(s.sm AS DECIMAL(38,0)))
+               AS is_outlier
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def source_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-anomaly flags: |len − μ_src| > 2σ_src, tested
+    ENTIRELY in integer arithmetic — (x·n − Σx)² > 4·(n·Σx² − (Σx)²)
+    — so no sqrt, no float accumulation, and the oracle hash-matches
+    bit-exactly (products ride DECIMAL(38,0) against overflow). The
+    per-source moments are one tiny broadcast; flagging is map-side."""
+    documents = load(spark, sf_dir, "documents")
+    s = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sm"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
+    )
+    dev = (F.col("n_chars") * F.col("n") - F.col("sm")).cast(
+        "decimal(38,0)"
+    )
+    var_n2 = F.col("n").cast("decimal(38,0)") * F.col("sq").cast(
+        "decimal(38,0)"
+    ) - F.col("sm").cast("decimal(38,0)") * F.col("sm").cast(
+        "decimal(38,0)"
+    )
+    return documents.join(F.broadcast(s), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (dev * dev > F.lit(4).cast("decimal(38,0)") * var_n2).alias(
+            "is_outlier"
+        ),
+    )
+
+
+@register(
     "llm_corpus_prep_v3",
     oracle=f"""
     WITH RECURSIVE
