@@ -2966,6 +2966,67 @@ def cluster_aware_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_budget_capped_ingest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n FROM documents),
+    c AS (
+        SELECT doc_id, source,
+               SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id FROM c
+    WHERE source NOT IN ('src0', 'src1', 'src2') OR cum <= 800
+    """,
+)
+def streaming_budget_capped_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-capped STREAMING ingest end to end
+    (streaming/incremental.stream_ingest_with_budget): the corpus
+    arrives as one micro-batch with three sources capped at 800
+    accepted tokens each (≈half their totals, so the cut lands
+    mid-source at every SF) and the rest uncapped. The warehouse must
+    contain exactly the prefix-by-id documents whose running token sum
+    fits — the oracle recomputes the identical per-source cumulative
+    window."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_ingest_with_budget
+
+    root = tempfile.mkdtemp(prefix="budget_")
+    try:
+        src = _os.path.join(root, "incoming")
+        _os.makedirs(src)
+        shutil.copy(
+            _os.path.join(sf_dir, "documents.parquet"),
+            _os.path.join(src, "b1.parquet"),
+        )
+        schema = spark.read.parquet(src).schema
+        wh = _os.path.join(root, "wh")
+        q = stream_ingest_with_budget(
+            spark,
+            src,
+            schema,
+            wh,
+            _os.path.join(root, "ckpt"),
+            budgets={"src0": 800, "src1": 800, "src2": 800},
+        )
+        q.awaitTermination()
+        from ..sources.parquet import read_table_or_empty
+
+        return (
+            read_table_or_empty(spark, wh, schema)
+            .select("doc_id")
+            .localCheckpoint(eager=True)  # outlives the temp dir
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "embedding_qa_report",
     oracle="""
     WITH flags AS (

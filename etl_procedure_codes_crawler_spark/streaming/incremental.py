@@ -117,6 +117,105 @@ def stream_incremental_append(
     return writer.start()
 
 
+def stream_ingest_with_budget(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    budgets: dict[str, int],
+    key: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Ingest with PER-SOURCE TOKEN BUDGETS enforced at the gate — the
+    UniMax-style mixture cap applied online: once a source's accepted
+    token count reaches its budget, further documents from that source
+    are rejected (whole documents only; a partial doc is never split).
+
+    Within a batch, documents are considered in ``key`` order per
+    source (deterministic — replaying a batch re-makes the identical
+    accept/reject decisions), via a per-source running token sum
+    window. The already-consumed count is derived FROM THE WAREHOUSE
+    each batch, which makes the cap crash-consistent by construction:
+    a replayed batch sees exactly the tokens that actually landed
+    (the anti-join dedups its own earlier append), so no separate
+    consumed-counter can drift. At 100 TB, swap the per-batch
+    warehouse aggregation for a transactionally-maintained per-source
+    stats table — the gate logic is unchanged.
+
+    ``budgets`` maps source → max accepted tokens; sources missing
+    from the map are UNCAPPED (explicitly: a new source appearing
+    mid-stream must not be silently dropped).
+    """
+    from ..llm.text import token_count
+    from ..operators.dedup import anti_join_on_key as _anti
+
+    blist = sorted(budgets.items())
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        existing = read_table_or_empty(spark, warehouse_path, batch.schema)
+        rows = (
+            batch.filter(F.col(key).isNotNull()).dropDuplicates([key])
+        )
+        fresh = _anti(rows, existing, key)
+        consumed = existing.groupBy(source_col).agg(
+            F.sum(token_count(text_col)).alias("_used")
+        )
+        budget_col = None
+        for src, cap in blist:
+            branch = (
+                F.when(F.col(source_col) == src, F.lit(int(cap)))
+                if budget_col is None
+                else budget_col.when(F.col(source_col) == src, F.lit(int(cap)))
+            )
+            budget_col = branch
+        budget_col = (
+            budget_col.otherwise(F.lit(None).cast("bigint"))
+            if budget_col is not None
+            else F.lit(None).cast("bigint")
+        )
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(F.asc(key))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        gated = (
+            fresh.withColumn("_n_tok", token_count(text_col))
+            .withColumn("_cum", F.sum("_n_tok").over(w))
+            .join(F.broadcast(consumed), source_col, "left")
+            .withColumn("_budget", budget_col)
+            .filter(
+                F.col("_budget").isNull()
+                | (
+                    F.coalesce(F.col("_used"), F.lit(0)) + F.col("_cum")
+                    <= F.col("_budget")
+                )
+            )
+            .drop("_n_tok", "_cum", "_used", "_budget")
+        )
+        accepted = gated.localCheckpoint(eager=True)
+        if not accepted.isEmpty():
+            accepted.write.mode("append").option(
+                "compression", "snappy"
+            ).parquet(warehouse_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_training_shuffle(
     spark: SparkSession,
     source_dir: str,

@@ -251,3 +251,77 @@ class TestBloomGatedIngest:
         self._run(spark, dirs)
         rows = spark.read.parquet(dirs["warehouse"]).collect()
         assert sorted(r.code for r in rows) == ["a", "b"]
+
+
+class TestBudgetCappedIngest:
+    """stream_ingest_with_budget: per-source token budgets enforced
+    across batches, consumed count derived from the warehouse."""
+
+    SCHEMA_DOCS = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+
+    def _drop_docs(self, spark, source_dir, name, rows):
+        import glob
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        spark.createDataFrame(rows, self.SCHEMA_DOCS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(source_dir, f"{name}.parquet"))
+
+    def _run(self, spark, dirs, ck):
+        from etl_procedure_codes_crawler_spark.streaming.incremental import (
+            stream_ingest_with_budget,
+        )
+
+        q = stream_ingest_with_budget(
+            spark,
+            dirs["source"],
+            self.SCHEMA_DOCS,
+            dirs["warehouse"],
+            ck,
+            budgets={"capped": 6},
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def test_budget_spans_batches_and_replay(self, spark, dirs):
+        # batch 1: 4 tokens accepted from 'capped' (budget 6)
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b1",
+            [(1, "a b", "capped"), (2, "c d", "capped"), (50, "x y z", "free")],
+        )
+        self._run(spark, dirs, dirs["checkpoint"])
+        # batch 2: doc 3 (2 tokens) fits exactly; doc 4 would exceed;
+        # 'free' stays uncapped
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b2",
+            [(3, "e f", "capped"), (4, "g h", "capped"), (51, "w", "free")],
+        )
+        self._run(spark, dirs, dirs["checkpoint"])
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()
+        )
+        assert got == [1, 2, 3, 50, 51]
+        # crash-replay of batch 2 (fresh checkpoint): anti-join skips
+        # everything already landed; budget decisions are unchanged
+        import shutil
+
+        shutil.rmtree(dirs["checkpoint"])
+        self._run(spark, dirs, dirs["checkpoint"])
+        again = sorted(
+            r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()
+        )
+        assert again == [1, 2, 3, 50, 51]
