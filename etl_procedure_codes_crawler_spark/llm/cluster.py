@@ -30,18 +30,60 @@ class ComponentsNotConverged(RuntimeError):
     clusters."""
 
 
+#: below this many (deduped, directed) adjacency rows the component
+#: fixpoint runs as driver-side union-find instead of the distributed
+#: loop — same policy as the BPE trainer's in-process path: state that
+#: is DRIVER METADATA (a few hundred thousand edge rows) should not
+#: schedule O(diameter) distributed rounds. 2M rows ≈ 32 MB of longs.
+SMALL_EDGE_LIMIT = 2_000_000
+
+
+def _driver_union_find(rows) -> list:
+    """Min-root union-find over collected (v, n) rows — exactly the
+    hash-min fixpoint (component = min reachable id), because unions
+    always attach the larger root under the smaller."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = find(row[0]), find(row[1])
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    return [(v, find(v)) for v in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
     on_unconverged: str = "raise",
+    small_edge_limit: int | None = None,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id reachable.
 
     ``edges`` is undirected input (each pair once is enough). Isolated
     vertices don't appear (no edges → they are their own component
     trivially; union them in upstream if needed).
+
+    Edge sets at or below ``small_edge_limit`` adjacency rows (default
+    :data:`SMALL_EDGE_LIMIT`) collect to the driver and resolve with
+    union-find — near-dup edge relations are usually tiny next to the
+    corpus that produced them, and O(E·α) in-process beats scheduling
+    O(diameter) distributed rounds by an order of magnitude. Larger
+    graphs run the hash-min label-propagation loop (one join + one
+    materialization per round, convergence check riding the round's
+    own job as an Observation). Both paths compute the identical
+    fixpoint; pass ``small_edge_limit=0`` to force the distributed
+    loop.
 
     If labels are still changing after ``max_iter`` passes (graph
     diameter > max_iter — e.g. one long duplicate chain), the labels
@@ -53,6 +95,19 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
     rev = edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
     adj = fwd.unionByName(rev).distinct().persist()
+
+    limit = SMALL_EDGE_LIMIT if small_edge_limit is None else small_edge_limit
+    # the count both materializes the persist (paid exactly once either
+    # way — the loop's first round would have) and sizes the decision
+    n_adj = adj.count()
+    if n_adj <= limit:
+        spark = edges.sparkSession
+        vt = dict(adj.dtypes)["v"]  # keep the caller's id type
+        labeled = _driver_union_find(adj.collect())
+        adj.unpersist()
+        return spark.createDataFrame(
+            labeled or [], f"vertex {vt}, component {vt}"
+        )
 
     labels = (
         adj.select("v")

@@ -48,10 +48,14 @@ def test_unconverged_raises_instead_of_wrong_labels(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
     )
+    # force the distributed loop: the driver fast path has no
+    # iteration bound (union-find always converges)
     with pytest.raises(ComponentsNotConverged, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, small_edge_limit=0)
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        partial = connected_components(chain, max_iter=2, on_unconverged="warn")
+        partial = connected_components(
+            chain, max_iter=2, on_unconverged="warn", small_edge_limit=0
+        )
     assert partial.count() == 9  # partial labels still returned on warn
 
 
@@ -132,3 +136,47 @@ class TestKeepBestInCluster:
         # a global (unpartitioned) window would funnel the corpus
         # through one task; the partition spec must be present
         assert re.search(r"Window.*cluster_id", plan)
+
+
+class TestDriverFastPath:
+    EDGES = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (5, 5)]
+
+    def test_paths_agree(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import cluster as CL
+
+        pairs = spark.createDataFrame(self.EDGES, "doc_a bigint, doc_b bigint")
+        fast = {
+            (r.vertex, r.component)
+            for r in CL.connected_components(pairs).collect()
+        }
+        slow = {
+            (r.vertex, r.component)
+            for r in CL.connected_components(
+                pairs, small_edge_limit=0
+            ).collect()
+        }
+        assert fast == slow
+        assert (3, 1) in fast and (22, 20) in fast and (5, 5) in fast
+
+    def test_empty_edges(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import cluster as CL
+
+        pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+        assert CL.connected_components(pairs).count() == 0
+
+    def test_fast_path_job_count_independent_of_diameter(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import cluster as CL
+
+        tracker = spark.sparkContext.statusTracker()
+
+        def jobs(edges):
+            pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+            before = len(tracker.getJobIdsForGroup(None) or [])
+            CL.connected_components(pairs).collect()
+            return len(tracker.getJobIdsForGroup(None) or []) - before
+
+        shallow = jobs([(0, 1), (2, 3)])  # diameter 1
+        deep = jobs([(i, i + 1) for i in range(30)])  # diameter 30
+        # the distributed loop would add jobs per diameter round; the
+        # driver fast path must not
+        assert deep == shallow, (shallow, deep)
