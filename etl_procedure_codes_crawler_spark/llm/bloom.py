@@ -60,9 +60,13 @@ def _positions(col, m_bits: int, k: int) -> list:
     pos_i = (h1 + i·h2) mod m — non-negative via pmod."""
     # reduce both draws mod m BEFORE the i·h2 products: xxhash64 spans
     # the full long range and i·h2 would overflow ANSI arithmetic;
-    # after reduction every intermediate is ≤ k·m
+    # after reduction every intermediate is ≤ k·m.
+    # h2 is forced into [1, m−1]: a zero step would collapse all k
+    # probes onto one bit for that key (~1/m of keys), locally
+    # inflating the false-positive rate past the designed bound (no
+    # false negatives either way — build and probe share the step).
     h1 = F.pmod(F.xxhash64(col, F.lit(0x5EED1)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(0x5EED2)), F.lit(m_bits))
+    h2 = F.lit(1) + F.pmod(F.xxhash64(col, F.lit(0x5EED2)), F.lit(m_bits - 1))
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).alias(f"_pos{i}")
         for i in range(k)
@@ -223,25 +227,40 @@ def append_to_bloom_store(
 
 
 def compact_bloom_store(spark: SparkSession, path: str) -> int:
-    """Fold accreted segments into one (atomic swap, crash-healed by
-    the next call — same discipline as sinks.parquet.compact_dataset).
-    Returns the folded row count."""
+    """Fold accreted segments into one. Returns the folded row count.
+
+    Reader-safe by OR-idempotency rather than by swap: the folded
+    relation is APPENDED into the live segments directory as one more
+    segment, and only then are the pre-fold segment files deleted
+    individually. Every intermediate listing a concurrent reader can
+    observe — old segments alone, old + folded, folded + a shrinking
+    suffix of old, folded alone — ORs to the identical filter, and the
+    directory is never empty mid-compaction (round 7's rename-out/
+    rename-in swap had a window where a reader folded an EMPTY store,
+    answered definitely-new for everything, and a concurrent
+    bloom-gated ingest would have bypassed the exact check). A crash
+    mid-delete merely leaves redundant old segments for the next
+    compaction to clear."""
     from ..sinks.fsutil import checked_rename, hadoop_fs, remove_stale
 
     fs, hpath = hadoop_fs(spark, path)
     seg = _segments_path(path)
     src = hpath(seg)
-    tmp = seg + "._compacting"
     backup = hpath(seg + "._precompact")
+    # heal the terminal states of the retired swap protocol, in case a
+    # pre-upgrade compaction crashed mid-swap
     if (not fs.exists(src)) and fs.exists(backup):
         checked_rename(fs, backup, src)
-    remove_stale(fs, hpath(tmp), backup)
+    remove_stale(fs, hpath(seg + "._compacting"), backup)
     if not fs.exists(src):
         return 0
+    before = [
+        f.getPath() for f in fs.listStatus(src)
+        if f.getPath().getName() != "_SUCCESS"
+    ]
     folded = read_bloom_store(spark, path).localCheckpoint(eager=True)
     n = folded.count()
-    folded.repartition(1).write.mode("overwrite").parquet(tmp)
-    checked_rename(fs, src, backup)
-    checked_rename(fs, hpath(tmp), src)
-    fs.delete(backup, True)
+    folded.repartition(1).write.mode("append").parquet(seg)
+    for p in before:
+        fs.delete(p, False)
     return n

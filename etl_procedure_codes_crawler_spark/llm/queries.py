@@ -3033,7 +3033,8 @@ def streaming_budget_capped_ingest(
         SELECT label, embedding,
                embedding IS NULL AS is_null,
                COALESCE(len(list_filter(embedding,
-                   v -> isnan(CAST(v AS DOUBLE))
+                   v -> v IS NULL
+                     OR isnan(CAST(v AS DOUBLE))
                      OR isinf(CAST(v AS DOUBLE)))) > 0, FALSE) AS has_bad,
                COALESCE(len(list_filter(embedding,
                    v -> v <> 0)) = 0, FALSE) AS is_zero
@@ -3088,7 +3089,14 @@ def embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(
                 F.filter(
                     "embedding",
-                    lambda e: F.isnan(e.cast("double"))
+                    # NULL ELEMENTS count as bad: F.aggregate would
+                    # propagate them into a NULL sq6 (silently dropping
+                    # the row from SUM while COUNT keeps it) where
+                    # DuckDB's list_sum skips them — flagging the
+                    # vector and zeroing its sq6 keeps both engines
+                    # exact and surfaces the corruption in n_nonfinite
+                    lambda e: e.isNull()
+                    | F.isnan(e.cast("double"))
                     | (e.cast("double") == float("inf"))
                     | (e.cast("double") == float("-inf")),
                 )

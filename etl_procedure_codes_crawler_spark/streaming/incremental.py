@@ -65,7 +65,6 @@ def stream_incremental_append(
         rows = batch
         if transform is not None:
             rows = transform(rows)
-        existing = read_table_or_empty(spark, warehouse_path, rows.schema)
         # NULL keys can never match the anti join, so a NULL-key row
         # would re-append on EVERY batch (and on crash replay) —
         # breaking both dedup and the exactly-once story. Same guard
@@ -77,15 +76,42 @@ def stream_incremental_append(
 
             meta = B.load_bloom_meta(spark, bloom_store_path)
             flt = B.read_bloom_store(spark, bloom_store_path)
+            if flt.isEmpty():
+                # coverage guard: an EMPTY filter guarding a NON-EMPTY
+                # warehouse means the store was created without seeding
+                # (or its segments were lost) — every probe would answer
+                # definitely-new and the fast path would re-append known
+                # keys with no error. Refuse loudly; the operator seeds
+                # via create_bloom_store(seed_df=warehouse).
+                probe = read_table_or_empty(
+                    spark, warehouse_path, rows.schema
+                )
+                if not probe.isEmpty():
+                    raise ValueError(
+                        f"bloom store {bloom_store_path!r} is empty but "
+                        f"warehouse {warehouse_path!r} has rows — the "
+                        "definitely-new fast path would re-append known "
+                        "keys; recreate the store seeded from the "
+                        "warehouse (create_bloom_store(seed_df=...))"
+                    )
             probed = B.probe_bloom(
                 rows, key, flt, meta["m_bits"], meta["k"]
-            )
+            ).localCheckpoint(eager=True)
             definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-            fresh = definite.unionByName(
-                anti_join_on_key(suspects, existing, key)
-            )
+            if suspects.isEmpty():
+                # every key is definitely new — skip the warehouse
+                # entirely (no scan is scheduled this batch)
+                fresh = definite
+            else:
+                existing = read_table_or_empty(
+                    spark, warehouse_path, rows.schema
+                )
+                fresh = definite.unionByName(
+                    anti_join_on_key(suspects, existing, key)
+                )
         else:
+            existing = read_table_or_empty(spark, warehouse_path, rows.schema)
             fresh = anti_join_on_key(rows, existing, key)
         # materialize once: isEmpty would otherwise run the whole
         # anti-join plan and the write would run it AGAIN from scratch
@@ -117,6 +143,178 @@ def stream_incremental_append(
     return writer.start()
 
 
+def budget_stats_path(warehouse_path: str) -> str:
+    """Default location of the per-source consumed-token stats
+    artifact: a SIBLING directory of the warehouse (never inside it —
+    the warehouse scan must not pick the stats files up)."""
+    return warehouse_path.rstrip("/") + "_budget_stats"
+
+
+def _budget_stats_schema(source_col: str) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        [
+            StructField("gate_id", StringType()),
+            StructField("batch_id", LongType()),
+            StructField(source_col, StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+
+def _stream_gate_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Stable identity of THIS stream incarnation: the StreamingQuery
+    id persisted in ``<checkpoint>/metadata``. Survives crash-restarts
+    (same checkpoint → same id, so a replayed batch can recognize its
+    own earlier stats row) and rolls over when the checkpoint is wiped
+    (new id → the old epoch's rows count as plain history, never as
+    "my own attempt")."""
+    import json as _json
+
+    from ..sinks.fsutil import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, checkpoint_dir)
+    p = hpath(checkpoint_dir.rstrip("/") + "/metadata")
+    if not fs.exists(p):
+        # foreachBatch only runs after the stream wrote its metadata;
+        # a missing file means a non-standard harness drove the sink
+        # directly — degrade to a shared epoch (budget still enforced;
+        # replay self-exclusion keys on batch_id alone)
+        return "epoch0"
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        chunks = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            chunks.append(line)
+    finally:
+        reader.close()
+    return str(_json.loads("".join(chunks))["id"])
+
+
+def read_consumed_tokens(
+    spark: SparkSession,
+    stats_path: str,
+    source_col: str = "source",
+    exclude: tuple[str, int] | None = None,
+) -> DataFrame:
+    """Per-source consumed-token totals from the stats artifact — a
+    relation of O(batches × sources) rows, NOT the corpus. Rows are
+    deduped on (gate_id, batch_id, source) first: crash-replayed
+    batches re-append byte-identical rows, so any surviving duplicate
+    is exact and dedup restores the true sum. With ``exclude`` set to
+    the calling batch's own (gate_id, batch_id), the batch sees the
+    world as of BEFORE its first attempt — the replay-determinism
+    contract (see :func:`stream_ingest_with_budget`)."""
+    stats = read_table_or_empty(
+        spark, stats_path, _budget_stats_schema(source_col)
+    )
+    if exclude is not None:
+        gid, bid = exclude
+        stats = stats.filter(
+            ~(
+                (F.col("gate_id") == F.lit(gid))
+                & (F.col("batch_id") == F.lit(int(bid)))
+            )
+        )
+    return (
+        stats.dropDuplicates(["gate_id", "batch_id", source_col])
+        .groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("_used"))
+    )
+
+
+def heal_budget_stats(
+    spark: SparkSession,
+    warehouse_path: str,
+    warehouse_schema: StructType,
+    stats_path: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Rebuild the stats artifact from the warehouse — the ONE
+    remaining O(corpus) aggregation, deliberately confined to the heal
+    path (stats lost/deleted, or a gate pointed at a pre-existing
+    warehouse). Overwrites the artifact with a single baseline row per
+    source under the reserved ``(gate_id='heal', batch_id=-1)`` key;
+    a crash mid-write is healed by the next call (parquet overwrite
+    commits via rename, and the auto-heal re-fires while the artifact
+    is empty)."""
+    from ..llm.text import token_count
+
+    wh = read_table_or_empty(spark, warehouse_path, warehouse_schema)
+    baseline = (
+        wh.groupBy(source_col)
+        .agg(F.sum(token_count(text_col)).alias("n_tokens"))
+        .select(
+            F.lit("heal").alias("gate_id"),
+            F.lit(-1).cast("bigint").alias("batch_id"),
+            F.col(source_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    baseline.repartition(1).write.mode("overwrite").parquet(stats_path)
+
+
+def budget_filter(
+    fresh: DataFrame,
+    consumed: DataFrame,
+    budgets: dict[str, int],
+    key: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pure gate decision: keep each document whose per-source
+    running token sum (in ``key`` order — deterministic, so a replay
+    re-makes identical decisions) fits within ``budget − consumed``.
+    Sources missing from ``budgets`` are UNCAPPED (a new source
+    appearing mid-stream must not be silently dropped). Returns the
+    accepted rows with a ``_n_tok`` column attached so the caller can
+    aggregate the batch's stats delta without re-tokenizing."""
+    from pyspark.sql import Window
+
+    from ..llm.text import token_count
+
+    budget_col = None
+    for src, cap in sorted(budgets.items()):
+        branch = (
+            F.when(F.col(source_col) == src, F.lit(int(cap)))
+            if budget_col is None
+            else budget_col.when(F.col(source_col) == src, F.lit(int(cap)))
+        )
+        budget_col = branch
+    budget_col = (
+        budget_col.otherwise(F.lit(None).cast("bigint"))
+        if budget_col is not None
+        else F.lit(None).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        fresh.withColumn("_n_tok", token_count(text_col))
+        .withColumn("_cum", F.sum("_n_tok").over(w))
+        .join(F.broadcast(consumed), source_col, "left")
+        .withColumn("_budget", budget_col)
+        .filter(
+            F.col("_budget").isNull()
+            | (
+                F.coalesce(F.col("_used"), F.lit(0)) + F.col("_cum")
+                <= F.col("_budget")
+            )
+        )
+        .drop("_cum", "_used", "_budget")
+    )
+
+
 def stream_ingest_with_budget(
     spark: SparkSession,
     source_dir: str,
@@ -129,78 +327,143 @@ def stream_ingest_with_budget(
     text_col: str = "text",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    stats_path: str | None = None,
+    bloom_store_path: str | None = None,
 ):
     """Ingest with PER-SOURCE TOKEN BUDGETS enforced at the gate — the
     UniMax-style mixture cap applied online: once a source's accepted
     token count reaches its budget, further documents from that source
     are rejected (whole documents only; a partial doc is never split).
 
-    Within a batch, documents are considered in ``key`` order per
-    source (deterministic — replaying a batch re-makes the identical
-    accept/reject decisions), via a per-source running token sum
-    window. The already-consumed count is derived FROM THE WAREHOUSE
-    each batch, which makes the cap crash-consistent by construction:
-    a replayed batch sees exactly the tokens that actually landed
-    (the anti-join dedups its own earlier append), so no separate
-    consumed-counter can drift. At 100 TB, swap the per-batch
-    warehouse aggregation for a transactionally-maintained per-source
-    stats table — the gate logic is unchanged.
+    Scale shape (this is the 100 TB design, not the sf0.01 one): the
+    already-consumed count per source comes from a TINY transactional
+    stats artifact (``stats_path``, default a warehouse sibling —
+    O(batches × sources) rows), NOT from re-aggregating the warehouse;
+    the only remaining per-batch corpus-sized work is the id anti-join,
+    and with ``bloom_store_path`` set even that collapses: keys probing
+    definitely-new skip the warehouse entirely (a batch whose keys are
+    all new schedules ZERO warehouse reads — pinned by
+    tests/test_streaming_incremental.py's corrupt-warehouse-file test),
+    and only the maybe-seen slice pays the exact check.
 
-    ``budgets`` maps source → max accepted tokens; sources missing
-    from the map are UNCAPPED (explicitly: a new source appearing
-    mid-stream must not be silently dropped).
+    Crash contract (write order is load-bearing — stats FIRST, then
+    bloom, then warehouse):
+
+    - The batch's stats delta is keyed ``(gate_id, batch_id)`` where
+      gate_id is the StreamingQuery id persisted in the checkpoint.
+      When computing consumed-before, a batch EXCLUDES its own key —
+      so a replay (same checkpoint → same gate_id+batch_id) sees the
+      identical consumed-before state and, decisions being
+      deterministic in ``key`` order, re-makes the identical
+      accept/reject set. Re-appended stats rows are byte-identical and
+      deduped on read.
+    - Crash after stats, before warehouse: the replay re-decides
+      identically and lands the data; nothing drifts.
+    - Crash after warehouse append: the replay's id anti-join empties
+      the batch; the stats row is already durable. (Stats-LAST would
+      instead lose the row forever here — the replay can no longer see
+      what the crashed attempt accepted.)
+    - Checkpoint wiped (outside the exactly-once contract but handled):
+      a new gate_id means old rows count as plain history; the id
+      anti-join still blocks re-appends, so the budget can only
+      under-fill, never overflow. ``heal_budget_stats`` restores
+      exactness.
+    - Stats artifact lost while the warehouse has data: auto-healed —
+      the sink detects the empty artifact and rebuilds it from the
+      warehouse ONCE (the heal path is the only O(corpus) aggregation
+      left; round 7 ran it every batch).
     """
-    from ..llm.text import token_count
     from ..operators.dedup import anti_join_on_key as _anti
 
-    blist = sorted(budgets.items())
+    if stats_path is None:
+        stats_path = budget_stats_path(warehouse_path)
+    gate_cache: dict[str, str] = {}
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
+        if "id" not in gate_cache:
+            gate_cache["id"] = _stream_gate_id(spark, checkpoint_dir)
+        gate_id = gate_cache["id"]
+        rows = batch.filter(F.col(key).isNotNull()).dropDuplicates([key])
+        stats_probe = read_table_or_empty(
+            spark, stats_path, _budget_stats_schema(source_col)
+        )
+        if stats_probe.isEmpty():
+            # empty stats + non-empty warehouse = unseeded gate (stats
+            # lost, or pointed at an existing corpus) — rebuild once
+            # rather than silently treating every budget as unspent
+            probe = read_table_or_empty(spark, warehouse_path, batch.schema)
+            if not probe.isEmpty():
+                heal_budget_stats(
+                    spark, warehouse_path, batch.schema, stats_path,
+                    source_col, text_col,
+                )
+        consumed = read_consumed_tokens(
+            spark, stats_path, source_col, exclude=(gate_id, batch_id)
+        )
+        if bloom_store_path is not None:
+            from ..llm import bloom as B
 
-        existing = read_table_or_empty(spark, warehouse_path, batch.schema)
-        rows = (
-            batch.filter(F.col(key).isNotNull()).dropDuplicates([key])
-        )
-        fresh = _anti(rows, existing, key)
-        consumed = existing.groupBy(source_col).agg(
-            F.sum(token_count(text_col)).alias("_used")
-        )
-        budget_col = None
-        for src, cap in blist:
-            branch = (
-                F.when(F.col(source_col) == src, F.lit(int(cap)))
-                if budget_col is None
-                else budget_col.when(F.col(source_col) == src, F.lit(int(cap)))
-            )
-            budget_col = branch
-        budget_col = (
-            budget_col.otherwise(F.lit(None).cast("bigint"))
-            if budget_col is not None
-            else F.lit(None).cast("bigint")
-        )
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(F.asc(key))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        gated = (
-            fresh.withColumn("_n_tok", token_count(text_col))
-            .withColumn("_cum", F.sum("_n_tok").over(w))
-            .join(F.broadcast(consumed), source_col, "left")
-            .withColumn("_budget", budget_col)
-            .filter(
-                F.col("_budget").isNull()
-                | (
-                    F.coalesce(F.col("_used"), F.lit(0)) + F.col("_cum")
-                    <= F.col("_budget")
+            meta = B.load_bloom_meta(spark, bloom_store_path)
+            flt = B.read_bloom_store(spark, bloom_store_path)
+            if flt.isEmpty():
+                # same coverage guard as stream_incremental_append: an
+                # empty filter over a non-empty warehouse would wave
+                # every known key through the definitely-new fast path
+                probe = read_table_or_empty(
+                    spark, warehouse_path, batch.schema
+                )
+                if not probe.isEmpty():
+                    raise ValueError(
+                        f"bloom store {bloom_store_path!r} is empty but "
+                        f"warehouse {warehouse_path!r} has rows — seed "
+                        "the store from the warehouse first"
+                    )
+            probed = B.probe_bloom(
+                rows, key, flt, meta["m_bits"], meta["k"]
+            ).localCheckpoint(eager=True)
+            definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            if suspects.isEmpty():
+                # every key is definitely new — the warehouse is not
+                # read AT ALL this batch
+                fresh = definite
+            else:
+                existing = read_table_or_empty(
+                    spark, warehouse_path, batch.schema
+                )
+                fresh = definite.unionByName(
+                    _anti(suspects, existing, key)
+                )
+        else:
+            existing = read_table_or_empty(spark, warehouse_path, batch.schema)
+            fresh = _anti(rows, existing, key)
+        accepted = budget_filter(
+            fresh, consumed, budgets, key, source_col, text_col
+        ).localCheckpoint(eager=True)
+        if not accepted.isEmpty():
+            # stats delta FIRST (see the crash contract above), from
+            # the _n_tok column budget_filter left attached — the
+            # batch is never re-tokenized
+            delta = (
+                accepted.groupBy(source_col)
+                .agg(F.sum("_n_tok").alias("n_tokens"))
+                .select(
+                    F.lit(gate_id).alias("gate_id"),
+                    F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+                    F.col(source_col),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
                 )
             )
-            .drop("_n_tok", "_cum", "_used", "_budget")
-        )
-        accepted = gated.localCheckpoint(eager=True)
-        if not accepted.isEmpty():
-            accepted.write.mode("append").option(
+            delta.repartition(1).write.mode("append").parquet(stats_path)
+            if bloom_store_path is not None:
+                from ..llm import bloom as B
+
+                # BEFORE the warehouse append — over-approximation only
+                # routes replayed keys to the exact check
+                B.append_to_bloom_store(
+                    spark, bloom_store_path, accepted, key
+                )
+            accepted.drop("_n_tok").write.mode("append").option(
                 "compression", "snappy"
             ).parquet(warehouse_path)
 

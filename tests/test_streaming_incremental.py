@@ -325,3 +325,179 @@ class TestBudgetCappedIngest:
             r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()
         )
         assert again == [1, 2, 3, 50, 51]
+
+
+class TestBudgetGateScaleSafe:
+    """Round-8 scale contract for stream_ingest_with_budget: consumed
+    tokens come from the tiny stats artifact (never a per-batch
+    warehouse aggregation), the bloom prefilter can skip the warehouse
+    scan entirely, and every crash window replays to the identical
+    accept/reject decisions."""
+
+    SCHEMA_DOCS = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+
+    def _drop_docs(self, spark, source_dir, name, rows):
+        import glob
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        spark.createDataFrame(rows, self.SCHEMA_DOCS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(source_dir, f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _run(self, spark, dirs, bloom=None):
+        from etl_procedure_codes_crawler_spark.streaming.incremental import (
+            stream_ingest_with_budget,
+        )
+
+        q = stream_ingest_with_budget(
+            spark,
+            dirs["source"],
+            self.SCHEMA_DOCS,
+            dirs["warehouse"],
+            dirs["checkpoint"],
+            budgets={"capped": 6},
+            bloom_store_path=bloom,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def _ids(self, spark, dirs):
+        return sorted(
+            r.doc_id
+            for r in spark.read.schema(self.SCHEMA_DOCS)
+            .parquet(dirs["warehouse"])
+            .collect()
+        )
+
+    def test_crash_after_stats_before_warehouse_replays_identically(
+        self, spark, dirs, monkeypatch
+    ):
+        """The gate's write order is stats → bloom → warehouse. A crash
+        between the stats write and the warehouse append (simulated by
+        exploding the bloom append that sits between them) must leave a
+        replay that re-makes the IDENTICAL decisions — and the durable
+        stats row from the crashed attempt must not double-count
+        against the budget in later batches."""
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        import etl_procedure_codes_crawler_spark.llm.bloom as Bmod
+
+        bloom = str(os.path.join(os.path.dirname(dirs["warehouse"]), "bloom"))
+        Bmod.create_bloom_store(spark, bloom, n_items=10_000)
+        # budget 6: cum 2, 4, 7 -> accept docs 1, 2; reject doc 3
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b1",
+            [(1, "a b", "capped"), (2, "c d", "capped"),
+             (3, "e f g", "capped")],
+        )
+        real_append = Bmod.append_to_bloom_store
+
+        def exploding(*a, **k):
+            raise RuntimeError("crash after stats, before warehouse")
+
+        monkeypatch.setattr(Bmod, "append_to_bloom_store", exploding)
+        with _pytest.raises(StreamingQueryException):
+            self._run(spark, dirs, bloom=bloom)
+        # the stats delta is durable, the data never landed
+        stats_dir = dirs["warehouse"].rstrip("/") + "_budget_stats"
+        stats = spark.read.parquet(stats_dir).collect()
+        assert [(r[2], r[3]) for r in stats] == [("capped", 4)]
+        assert not os.path.exists(
+            os.path.join(dirs["warehouse"], "_SUCCESS")
+        )
+        # replay with the same checkpoint: identical decisions land
+        monkeypatch.setattr(Bmod, "append_to_bloom_store", real_append)
+        self._run(spark, dirs, bloom=bloom)
+        assert self._ids(spark, dirs) == [1, 2]
+        # the re-appended stats row dedups: batch 2 sees consumed=4,
+        # not 8 — doc 4 (2 tokens) fits exactly, doc 5 would overflow
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b2",
+            [(4, "e f", "capped"), (5, "g h", "capped")],
+        )
+        self._run(spark, dirs, bloom=bloom)
+        assert self._ids(spark, dirs) == [1, 2, 4]
+
+    def test_all_new_batch_schedules_no_warehouse_scan(self, spark, dirs):
+        """With the bloom prefilter and stats artifact in steady state,
+        a batch whose keys all probe definitely-new must not read the
+        warehouse AT ALL — pinned by planting a corrupt file in the
+        warehouse directory: any scan would throw, so the stream
+        completing proves no scan was scheduled."""
+        import pytest as _pytest
+
+        import etl_procedure_codes_crawler_spark.llm.bloom as Bmod
+
+        bloom = str(os.path.join(os.path.dirname(dirs["warehouse"]), "bloom"))
+        Bmod.create_bloom_store(spark, bloom, n_items=10_000)
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b1",
+            [(1, "a b", "free"), (2, "c d", "free")],
+        )
+        self._run(spark, dirs, bloom=bloom)
+        poison = os.path.join(dirs["warehouse"], "zz_poison.parquet")
+        with open(poison, "wb") as fh:
+            fh.write(b"this is not a parquet file")
+        # control: the poison file DOES break any warehouse read
+        with _pytest.raises(Exception):
+            spark.read.schema(self.SCHEMA_DOCS).parquet(
+                dirs["warehouse"]
+            ).collect()
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b2",
+            [(11, "w x", "free"), (12, "y z", "free")],
+        )
+        self._run(spark, dirs, bloom=bloom)  # would raise on any scan
+        os.remove(poison)
+        assert self._ids(spark, dirs) == [1, 2, 11, 12]
+
+    def test_stats_loss_auto_heals_from_warehouse(self, spark, dirs):
+        """Deleting the stats artifact mid-history triggers the heal
+        path: the next batch rebuilds consumed-per-source from the
+        warehouse once, and decisions match the never-crashed run
+        (consumed=4, so doc 3 fits and doc 4 does not — a gate that
+        silently reset to consumed=0 would accept both)."""
+        import shutil
+
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b1",
+            [(1, "a b", "capped"), (2, "c d", "capped")],
+        )
+        self._run(spark, dirs)
+        stats_dir = dirs["warehouse"].rstrip("/") + "_budget_stats"
+        shutil.rmtree(stats_dir)
+        self._drop_docs(
+            spark,
+            dirs["source"],
+            "b2",
+            [(3, "e f", "capped"), (4, "g h", "capped")],
+        )
+        self._run(spark, dirs)
+        assert self._ids(spark, dirs) == [1, 2, 3]
+        # the heal baseline is visible in the rebuilt artifact
+        stats = spark.read.parquet(stats_dir).collect()
+        assert ("heal", -1) in {(r[0], r[1]) for r in stats}

@@ -77,6 +77,12 @@ class TestEmbeddingQaAndOutliers:
             (3, [float("nan"), 1.0], 0),
             (4, [0.0, 0.0], 0),
             (5, [float("inf"), 1.0], 1),
+            # NULL ELEMENT (not a NULL vector): Spark's F.aggregate
+            # would propagate it into a NULL sum while DuckDB's
+            # list_sum skips it — the report must flag it as
+            # non-finite and zero its norm contribution IN BOTH
+            # ENGINES (round-8 ADVICE fix)
+            (6, [None, 1.0], 2),
         ]
         df = spark.createDataFrame(
             rows, "vec_id bigint, embedding array<float>, label int"
@@ -84,16 +90,41 @@ class TestEmbeddingQaAndOutliers:
         import tempfile
 
         with tempfile.TemporaryDirectory() as d:
-            df.write.parquet(d + "/embeddings.parquet")
+            # single FLAT file, like the driver's testdata layout —
+            # DuckDB's read_parquet needs a file path, not a dataset dir
+            import glob as _glob
+            import shutil as _shutil
+
+            staging = d + "/_staging"
+            df.coalesce(1).write.parquet(staging)
+            _shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                d + "/embeddings.parquet",
+            )
             out = {
                 r.label: r
                 for r in embedding_qa_report(spark, d).collect()
             }
+            # cross-engine pin on the synthesized corruption: the real
+            # testdata has no NULL elements, so the driver's gate
+            # would never exercise this divergence — replicate its
+            # compare here on data that does
+            from etl_procedure_codes_crawler_spark.plans.parity import (
+                compare_query,
+            )
+            from etl_procedure_codes_crawler_spark.llm.queries import ORACLES
+
+            report = compare_query(
+                spark, d, embedding_qa_report, ORACLES["embedding_qa_report"]
+            )
+            assert report["values_match"], report
         assert out[0].n_vectors == 4 and out[0].n_null == 1
         assert out[0].n_nonfinite == 1  # the NaN vector
         assert out[0].n_zero == 1
         assert math.isclose(out[0].mean_sq_norm, 0.25)  # only v1: 1.0/4
         assert out[1].n_nonfinite == 1  # the Inf vector
+        assert out[2].n_nonfinite == 1  # the NULL-element vector
+        assert out[2].mean_sq_norm == 0.0
 
     def test_length_outliers_flag_extremes(self, spark):
         import tempfile
