@@ -91,6 +91,27 @@ def _pair_entries(sym_col, delta_col):
     )
 
 
+def _pair_entries_tagged(sym_col, delta_col, step: int):
+    """array<struct<m,l,r,d>> — :func:`_pair_entries` with a literal
+    batch-step tag baked into the SAME transform. The tag cannot be
+    added by a second transform over _pair_entries' output: nesting
+    transforms trips the same lambda-variable cross-binding the
+    _pair_entries docstring records (observed again in round 8 as
+    step tags taking the INNER sequence's index values)."""
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size(sym_col) - 1),
+        lambda i: F.struct(
+            F.lit(int(step)).alias("m"),
+            F.element_at(sym_col, i).alias("l"),
+            F.element_at(sym_col, i + 1).alias("r"),
+            delta_col.alias("d"),
+        ),
+    )
+    return F.when(F.size(sym_col) >= 2, entries).otherwise(
+        F.array().cast("array<struct<m:int,l:string,r:string,d:bigint>>")
+    )
+
+
 def _merge_pair(sym_col, left: str, right: str):
     """Greedy left-to-right non-overlapping merge of (left, right) →
     left+right inside one symbol array: an aggregate scan whose
@@ -113,9 +134,10 @@ def _merge_pair(sym_col, left: str, right: str):
     )
 
 
-#: every Nth merge the symbol table is localCheckpoint'ed to truncate
-#: the (cached but still nested) plan lineage
-_CHECKPOINT_EVERY = 8
+#: lineage is localCheckpoint-truncated once at least this many merges
+#: accreted since the last checkpoint (with batched merges that is
+#: every other batch or so — each checkpoint costs one job)
+_CHECKPOINT_EVERY = 16
 
 #: vocabularies at or below this many unique words train the merge
 #: loop on the DRIVER (see _train docstring); above it, distributed
@@ -324,6 +346,59 @@ def _train(
     return merges, syms
 
 
+#: upper bound on merges applied per distributed job; the batch
+#: selector may pick fewer (no disjoint candidates) and the validator
+#: may truncate (a prediction diverged), so this is a ceiling
+_MERGE_BATCH = 8
+
+
+def _argmax(counts: dict[tuple[str, str], int]):
+    return (
+        min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if counts
+        else None
+    )
+
+
+def _select_batch(
+    counts: dict[tuple[str, str], int],
+    first: tuple[str, str],
+    k: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str]]:
+    """Predict up to ``k`` merges likely to match the next ``k``
+    sequential argmax picks: walk the top of the count table in argmax
+    order and keep pairs whose symbols (left, right, AND the merged
+    string each would mint) are disjoint from every pair already in
+    the batch — merging one such pair cannot change another's count.
+    This is a HEURISTIC only: created pairs around a fresh merged
+    symbol can still overtake a later candidate, so the caller
+    validates every prediction against the true sequential argmax and
+    truncates at the first divergence. Exactness never depends on this
+    function."""
+    import heapq
+
+    batch = [first]
+    used = {first[0], first[1], first[0] + first[1]}
+    if k <= 1:
+        return batch
+    for (pl, pr), c in heapq.nsmallest(
+        max(4 * k, 16), counts.items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        if c < min_pair_freq:
+            break
+        if (pl, pr) == first:
+            continue
+        pm = pl + pr
+        if pl in used or pr in used or pm in used:
+            continue
+        batch.append((pl, pr))
+        used.update((pl, pr, pm))
+        if len(batch) == k:
+            break
+    return batch
+
+
 def _merge_loop(
     syms: DataFrame,
     counts: dict[tuple[str, str], int],
@@ -331,80 +406,122 @@ def _merge_loop(
     min_pair_freq: int,
     on_exhausted: str,
 ):
+    """Batched distributed merge loop — O(num_merges / batch) jobs.
+
+    Each iteration predicts a batch of symbol-disjoint pairs
+    (:func:`_select_batch`), applies them CHAINED in one projection
+    (state columns _s1.._sk, so the rewrite for pair j runs on pair
+    j−1's output — literally the sequential semantics, fused into one
+    job), and emits per-STEP pair-count deltas from the same job. The
+    driver then replays the sequential algorithm against those deltas:
+    before accepting prediction j it recomputes the true argmax from
+    the incrementally-updated count dict, and on the first divergence
+    (or threshold exhaustion) truncates the batch — the surviving
+    state is just column _s{accepted} of the already-persisted frame,
+    no recomputation. The first prediction is the exact argmax by
+    construction, so every job advances ≥ 1 merge and the learned
+    table is bit-identical to the one-merge-per-job loop (pinned in
+    tests/test_bpe.py). Round 7 scheduled one delta job per merge;
+    this is the ~batch-fold cut on top (32k production merges:
+    ~4k jobs instead of 32k)."""
     merges: list[tuple[int, str, str, int]] = []
     prev_cached: DataFrame | None = None
-    for rank in range(num_merges):
-        best = (
-            min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            if counts
-            else None
-        )
+    last_ckpt = 0
+    while len(merges) < num_merges:
+        best = _argmax(counts)
         if best is None or best[1] < min_pair_freq:
             if on_exhausted == "raise":
                 if prev_cached is not None:
                     prev_cached.unpersist()
                 raise BpeNotProgressing(
-                    f"learned {rank}/{num_merges} merges before pair "
-                    f"frequency fell below {min_pair_freq}"
+                    f"learned {len(merges)}/{num_merges} merges before "
+                    f"pair frequency fell below {min_pair_freq}"
                 )
             break
-        (left, right), cnt = best
-        merges.append((rank, left, right, cnt))
-        # The rewritten array gets a FRESH name (re-aliasing it back to
-        # "sym" in the same projection shadows the input column, and
-        # projection collapse then mixed old-array sizes with new-array
-        # lookups in the pushed-down filter — observed as element_at
-        # out-of-bounds). The merge scan runs unconditionally and
-        # "_changed" is a size comparison on its OUTPUT: a pre-filter
-        # via exists() would evaluate a second interpreted array scan
-        # per row, costing more than the merge it tries to skip.
-        step = (
-            syms.select(
-                "word",
-                "freq",
-                "sym",
-                _merge_pair(F.col("sym"), left, right).alias("_new"),
-            )
-            .withColumn("_changed", F.size("_new") < F.size("sym"))
-            .persist()
+        batch = _select_batch(
+            counts, best[0], min(_MERGE_BATCH, num_merges - len(merges)),
+            min_pair_freq,
         )
-        # exact per-pair deltas of the changed words: their old pairs
-        # leave the counts, their new pairs enter — computed from the
-        # REAL before/after arrays, so greedy-overlap bookkeeping
-        # ("aaa" counts (a,a) twice but merges once) is correct by
-        # construction. This collect also materializes `step`'s cache.
-        deltas = (
-            step.where("_changed")
-            .select(
-                F.explode(
-                    F.concat(
-                        _pair_entries(F.col("sym"), -F.col("freq")),
-                        _pair_entries(F.col("_new"), F.col("freq")),
-                    )
-                ).alias("e")
+        # Chained rewrites: each state column gets a FRESH name
+        # (re-aliasing back to "sym" in the same projection shadows
+        # the input column — projection collapse then mixed old-array
+        # sizes with new-array lookups, observed as element_at
+        # out-of-bounds). The merge scans run unconditionally; change
+        # detection is a size comparison on their OUTPUT (an exists()
+        # pre-filter would cost a second interpreted array scan).
+        step = syms.select("word", "freq", "sym")
+        prev_name = "sym"
+        for i, (left, right) in enumerate(batch, start=1):
+            step = step.withColumn(
+                f"_s{i}", _merge_pair(F.col(prev_name), left, right)
             )
-            .groupBy("e.l", "e.r")
+            prev_name = f"_s{i}"
+        step = step.persist()
+        # Exact per-pair deltas PER STEP, from the real before/after
+        # arrays of the words each step changed — greedy-overlap
+        # bookkeeping ("aaa" counts (a,a) twice but merges once) is
+        # correct by construction, and the step tag lets the driver
+        # replay the dict one merge at a time. One explode + one
+        # shuffle for the whole batch; this collect also materializes
+        # `step`'s cache.
+        tagged = []
+        prev_name = "sym"
+        for i in range(1, len(batch) + 1):
+            cur, prv = F.col(f"_s{i}"), F.col(prev_name)
+            ent = F.when(
+                F.size(cur) < F.size(prv),
+                F.concat(
+                    _pair_entries_tagged(prv, -F.col("freq"), i),
+                    _pair_entries_tagged(cur, F.col("freq"), i),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<m:int,l:string,r:string,d:bigint>>"
+                )
+            )
+            tagged.append(ent)
+            prev_name = f"_s{i}"
+        deltas = (
+            step.select(F.explode(F.concat(*tagged)).alias("e"))
+            .groupBy("e.m", "e.l", "e.r")
             .agg(F.sum("e.d").alias("d"))
             .where(F.col("d") != 0)
             .collect()
         )
+        by_step: dict[int, list] = {}
         for r in deltas:
-            pair, d = (r["l"], r["r"]), int(r["d"])
-            if pair in counts:
-                counts[pair] += d
-                if counts[pair] <= 0:
-                    del counts[pair]
-            elif d > 0:
-                counts[pair] = d
-            # a negative delta for an absent pair is one the initial
-            # prune dropped — still unelectable, still ignorable
+            by_step.setdefault(int(r["m"]), []).append(r)
+        # Sequential replay: accept prediction j only if it IS the
+        # argmax of the dict as updated through merge j−1.
+        accepted = 0
+        for j, (left, right) in enumerate(batch, start=1):
+            cur_best = _argmax(counts)
+            if (
+                cur_best is None
+                or cur_best[1] < min_pair_freq
+                or cur_best[0] != (left, right)
+            ):
+                break  # truncate; the outer loop re-decides exactly
+            merges.append((len(merges), left, right, cur_best[1]))
+            accepted = j
+            for r in by_step.get(j, ()):  # noqa: B020
+                pair, d = (r["l"], r["r"]), int(r["d"])
+                if pair in counts:
+                    counts[pair] += d
+                    if counts[pair] <= 0:
+                        del counts[pair]
+                elif d > 0:
+                    counts[pair] = d
+                # a negative delta for an absent pair is one the
+                # initial prune dropped — still unelectable, ignorable
         if prev_cached is not None:
             prev_cached.unpersist()
-        nxt = step.select("word", "freq", F.col("_new").alias("sym"))
-        if (rank + 1) % _CHECKPOINT_EVERY == 0:
+        nxt = step.select("word", "freq", F.col(f"_s{accepted}").alias("sym"))
+        if len(merges) - last_ckpt >= _CHECKPOINT_EVERY:
             syms = nxt.localCheckpoint(eager=True)
             step.unpersist()
             prev_cached = None
+            last_ckpt = len(merges)
         else:
             syms = nxt
             prev_cached = step

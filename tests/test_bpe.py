@@ -115,15 +115,16 @@ def test_distributed_loop_matches_driver_loop(spark):
 
 def test_incremental_counts_keep_job_count_flat(spark):
     """The distributed merge loop maintains pair counts in a driver
-    dict, so each merge costs ONE delta job over the changed words
-    (plus a lineage checkpoint every _CHECKPOINT_EVERY merges) — never
-    a full pair-recount + sort-limit per merge. Measured on this
-    corpus: round 6's recount loop scheduled 63 jobs at num_merges=20;
-    the incremental loop schedules 28. The ceiling pins the per-merge
-    job budget at <= 1.5 so a recount/argmax job creeping back in
-    fails loudly. (max_driver_words=0 forces the distributed path —
-    the default would train this tiny vocab on the driver with ~3
-    jobs total.)"""
+    dict, so merges cost delta jobs over the changed words — never a
+    full pair-recount + sort-limit per merge. Round 6's recount loop
+    scheduled 63 jobs at num_merges=20; round 7's incremental loop 28;
+    the batched loop here schedules ceil(merges/_MERGE_BATCH) delta
+    jobs plus periodic checkpoints. On this chain-heavy tiny corpus
+    batching mostly truncates (each merge mints the next argmax pair),
+    so the ceiling pins the WORST case at ~1 job per merge — a
+    recount/argmax job creeping back in still fails loudly.
+    (max_driver_words=0 forces the distributed path — the default
+    would train this tiny vocab on the driver with ~3 jobs total.)"""
     df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
     sc = spark.sparkContext
     num_merges = 12
@@ -136,10 +137,71 @@ def test_incremental_counts_keep_job_count_flat(spark):
         sc.setJobGroup("bpe_job_ceiling_done", "")
     jobs = len(sc.statusTracker().getJobIdsForGroup("bpe_job_ceiling"))
     assert len(merges) == num_merges
-    # budget: ~3 setup jobs (syms checkpoint + initial count collect,
-    # AQE may split it) + 1 delta job per merge + periodic checkpoints
+    # budget: ~3 setup jobs (syms checkpoint + count + initial pair
+    # collect) + at worst 1 delta job per merge + checkpoints
     ceiling = 4 + int(num_merges * 1.5)
     assert jobs <= ceiling, f"{jobs} jobs for {num_merges} merges"
+
+
+def test_batched_merges_cut_jobs_on_diverse_vocab(spark):
+    """Round-8 batching win: when the top pairs live in UNRELATED
+    words (the realistic shape of a web-scale vocabulary, where at any
+    rank many independent words compete), the loop applies
+    _MERGE_BATCH symbol-disjoint merges per job. 64 single-merge word
+    families over disjoint alphabets with distinct frequencies → the
+    LOOP portion runs ceil(64/8)=8 delta jobs + 4 checkpoints = 12,
+    vs 64 + 4 = 68 for round 7's one-job-per-merge loop — 5.7× fewer
+    (measured totals incl. the fixed ~9 setup/teardown jobs AQE
+    splits: 21 here vs ~77 before; at a production 32k-merge vocab the
+    fixed part vanishes and the ratio approaches the batch size).
+    The merge table must STILL be bit-identical to the sequential
+    semantics (frequency-descending family order)."""
+    letters = (
+        [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+        + [chr(c) for c in range(0x410, 0x450)]  # Cyrillic block
+        + [chr(c) for c in range(0x3B1, 0x3C9)]  # Greek lowercase
+    )
+    n_fam = 64
+    rows = []
+    doc_id = 0
+    expected = []
+    for i in range(n_fam):
+        l, r = letters[2 * i], letters[2 * i + 1]
+        freq = 200 - i  # distinct, descending: argmax order = family order
+        expected.append((l, r, freq))
+        for _ in range(freq):
+            doc_id += 1
+            rows.append((doc_id, l + r))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe_batch_win", "batched job-count pin")
+    try:
+        merges = (
+            B.train_bpe_merges(
+                df, num_merges=n_fam, min_pair_freq=2, max_driver_words=0
+            )
+            .orderBy("rank")
+            .collect()
+        )
+    finally:
+        sc.setJobGroup("bpe_batch_win_done", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup("bpe_batch_win"))
+    assert [(m.left, m.right, m.pair_freq) for m in merges] == expected
+    # 9 fixed jobs (setup collects split by AQE, final checkpoint pin,
+    # result collect) + the batched loop's delta jobs + checkpoints
+    loop_jobs = (n_fam + B._MERGE_BATCH - 1) // B._MERGE_BATCH + (
+        n_fam // B._CHECKPOINT_EVERY
+    )
+    ceiling = 9 + loop_jobs
+    assert jobs <= ceiling, (
+        f"{jobs} jobs for {n_fam} independent merges — batching "
+        f"regressed (round-7 sequential loop: ~{n_fam + 13} total)"
+    )
+    assert loop_jobs * 5 <= n_fam + n_fam // B._CHECKPOINT_EVERY, (
+        "the pinned loop-job budget no longer beats the sequential "
+        "loop by 5x — batch size or checkpoint cadence regressed"
+    )
 
 
 def test_greedy_merge_is_left_to_right_non_overlapping(spark):
