@@ -160,6 +160,10 @@ HEADLINE = [
     # capstone (gopher + margin + block dedup + cluster survivors)
     "near_dup_quality_survivors",
     "llm_corpus_prep_v3",
+    # round-8: perceptual-hash image near-dup (PNG synth + decode +
+    # dHash in one Arrow pass, 4-band hamming join) — the multimodal
+    # dedup shape
+    "multimodal_image_neardup_pairs",
 ]
 
 

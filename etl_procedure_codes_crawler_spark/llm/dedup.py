@@ -780,6 +780,58 @@ def simhash_signatures(
     return votes.select("id", sig.alias("simhash"))
 
 
+def hamming_band_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str = "id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 5000,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs of 64-bit signatures within
+    ``max_hamming``, via a ``bands``-way band join (each band is
+    64/bands bits) + exact popcount verification with ``bit_count``.
+    EXACT by pigeonhole when ``max_hamming < bands``: fewer flipped
+    bits than bands forces at least one band to agree verbatim, so
+    every qualifying pair shares a bucket. Degenerate buckets (the
+    all-zero signature of empty inputs) are star-capped at
+    ``max_bucket_size`` — see :func:`_capped_bucket_pairs`. Shared by
+    text SimHash and image perceptual hashes (multimodal.image_hashes):
+    any 64-bit locality-sensitive signature rides the same machinery."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftrightunsigned(F.col("_sig"), band * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(sig_col).cast("bigint").alias("_sig"),
+    ).select(
+        "id", "_sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "id",
+        "_sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    pairs = _capped_bucket_pairs(buckets, max_bucket_size, carry_cols=["_sig"])
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+        .cast("bigint")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -793,25 +845,6 @@ def simhash_near_dup_pairs(
     all-zero simhash every empty document hashes to) are star-capped
     at ``max_bucket_size`` — see :func:`_capped_bucket_pairs`."""
     sig = simhash_signatures(df, text_col, id_col)
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), band * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("bucket"),
-        )
-        for band in range(4)
-    ]
-    buckets = sig.select(
-        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    pairs = _capped_bucket_pairs(
-        buckets, max_bucket_size, carry_cols=["simhash"]
+    return hamming_band_pairs(
+        sig, "simhash", "id", max_hamming, max_bucket_size, bands=4
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-        .cast("bigint")
-        .alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)

@@ -688,3 +688,170 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash / aHash) + hamming-LSH near-dup pairs
+# ---------------------------------------------------------------------------
+#
+# The image twin of text SimHash: a 64-bit signature that survives
+# small pixel perturbations (re-encodes, brightness jitter, minor
+# crops of boilerplate images), fed into the SAME hamming band-join
+# machinery text dedup uses (dedup.hamming_band_pairs), so multimodal
+# near-dup dedup composes with the existing connected-components /
+# keep-best pipeline unchanged. dHash (gradient sign over a 9x8
+# downsample) and aHash (mean threshold over 8x8) are the public
+# perceptual-hash formulations popularized by the pHash project.
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("phash", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def _gray_grid(pixels: bytes, width: int, height: int, channels: int,
+               rows: int, cols: int):
+    """Grayscale ``rows x cols`` downsample of raw pixel bytes.
+
+    Area-mean pooling when the image is at least grid-sized (robust to
+    per-pixel noise); nearest-neighbor sampling for tiny images where
+    mean bins would be empty. Alpha is ignored (4-channel inputs use
+    RGB only); multi-channel gray = unweighted channel mean — the
+    exact luma weighting does not matter for a sign-of-gradient hash,
+    and unweighted keeps the arithmetic integer-free-of-rounding
+    across platforms (float64 means are exact for sums of <2**53).
+    """
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if channels > 1:
+        arr = arr.reshape(height, width, channels)
+        gray = arr[:, :, : min(channels, 3)].astype(np.float64).mean(axis=2)
+    else:
+        gray = arr.reshape(height, width).astype(np.float64)
+    if height >= rows and width >= cols:
+        r_edges = np.linspace(0, height, rows + 1).astype(np.int64)
+        c_edges = np.linspace(0, width, cols + 1).astype(np.int64)
+        summed = np.add.reduceat(
+            np.add.reduceat(gray, r_edges[:-1], axis=0), c_edges[:-1], axis=1
+        )
+        counts = np.outer(np.diff(r_edges), np.diff(c_edges))
+        return summed / counts
+    r_idx = ((np.arange(rows) + 0.5) * height / rows).astype(np.int64)
+    c_idx = ((np.arange(cols) + 0.5) * width / cols).astype(np.int64)
+    return gray[r_idx][:, c_idx]
+
+
+def _pack_bits(bits) -> int:
+    """64 bools -> signed 64-bit int (two's complement, bit 0 first) —
+    the same BIGINT packing dedup.simhash_signatures uses."""
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def dhash64(pixels: bytes, width: int, height: int, channels: int) -> int:
+    """Difference hash: 9x8 grayscale downsample, bit = left cell <
+    right cell, row-major. Gradient SIGNS survive uniform brightness /
+    contrast shifts exactly and small local noise with low hamming
+    cost — the standard dHash formulation."""
+    grid = _gray_grid(pixels, width, height, channels, 8, 9)
+    bits = (grid[:, :-1] < grid[:, 1:]).reshape(-1)
+    return _pack_bits(bits)
+
+
+def ahash64(pixels: bytes, width: int, height: int, channels: int) -> int:
+    """Average hash: 8x8 grayscale downsample, bit = cell > grid mean.
+    Cheaper but brightness-sensitive; kept as the second public
+    formulation for corpora where gradients are degenerate (flat
+    synthetic tiles)."""
+    grid = _gray_grid(pixels, width, height, channels, 8, 8)
+    bits = (grid > grid.mean()).reshape(-1)
+    return _pack_bits(bits)
+
+
+_PHASH_METHODS = {"dhash": dhash64, "ahash": ahash64}
+
+
+def image_hashes(
+    media: DataFrame,
+    decoder=default_decoder,
+    method: str = "dhash",
+) -> DataFrame:
+    """(media_id, mime, phash, decode_error): decode + perceptual-hash
+    in ONE Arrow pass — pixels never cross back into the plan, so the
+    shuffle-visible row is 4 small columns regardless of image size
+    (at 100 TB of images the hash relation is GB-scale). Decode
+    failures carry a NULL phash + the error string (the decode_media
+    error-as-data contract); a missing codec library still raises."""
+    if method not in _PHASH_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
+        )
+    hasher = _PHASH_METHODS[method]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "mime": [], "phash": [],
+                   "decode_error": []}
+            for media_id, mime, payload in zip(
+                batch["media_id"], batch["mime"], batch["payload"]
+            ):
+                phash = None
+                error = None
+                try:
+                    w, h, c, pix = decoder(
+                        payload if payload is not None else b""
+                    )
+                    phash = hasher(pix, w, h, c)
+                except NotImplementedError:
+                    raise  # missing codec library: loud, not a data error
+                except Exception as exc:  # noqa: BLE001 — error-as-data
+                    error = repr(exc)
+                out["media_id"].append(media_id)
+                out["mime"].append(mime)
+                out["phash"].append(phash)
+                out["decode_error"].append(error)
+            # nullable Int64, NOT an object column: a batch holding one
+            # NULL phash (a decode-error row) would otherwise coerce
+            # the whole column through float64 on the Arrow hop, and
+            # 64-bit hashes above 2**53 silently lose their low bits
+            # (observed: ...466 arriving as ...464 only in batches that
+            # also carried a corrupt image)
+            out["phash"] = pd.array(out["phash"], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) over :func:`image_hashes` output —
+    EXACT for max_hamming <= 3 (4-band pigeonhole; see
+    dedup.hamming_band_pairs). Rows with NULL phash (decode errors)
+    are excluded: an undecodable payload has no perceptual identity,
+    and exact byte-level dedup upstream already catches bit-identical
+    corrupt files. Pairs feed cluster.duplicate_clusters /
+    keep_best_in_cluster unchanged — multimodal near-dup dedup end to
+    end with no new shuffle machinery."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        hashes.filter(F.col("phash").isNotNull()),
+        "phash",
+        "media_id",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        bands=4,
+    )

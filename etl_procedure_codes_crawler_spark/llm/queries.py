@@ -2022,6 +2022,37 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_image_neardup_pairs")  # rows-only: phash = numpy
+def multimodal_image_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual-hash image near-dup detection end to end — the
+    multimodal capability a 100 TB crawl corpus needs next to text
+    dedup: documents synthesize into REAL PNGs, every 7th doc gets a
+    byte-identical twin under a distant media_id (the deterministic
+    planted signal: re-crawled/re-hosted images), and every 50th doc
+    stays truncated-corrupt (error rows must flow through, not
+    crash). One Arrow pass decodes + dHash-es (pixels never re-enter
+    the plan — the shuffle-visible relation is 4 small columns), then
+    the SAME 4-band hamming join text SimHash uses emits verified
+    pairs, exact for hamming<=3 by pigeonhole. Twin recall (all
+    decodable twins found at hamming 0) and brute-force parity are
+    pinned in tests/test_multimodal.py; rows-only here because the
+    hash is numpy-side, which DuckDB cannot replicate."""
+    documents = load(spark, sf_dir, "documents")
+    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    corpus = documents.unionByName(twins)
+    # same under-split fan-out as the JPEG gate: encode+decode+hash are
+    # CPU-bound Python stages; at real scale the scan is already split
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
+    hashes = M.image_hashes(M.documents_as_png(corpus))
+    return M.image_near_dup_pairs(hashes, max_hamming=3)
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")

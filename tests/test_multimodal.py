@@ -647,3 +647,119 @@ class TestJpegCodec:
             assert max(
                 abs(a - b) for a, b in zip(got, want)
             ) <= 2, r.media_id
+
+
+class TestPerceptualHash:
+    """dHash/aHash + hamming-LSH image near-dup (round 8)."""
+
+    def _noise_img(self, seed, w=64, h=48, channels=3):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        return arr
+
+    def test_dhash_survives_brightness_and_small_noise(self):
+        import numpy as np
+
+        arr = self._noise_img(1)
+        h0 = M.dhash64(arr.tobytes(), 64, 48, 3)
+        # uniform brightness shift leaves every gradient SIGN intact
+        brighter = np.clip(arr.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+        h1 = M.dhash64(brighter.tobytes(), 64, 48, 3)
+        assert bin((h0 ^ h1) & (2**64 - 1)).count("1") <= 2
+        # a few flipped pixels move few cells
+        perturbed = arr.copy()
+        perturbed[3, 5] = 255 - perturbed[3, 5]
+        perturbed[40, 60] = 0
+        h2 = M.dhash64(perturbed.tobytes(), 64, 48, 3)
+        assert bin((h0 ^ h2) & (2**64 - 1)).count("1") <= 4
+        # an unrelated image is far (64-bit random hamming ~32)
+        other = self._noise_img(2)
+        h3 = M.dhash64(other.tobytes(), 64, 48, 3)
+        assert bin((h0 ^ h3) & (2**64 - 1)).count("1") >= 12
+
+    def test_hash_methods_handle_tiny_and_gray_images(self):
+        # below the 9x8 grid: nearest-neighbor path, must not crash
+        tiny = bytes(range(12))  # 4x3 gray
+        assert isinstance(M.dhash64(tiny, 4, 3, 1), int)
+        assert isinstance(M.ahash64(tiny, 4, 3, 1), int)
+        # 1-pixel image: every gradient equal -> all-zero hash, fine
+        assert M.dhash64(b"\x80", 1, 1, 1) == 0
+
+    def test_banded_pairs_equal_brute_force(self, spark):
+        """4-band hamming join is EXACT at max_hamming<=3 — banded
+        pairs must equal the all-pairs popcount scan."""
+        import itertools
+
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 2**63 - 1, size=24, dtype=np.int64)
+        sigs = []
+        mid = 0
+        for b in base:
+            for flips in (0, 1, 2, 3, 5):
+                v = int(b)
+                for k in range(flips):
+                    v ^= 1 << ((k * 17 + mid) % 64)
+                if v >= 2**63:
+                    v -= 2**64
+                sigs.append((mid, v))
+                mid += 1
+        df = spark.createDataFrame(sigs, "media_id long, phash long")
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in M.image_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        exact = set()
+        for (ia, va), (ib, vb) in itertools.combinations(sigs, 2):
+            hd = bin((va ^ vb) & (2**64 - 1)).count("1")
+            if hd <= 3:
+                a, b = min(ia, ib), max(ia, ib)
+                exact.add((a, b, hd))
+        assert got == exact and len(exact) > 0
+
+    def test_image_hashes_end_to_end_with_twins_and_errors(self, spark):
+        """Synth PNGs + identical twins + corrupt rows through the
+        full image_hashes -> image_near_dup_pairs pipeline: every
+        decodable twin lands at hamming 0; corrupt rows carry errors
+        and join no pairs."""
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} " * (i % 9 + 2), "src") for i in range(1, 61)],
+            "doc_id long, text string, source string",
+        )
+        twins = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000)
+        )
+        media = M.documents_as_png(docs.unionByName(twins))
+        hashes = M.image_hashes(media).localCheckpoint(eager=True)
+        errs = {r.media_id for r in hashes.filter("decode_error IS NOT NULL").collect()}
+        assert errs == {50}  # the corrupt_every=50 doc (50 % 7 != 0: no twin)
+        pairs = M.image_near_dup_pairs(hashes).localCheckpoint(eager=True)
+        found = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+        for t in (7, 14, 21, 28, 35, 42, 49, 56):
+            assert found.get((t, t + 1000)) == 0, (t, found)
+        assert not any(50 in p for p in found)
+        # composes with the generic cluster machinery unchanged
+        from etl_procedure_codes_crawler_spark.llm.cluster import (
+            duplicate_clusters,
+        )
+
+        clusters = duplicate_clusters(
+            pairs.select("doc_a", "doc_b"),
+            all_ids=hashes.filter("phash IS NOT NULL").select(
+                F.col("media_id").alias("doc_id")
+            ),
+            id_col="doc_id",
+        )
+        lab = {r.doc_id: r.cluster_id for r in clusters.collect()}
+        for t in (7, 14, 21):
+            assert lab[t] == lab[t + 1000]
+
+    def test_unknown_method_rejected(self, spark):
+        df = spark.createDataFrame([(1, b"x", "image/png", 1, "s")], M.MEDIA_SCHEMA)
+        with pytest.raises(ValueError, match="method"):
+            M.image_hashes(df, method="md5")
