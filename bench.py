@@ -164,6 +164,14 @@ HEADLINE = [
     # dHash in one Arrow pass, 4-band hamming join) — the multimodal
     # dedup shape
     "multimodal_image_neardup_pairs",
+    # round-8: store-backed quality survivors off persisted incremental
+    # cluster labels (two quotient absorbs + argmax window, no
+    # from-scratch components)
+    "neardup_store_cluster_survivors",
+    # round-8 capstone: tokenizer-true layout — BPE train + encode +
+    # best-fit pack on subword counts + reproducible shuffle +
+    # physical shard write/read-back
+    "llm_training_shards_bpe",
 ]
 
 

@@ -309,3 +309,220 @@ def compact_minhash_store(
     return compact_dataset(
         spark, path.rstrip("/") + "/signatures", target_file_mb
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster labels: (id, cluster_id) maintained as edges arrive
+# ---------------------------------------------------------------------------
+#
+# keep_best_in_cluster / cluster_holdout_split recomputed connected
+# components from scratch per run; a gate that already pays for the
+# per-batch near-dup pairs can keep the component labels CURRENT
+# instead. Layout added to the store:
+#
+#     <path>/edges/     append-only (doc_a, doc_b) pair log — tiny rows,
+#                       idempotent under replay (duplicate edges cannot
+#                       change a component)
+#     <path>/clusters/  materialized (id, cluster_id) labels,
+#                       cluster_id = min reachable id (the
+#                       cluster.duplicate_clusters convention)
+#     <path>/cluster_meta/  one JSON row {"n_edges": N} — the
+#                       staleness token: labels are valid iff the edge
+#                       log holds exactly N rows
+#
+# Update = QUOTIENT absorb: map each new edge's endpoints to their
+# current labels (or themselves), run connected components over the
+# resulting root graph — batch-sized, NOT corpus-sized; the driver
+# union-find path of cluster.connected_components handles the common
+# metadata-scale delta in-process — and relabel only the clusters the
+# mapping touched. Because every stored cluster_id is already the min
+# id of its old component, the quotient's min is the global min, so
+# absorbed labels are IDENTICAL to a from-scratch recompute (pinned in
+# tests/test_neardup_store.py).
+#
+# Crash contract (write order: edges -> clusters -> cluster_meta): any
+# crash leaves n_edges(meta) != count(edges/), which the next update
+# detects and heals by recomputing labels from the FULL edge log —
+# still only the edge relation, never the corpus.
+
+
+def _edges_path(path: str) -> str:
+    return path.rstrip("/") + "/edges"
+
+
+def _clusters_path(path: str) -> str:
+    return path.rstrip("/") + "/clusters"
+
+
+def _cluster_meta_path(path: str) -> str:
+    return path.rstrip("/") + "/cluster_meta"
+
+
+def _edges_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+    )
+
+
+def _labels_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [StructField("id", LongType()), StructField("cluster_id", LongType())]
+    )
+
+
+def read_cluster_labels(spark: SparkSession, path: str) -> DataFrame:
+    """(id, cluster_id) for every id that appears in the edge log.
+    Ids with no edges are implicitly their own singleton cluster —
+    :func:`store_cluster_labels` materializes that view."""
+    from ..sources.parquet import read_table_or_empty
+
+    return read_table_or_empty(spark, _clusters_path(path), _labels_schema())
+
+
+def _cluster_meta(spark: SparkSession, path: str) -> dict:
+    from ..sources.parquet import read_table_or_empty
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    rows = read_table_or_empty(
+        spark,
+        _cluster_meta_path(path),
+        StructType([StructField("meta", StringType())]),
+    ).collect()
+    return json.loads(rows[0]["meta"]) if rows else {"n_edges": 0}
+
+
+def _write_labels(spark, path: str, labels: DataFrame, n_edges: int) -> None:
+    # labels BEFORE meta: a crash in between leaves the token stale and
+    # the next update heals; meta-first would bless wrong labels
+    labels.write.mode("overwrite").parquet(_clusters_path(path))
+    spark.createDataFrame(
+        [(json.dumps({"n_edges": int(n_edges)}),)], "meta string"
+    ).repartition(1).write.mode("overwrite").parquet(_cluster_meta_path(path))
+
+
+def recompute_cluster_labels(spark: SparkSession, path: str) -> DataFrame:
+    """Labels from the FULL edge log — the heal path (stale token, lost
+    clusters dir) and the seed path for a store adopting the cluster
+    layout mid-life. Cost is O(edge log), never O(corpus)."""
+    from ..sources.parquet import read_table_or_empty
+    from .cluster import connected_components
+
+    edges = read_table_or_empty(spark, _edges_path(path), _edges_schema())
+    n_edges = edges.count()
+    comp = connected_components(edges.dropDuplicates(["doc_a", "doc_b"]))
+    labels = comp.select(
+        F.col("vertex").alias("id"), F.col("component").alias("cluster_id")
+    ).localCheckpoint(eager=True)  # survives the overwrite below
+    _write_labels(spark, path, labels, n_edges)
+    return labels
+
+
+def update_cluster_labels(
+    spark: SparkSession,
+    path: str,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> dict:
+    """Append ``new_edges`` to the store's edge log and absorb them
+    into the persisted labels. Returns ``{"mode": "incremental" |
+    "recompute", "n_new_edges": ...}``. Replay-idempotent: re-running
+    the same batch appends duplicate edge rows (components are
+    unchanged) and the absorb converges to the identical labels."""
+    from ..sources.parquet import read_table_or_empty
+    from .cluster import connected_components
+
+    e = (
+        new_edges.select(
+            F.col(src).cast("bigint").alias("doc_a"),
+            F.col(dst).cast("bigint").alias("doc_b"),
+        )
+        .where(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
+    )
+    n_new = e.count()
+    existing_edges = read_table_or_empty(
+        spark, _edges_path(path), _edges_schema()
+    )
+    n_before = existing_edges.count()
+    meta = _cluster_meta(spark, path)
+    if n_new:
+        e.write.mode("append").parquet(_edges_path(path))
+    if meta["n_edges"] != n_before:
+        # a prior update crashed between its edge append and its label
+        # write (or the clusters dir was lost) — heal from the log
+        recompute_cluster_labels(spark, path)
+        return {"mode": "recompute", "n_new_edges": n_new}
+    if not n_new:
+        return {"mode": "incremental", "n_new_edges": 0}
+    labels = read_cluster_labels(spark, path)
+    # quotient graph: endpoints -> current cluster roots (selves if
+    # unlabeled); batch-sized, so the joins broadcast the edge side
+    la = labels.select(
+        F.col("id").alias("doc_a"), F.col("cluster_id").alias("_ra")
+    )
+    lb = labels.select(
+        F.col("id").alias("doc_b"), F.col("cluster_id").alias("_rb")
+    )
+    q = (
+        e.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce(F.col("_ra"), F.col("doc_a")).alias("ra"),
+            F.coalesce(F.col("_rb"), F.col("doc_b")).alias("rb"),
+        )
+        .where(F.col("ra") != F.col("rb"))
+    )
+    # components over ROOTS: min of merged roots == global min id,
+    # because each stored root is already its component's min
+    mapping = connected_components(q, src="ra", dst="rb").select(
+        F.col("vertex").alias("_v"), F.col("component").alias("_c")
+    )
+    relabeled = (
+        labels.join(
+            F.broadcast(mapping),
+            labels["cluster_id"] == F.col("_v"),
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("_c"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    endpoints = (
+        e.select(F.col("doc_a").alias("id"))
+        .unionByName(e.select(F.col("doc_b").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+    )
+    fresh = endpoints.join(
+        F.broadcast(mapping), endpoints["id"] == F.col("_v"), "left"
+    ).select(
+        "id", F.coalesce(F.col("_c"), F.col("id")).alias("cluster_id")
+    )
+    new_labels = relabeled.unionByName(fresh).localCheckpoint(eager=True)
+    _write_labels(spark, path, new_labels, n_before + n_new)
+    return {"mode": "incremental", "n_new_edges": n_new}
+
+
+def store_cluster_labels(
+    spark: SparkSession, path: str, all_ids: DataFrame | None = None
+) -> DataFrame:
+    """(id, cluster_id) for every store id (or for ``all_ids`` if
+    given): edge-labeled ids get their component's min id, everyone
+    else is their own singleton — the duplicate_clusters view, served
+    from the PERSISTED labels with no component computation."""
+    ids = (
+        all_ids.select(F.col(all_ids.columns[0]).cast("bigint").alias("id"))
+        if all_ids is not None
+        else spark.read.parquet(path.rstrip("/") + "/signatures").select("id")
+    ).dropDuplicates(["id"])
+    labels = read_cluster_labels(spark, path)
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    )

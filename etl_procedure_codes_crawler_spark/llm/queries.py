@@ -2053,6 +2053,70 @@ def multimodal_image_neardup_pairs(
     return M.image_near_dup_pairs(hashes, max_hamming=3)
 
 
+@register("neardup_store_cluster_survivors")  # rows-only: minhash store
+def neardup_store_cluster_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Store-backed quality survivors off PERSISTED incremental
+    cluster labels (round 8): the corpus (documents + planted
+    byte-identical twins under distant ids) is signed into a MinHash
+    store, the observed near-dup pairs land in the store's append-only
+    edge log across TWO incremental label updates (absorb, not
+    from-scratch — the second update exercises the quotient merge
+    path), and survivor selection runs entirely off the persisted
+    (id, cluster_id) relation + a token-count quality argmax. Twins
+    tie on score and lose to the lower id, so every planted pair
+    contributes exactly one survivor; organic est>=0.9 collisions
+    (24 at sf0.01) exercise real multi-member clusters. Rows-only:
+    MinHash rides JVM xxhash64, which DuckDB cannot replicate;
+    incremental-equals-recompute is pinned in
+    tests/test_neardup_store.py."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .cluster import keep_best_in_cluster
+    from .neardup_store import (
+        build_minhash_store,
+        store_cluster_labels,
+        update_cluster_labels,
+    )
+    from .text import token_count
+
+    documents = load(spark, sf_dir, "documents")
+    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    corpus = documents.unionByName(twins)
+    root = tempfile.mkdtemp(prefix="nd_clusters_")
+    try:
+        store = _os.path.join(root, "store")
+        build_minhash_store(corpus, store)
+        pairs = D.minhash_near_dup_pairs(
+            corpus, "text", "doc_id", 3, 8, 4, threshold=0.9
+        ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+        update_cluster_labels(
+            spark, store, pairs.filter(F.pmod(F.col("doc_b"), F.lit(2)) == 0)
+        )
+        update_cluster_labels(
+            spark, store, pairs.filter(F.pmod(F.col("doc_b"), F.lit(2)) == 1)
+        )
+        labels = store_cluster_labels(spark, store).select(
+            F.col("id").alias("doc_id"), "cluster_id"
+        )
+        scored = corpus.select(
+            "doc_id", token_count("text").alias("score")
+        )
+        return (
+            keep_best_in_cluster(labels, scored)
+            .filter("keep")
+            .select("doc_id", "cluster_id")
+            .localCheckpoint(eager=True)  # outlives the temp store
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load(spark, sf_dir, "documents")
@@ -4213,6 +4277,65 @@ def bpe_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("bigint").alias("n_tokens"),
     )
     return PK.length_bucketed_batches(sized, "n_tokens", "doc_id", batch_size=32)
+
+
+@register("llm_training_shards_bpe")  # rows-only (trained-model plan)
+def llm_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-TRUE training layout, end to end (round 8): train BPE
+    on the corpus, encode every document with the learned merges,
+    best-fit-pack whole documents by their REAL subword counts
+    (whitespace counts mis-size sequences for subword models — this
+    is the count the trainer actually packs), assign the reproducible
+    global shuffle order, and materialize the physical shard layout
+    via write_training_shards. The deliverable is the full manifest —
+    (doc_id, pack_shard, seq_id, n_bpe_tokens, oversize, shard, pos) —
+    read BACK from the written shard files, so the row set proves the
+    write round-trip, not just the plan. Deterministic: same corpus +
+    seed → byte-identical shard files (pinned in
+    tests/test_packing.py); rows-only because the merge table is an
+    iterative trained artifact no SQL engine reproduces."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from . import bpe as B
+
+    documents = load(spark, sf_dir, "documents")
+    merges, seg = B.train_bpe(documents, num_merges=12)
+    counts = B.bpe_encode(documents, merges, seg).select(
+        F.col("id").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_bpe_tokens"),
+    )
+    sized = documents.select("doc_id", "source").join(counts, "doc_id")
+    packed = PK.pack_sequences_bestfit(
+        sized,
+        seq_len=256,
+        shard_col="source",
+        n_tokens_col="n_bpe_tokens",
+    ).select(
+        F.col("shard").alias("pack_shard"),
+        "doc_id",
+        F.col("n_tokens").alias("n_bpe_tokens"),
+        "seq_id",
+        "oversize",
+    )
+    root = tempfile.mkdtemp(prefix="shards_")
+    try:
+        PK.write_training_shards(
+            packed, _os.path.join(root, "shards"), num_shards=4, seed=1
+        )
+        back = spark.read.parquet(_os.path.join(root, "shards"))
+        return back.select(
+            "doc_id",
+            "pack_shard",
+            "seq_id",
+            "n_bpe_tokens",
+            "oversize",
+            F.col("shard").cast("bigint").alias("shard"),
+            "pos",
+        ).localCheckpoint(eager=True)  # outlives the temp dir
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register("dataset_versioning_roundtrip")  # rows-only (fs-lifecycle plan)

@@ -565,6 +565,7 @@ def stream_ingest_with_neardup(
     quality_model: dict | None = None,
     quality_cutoff: float = 0.0,
     version_each_batch: bool = False,
+    neardup_action: str = "reject",
 ):
     """The full corpus ingest gate as one continuous pipeline: each
     arriving batch is (1) id-deduped against the warehouse (replay
@@ -643,12 +644,32 @@ def stream_ingest_with_neardup(
     pinned by both crash tests in tests/test_neardup_store.py (a
     naive accepted-only append would permanently lose the crashed
     batch's signatures, because the replay's empty fresh set
-    short-circuits before reaching them)."""
+    short-circuits before reaching them).
+
+    ``neardup_action`` selects the corpus policy at the near-dup
+    stage: ``"reject"`` (default, everything above) drops near-dups at
+    the door; ``"label"`` ADMITS them and instead records the observed
+    pairs (intra-batch + vs-store) into the store's incremental
+    cluster labels (:func:`..llm.neardup_store.update_cluster_labels`)
+    — quality-argmax survivor selection then runs at ingest off the
+    persisted ``(id, cluster_id)`` relation
+    (:func:`..llm.neardup_store.store_cluster_labels` +
+    ``cluster.keep_best_in_cluster``) with no from-scratch component
+    recompute. The edge append rides BEFORE the warehouse append, so a
+    crash between them replays into duplicate edge rows (harmless to
+    components) rather than lost ones; a crash inside the label update
+    itself is healed by the update's own staleness token."""
+    if neardup_action not in ("reject", "label"):
+        raise ValueError(
+            f"neardup_action must be 'reject' or 'label', got "
+            f"{neardup_action!r}"
+        )
     from ..llm.dedup import minhash_near_dup_pairs
     from ..llm.neardup_store import (
         append_to_minhash_store,
         load_store_meta,
         near_dups_against_store,
+        update_cluster_labels,
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -720,12 +741,13 @@ def stream_ingest_with_neardup(
             ).localCheckpoint(eager=True)
             if audit:
                 m["n_quality_rejected"] = m["n_fresh"] - int(o_qual.get["n"])
-        if not fresh.isEmpty():
+        if neardup_action == "reject" and not fresh.isEmpty():
             # intra-batch collapse: two near-dups arriving in the SAME
             # micro-batch both pass the store gate (neither is stored
             # yet) — drop every greater-id member of a verified pair
             # so at most one representative per near-dup cluster goes
-            # on to the store gate and the warehouse
+            # on to the store gate and the warehouse (label mode keeps
+            # them and records the pairs as cluster edges below)
             meta = load_store_meta(spark, store_path)
             intra_losers = (
                 minhash_near_dup_pairs(
@@ -776,13 +798,41 @@ def stream_ingest_with_neardup(
                 m["n_contaminated"] = n_before - int(o_surv.get["n"])
             fresh = survivors
         if not fresh.isEmpty():
-            near = (
-                near_dups_against_store(
+            if neardup_action == "label":
+                # admit near-dups, persist their pair structure: the
+                # observed edges feed the store's incremental cluster
+                # labels BEFORE the warehouse append (a crash between
+                # replays into duplicate edges, never lost ones)
+                meta = load_store_meta(spark, store_path)
+                intra_pairs = minhash_near_dup_pairs(
+                    fresh,
+                    text_col,
+                    id_col,
+                    meta["k"],
+                    meta["bands"],
+                    meta["rows_per_band"],
+                    threshold,
+                ).select("doc_a", "doc_b")
+                store_pairs = near_dups_against_store(
                     spark, store_path, fresh, threshold, text_col, id_col
+                ).select(
+                    F.col("new_id").alias("doc_a"),
+                    F.col("snapshot_id").alias("doc_b"),
                 )
-                .select(F.col("new_id").alias(id_col))
-                .distinct()
-            )
+                update_cluster_labels(
+                    spark,
+                    store_path,
+                    intra_pairs.unionByName(store_pairs),
+                )
+                near = fresh.limit(0).select(id_col)  # nobody rejected
+            else:
+                near = (
+                    near_dups_against_store(
+                        spark, store_path, fresh, threshold, text_col, id_col
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
             o_acc = Observation() if audit else None
             accepted = observed(
                 fresh.join(near, id_col, "left_anti"), o_acc

@@ -723,3 +723,173 @@ def test_gate_metrics_cost_only_the_metric_write(spark, tmp_path):
     # and the audit row still reconciles
     row = spark.read.parquet(str(tmp_path / "metrics")).first()
     assert (row.n_input, row.n_accepted, row.n_intra_dropped) == (3, 2, 1)
+
+
+class TestIncrementalClusterLabels:
+    """Round-8 persisted (id, cluster_id) labels: quotient absorb ==
+    from-scratch recompute, crash heal via the staleness token, and
+    the streaming gate's label mode."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+    def test_incremental_absorb_equals_recompute(self, spark, tmp_path):
+        """Edges arriving over three updates (the third MERGES two
+        existing clusters — the quotient path that a naive relabel
+        gets wrong) must land exactly where a from-scratch components
+        run does."""
+        import etl_procedure_codes_crawler_spark.llm.neardup_store as NS
+        from etl_procedure_codes_crawler_spark.llm.cluster import (
+            connected_components,
+        )
+
+        store = str(tmp_path / "store")
+        batches = [
+            [(1, 2), (10, 11)],
+            [(20, 21), (2, 3)],
+            [(11, 20), (3, 10)],  # chains everything into one cluster
+        ]
+        for b in batches:
+            out = NS.update_cluster_labels(spark, store, self._edges(spark, b))
+            assert out["mode"] == "incremental"
+        got = {
+            (r.id, r.cluster_id)
+            for r in NS.read_cluster_labels(spark, store).collect()
+        }
+        scratch = {
+            (r.vertex, r.component)
+            for r in connected_components(
+                self._edges(spark, [e for b in batches for e in b])
+            ).collect()
+        }
+        assert got == scratch
+        assert got == {(i, 1) for i in (1, 2, 3, 10, 11, 20, 21)}
+
+    def test_replayed_edges_are_idempotent(self, spark, tmp_path):
+        import etl_procedure_codes_crawler_spark.llm.neardup_store as NS
+
+        store = str(tmp_path / "store")
+        e = self._edges(spark, [(5, 6), (6, 7)])
+        NS.update_cluster_labels(spark, store, e)
+        before = sorted(
+            (r.id, r.cluster_id)
+            for r in NS.read_cluster_labels(spark, store).collect()
+        )
+        NS.update_cluster_labels(spark, store, e)  # crash-replay twin
+        after = sorted(
+            (r.id, r.cluster_id)
+            for r in NS.read_cluster_labels(spark, store).collect()
+        )
+        assert before == after == [(5, 5), (6, 5), (7, 5)]
+
+    def test_stale_token_heals_from_edge_log(self, spark, tmp_path):
+        """Simulated crash between the edge append and the label
+        write: extra edges in the log without a matching token must
+        trigger a full recompute on the next update — and the healed
+        labels include the orphaned edges."""
+        import etl_procedure_codes_crawler_spark.llm.neardup_store as NS
+
+        store = str(tmp_path / "store")
+        NS.update_cluster_labels(spark, store, self._edges(spark, [(1, 2)]))
+        # crash simulation: edges appended, labels/token never updated
+        self._edges(spark, [(2, 9)]).write.mode("append").parquet(
+            NS._edges_path(store)
+        )
+        out = NS.update_cluster_labels(
+            spark, store, self._edges(spark, [(30, 31)])
+        )
+        assert out["mode"] == "recompute"
+        got = {
+            (r.id, r.cluster_id)
+            for r in NS.read_cluster_labels(spark, store).collect()
+        }
+        assert got == {(1, 1), (2, 1), (9, 1), (30, 30), (31, 30)}
+
+    def test_store_cluster_labels_covers_singletons(self, spark, tmp_path):
+        import etl_procedure_codes_crawler_spark.llm.neardup_store as NS
+
+        store = str(tmp_path / "store")
+        docs = _docs(
+            spark,
+            [(1, "alpha beta gamma delta"), (2, "zz yy xx ww"),
+             (3, "unrelated words entirely here")],
+        )
+        NS.build_minhash_store(docs, store)
+        NS.update_cluster_labels(spark, store, self._edges(spark, [(1, 2)]))
+        got = {
+            (r.id, r.cluster_id)
+            for r in NS.store_cluster_labels(spark, store).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 3)}  # 3 is its own singleton
+
+
+class TestStreamIngestLabelMode:
+    # borrow the drop/run helpers without inheriting (subclassing would
+    # re-collect and re-run the parent's streaming tests)
+    SCHEMA = TestStreamIngestWithNearDup.SCHEMA
+    _drop = TestStreamIngestWithNearDup._drop
+    _run = TestStreamIngestWithNearDup._run
+
+    def test_label_mode_admits_and_labels_near_dups(self, spark, tmp_path):
+        """neardup_action='label': the fuzzy re-crawl that reject mode
+        drops is ADMITTED, and the store's persisted cluster labels
+        tie it to its stored original — batches N and N+1 both land
+        their edges, and survivor selection runs off the store with no
+        recompute."""
+        import os
+
+        import etl_procedure_codes_crawler_spark.llm.neardup_store as NS
+
+        dirs = {
+            "source": str(tmp_path / "in"),
+            "warehouse": str(tmp_path / "wh"),
+            "store": str(tmp_path / "store"),
+            "checkpoint": str(tmp_path / "ck"),
+        }
+        os.makedirs(dirs["source"])
+        base = _docs(
+            spark,
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+        )
+        NS.build_minhash_store(base, dirs["store"])
+        base.write.mode("overwrite").parquet(dirs["warehouse"])
+        # batch 1: a fuzzy re-crawl of doc 1 + an unrelated doc
+        self._drop(
+            spark, dirs["source"], "b1",
+            [(11, "the quick brown fox jumps over the lazy dog"),
+             (50, "completely different content with other words")],
+        )
+        self._run(spark, dirs, neardup_action="label")
+        got1 = sorted(
+            r.doc_id
+            for r in spark.read.parquet(dirs["warehouse"]).collect()
+        )
+        assert got1 == [1, 11, 50]  # near-dup ADMITTED
+        # batch 2: a fuzzy re-crawl of the re-crawl
+        self._drop(
+            spark, dirs["source"], "b2",
+            [(12, "the quick brown fox jumps over the lazy dog again")],
+        )
+        self._run(spark, dirs, neardup_action="label")
+        labels = {
+            (r.id, r.cluster_id)
+            for r in NS.store_cluster_labels(spark, dirs["store"]).collect()
+        }
+        assert (1, 1) in labels and (11, 1) in labels and (12, 1) in labels
+        assert (50, 50) in labels
+        # survivor selection straight off the persisted labels
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm.cluster import (
+            keep_best_in_cluster,
+        )
+        from etl_procedure_codes_crawler_spark.llm.text import token_count
+
+        corpus = spark.read.parquet(dirs["warehouse"])
+        survivors = keep_best_in_cluster(
+            NS.store_cluster_labels(spark, dirs["store"]).select(
+                F.col("id").alias("doc_id"), "cluster_id"
+            ),
+            corpus.select("doc_id", token_count("text").alias("score")),
+        ).filter("keep")
+        assert sorted(r.doc_id for r in survivors.collect()) == [1, 50]

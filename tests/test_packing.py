@@ -740,3 +740,59 @@ def test_pack_sequences_null_precomputed_count_raises(spark):
     )
     with pytest.raises(Exception, match="NULL n"):
         PK.pack_sequences(bad, seq_len=8, n_tokens_col="n").collect()
+
+
+def test_bpe_training_shards_byte_identical_across_runs(spark, tmp_path):
+    """Round-8 capstone determinism contract: the tokenizer-true
+    layout (train BPE -> encode -> best-fit pack on subword counts ->
+    reproducible shuffle -> physical shards) must produce
+    BYTE-IDENTICAL shard files for the same corpus + seed — the
+    property a resumable training run relies on. Compares file
+    contents (names carry job UUIDs) per shard directory."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_procedure_codes_crawler_spark.llm import bpe as B
+    from etl_procedure_codes_crawler_spark.llm import packing as PK
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("alpha beta gamma delta epsilon zeta " * (i % 5 + 1)).strip(),
+             f"src{i % 3}")
+            for i in range(1, 41)
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    def build(out_dir):
+        merges, seg = B.train_bpe(docs, num_merges=8)
+        counts = B.bpe_encode(docs, merges, seg).select(
+            F.col("id").alias("doc_id"),
+            F.size("tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        sized = docs.select("doc_id", "source").join(counts, "doc_id")
+        packed = PK.pack_sequences_bestfit(
+            sized, seq_len=64, shard_col="source",
+            n_tokens_col="n_bpe_tokens",
+        ).withColumnRenamed("shard", "pack_shard")  # the shuffle owns "shard"
+        PK.write_training_shards(packed, out_dir, num_shards=4, seed=1)
+        layout = {}
+        for shard_dir in sorted(os.listdir(out_dir)):
+            if not shard_dir.startswith("shard="):
+                continue
+            full = os.path.join(out_dir, shard_dir)
+            hashes = sorted(
+                hashlib.sha256(
+                    open(os.path.join(full, f), "rb").read()
+                ).hexdigest()
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+            layout[shard_dir] = hashes
+        return layout
+
+    a = build(str(tmp_path / "a"))
+    b = build(str(tmp_path / "b"))
+    assert a and a == b
