@@ -172,6 +172,9 @@ HEADLINE = [
     # best-fit pack on subword counts + reproducible shuffle +
     # physical shard write/read-back
     "llm_training_shards_bpe",
+    # round-8: gain-invariant audio fingerprint near-dup (WAV synth +
+    # stdlib decode + energy-gradient hash in one Arrow pass)
+    "multimodal_audio_neardup_pairs",
 ]
 
 

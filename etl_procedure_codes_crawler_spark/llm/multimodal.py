@@ -855,3 +855,190 @@ def image_near_dup_pairs(
         max_bucket_size=max_bucket_size,
         bands=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting: temporal energy-gradient hash + hamming LSH
+# ---------------------------------------------------------------------------
+#
+# The audio member of the perceptual-hash family (public formulation:
+# Haitsma & Kalker 2002's sign-of-difference fingerprint, reduced to
+# one 64-bit word): mono-fold the PCM signal, split it into 65 equal
+# time segments, take mean |amplitude| per segment, bit i = energy
+# rises from segment i to i+1. Sign-of-difference is EXACTLY invariant
+# to uniform gain (scaling all samples scales every segment energy by
+# the same factor) and degrades gracefully under additive noise — the
+# re-encoded/re-mastered re-crawl case. Pairs ride the same
+# dedup.hamming_band_pairs machinery as text SimHash and image dHash.
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("afp", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def audio_fingerprint64(frames: bytes, n_frames: int, channels: int) -> int:
+    """64-bit temporal energy-gradient fingerprint of raw PCM frames
+    (the decode_wav output contract). Sample width is inferred from
+    the byte count; 8-bit WAV's unsigned-offset encoding is centered
+    before folding. Clips shorter than 65 samples sample nearest
+    amplitudes instead of segment means (same tiny-input rule as
+    :func:`_gray_grid`)."""
+    import numpy as np
+
+    if n_frames <= 0 or not frames:
+        return 0
+    if len(frames) % (n_frames * channels):
+        # a short read (data chunk truncated below what the header
+        # promised) must be an error ROW, not a garbage fingerprint
+        # silently admitted at a wrong inferred sample width
+        raise ValueError(
+            f"truncated PCM: {len(frames)} bytes for "
+            f"{n_frames}x{channels} frames"
+        )
+    sampwidth = len(frames) // (n_frames * channels)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    arr = np.frombuffer(frames, dtype=dtype)
+    usable = (len(arr) // channels) * channels
+    if usable == 0:
+        return 0
+    arr = arr[:usable].reshape(-1, channels).astype(np.float64)
+    if dtype == np.uint8:
+        arr -= 128.0  # 8-bit PCM is unsigned with a 128 offset
+    mono = np.abs(arr.mean(axis=1))
+    n = len(mono)
+    segs = 65
+    if n >= segs:
+        edges = np.linspace(0, n, segs + 1).astype(np.int64)
+        energy = np.add.reduceat(mono, edges[:-1]) / np.diff(edges)
+    else:
+        idx = ((np.arange(segs) + 0.5) * n / segs).astype(np.int64)
+        energy = mono[idx]
+    return _pack_bits(energy[1:] > energy[:-1])
+
+
+def audio_fingerprints(
+    media: DataFrame, decoder=default_decoder
+) -> DataFrame:
+    """(media_id, mime, afp, decode_error): decode + fingerprint in one
+    Arrow pass — the audio twin of :func:`image_hashes`, with the same
+    error-as-data contract and the same nullable-Int64 discipline (a
+    batch holding one NULL would otherwise round 64-bit fingerprints
+    through float64)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "mime": [], "afp": [], "decode_error": []}
+            for media_id, mime, payload in zip(
+                batch["media_id"], batch["mime"], batch["payload"]
+            ):
+                afp = None
+                error = None
+                try:
+                    n_frames, _one, channels, frames = decoder(
+                        payload if payload is not None else b""
+                    )
+                    afp = audio_fingerprint64(frames, n_frames, channels)
+                except NotImplementedError:
+                    raise
+                except Exception as exc:  # noqa: BLE001 — error-as-data
+                    error = repr(exc)
+                out["media_id"].append(media_id)
+                out["mime"].append(mime)
+                out["afp"].append(afp)
+                out["decode_error"].append(error)
+            out["afp"] = pd.array(out["afp"], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) over :func:`audio_fingerprints` output —
+    exact for hamming<=3 (4-band pigeonhole), decode-error rows
+    excluded; same contract as :func:`image_near_dup_pairs`."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        fingerprints.filter(F.col("afp").isNotNull()),
+        "afp",
+        "media_id",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        bands=4,
+    )
+
+
+#: WAV synthesis geometry: mono 16-bit PCM at a nominal 8 kHz
+WAV_CORRUPT_EVERY = 50
+
+
+def documents_as_wav(
+    documents: DataFrame,
+    gain: int = 1,
+    corrupt_every: int = WAV_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #4: each document's
+    utf-8 bytes become mono 16-bit PCM samples (value = byte × gain —
+    gains up to 128 stay exactly proportional, the property the
+    fingerprint's gain-invariance gate relies on) in a valid RIFF/WAVE
+    container via the stdlib ``wave`` writer. Every
+    ``corrupt_every``-th doc is truncated mid-file to exercise the
+    decode-error path."""
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8") or b"\x00"
+                samples = (
+                    np.frombuffer(data, dtype=np.uint8).astype("<i2") * gain
+                ).tobytes()
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wav:
+                    wav.setnchannels(1)
+                    wav.setsampwidth(2)
+                    wav.setframerate(8000)
+                    wav.writeframes(samples)
+                payload = buf.getvalue()
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    # cut INSIDE the 44-byte header: the stdlib wave
+                    # reader silently tolerates a short data chunk, so
+                    # a mid-data truncation would not exercise the
+                    # error path (both RIFF magics stay intact — the
+                    # container sniff passes, the chunk walk fails)
+                    payload = payload[:20]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("audio/wav")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )

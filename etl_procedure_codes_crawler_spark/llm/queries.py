@@ -2053,6 +2053,34 @@ def multimodal_image_neardup_pairs(
     return M.image_near_dup_pairs(hashes, max_hamming=3)
 
 
+@register("multimodal_audio_neardup_pairs")  # rows-only: afp = numpy
+def multimodal_audio_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup detection end to end — the WAV member of the
+    perceptual family: documents synthesize into REAL 16-bit PCM
+    RIFF/WAVE files, every 7th doc gets a 4x-GAIN twin under a distant
+    media_id (the re-mastered re-crawl: louder, not different — the
+    Haitsma-Kalker sign-of-difference fingerprint is exactly
+    gain-invariant, so twins land at hamming 0), every 50th doc stays
+    truncated-corrupt. Decode + fingerprint run in one Arrow pass;
+    pairs ride the same 4-band hamming join as text SimHash and image
+    dHash. Rows-only: the fingerprint is numpy-side."""
+    documents = load(spark, sf_dir, "documents")
+    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    target = spark.sparkContext.defaultParallelism
+    base = documents
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+        twins = twins.repartition(target)
+    media = M.documents_as_wav(base).unionByName(
+        M.documents_as_wav(twins, gain=4)
+    )
+    return M.audio_near_dup_pairs(M.audio_fingerprints(media), max_hamming=3)
+
+
 @register("neardup_store_cluster_survivors")  # rows-only: minhash store
 def neardup_store_cluster_survivors(
     spark: SparkSession, sf_dir: str

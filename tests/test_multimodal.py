@@ -763,3 +763,62 @@ class TestPerceptualHash:
         df = spark.createDataFrame([(1, b"x", "image/png", 1, "s")], M.MEDIA_SCHEMA)
         with pytest.raises(ValueError, match="method"):
             M.image_hashes(df, method="md5")
+
+
+class TestAudioFingerprint:
+    """Haitsma-Kalker-style energy-gradient fingerprint (round 8)."""
+
+    def _pcm(self, samples):
+        import numpy as np
+
+        return np.asarray(samples, dtype=np.int16).tobytes()
+
+    def test_gain_invariance_is_exact(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        sig = rng.randint(-4000, 4000, size=2000)
+        f1 = M.audio_fingerprint64(self._pcm(sig), 2000, 1)
+        f2 = M.audio_fingerprint64(self._pcm(sig * 4), 2000, 1)
+        assert f1 == f2  # sign-of-difference survives uniform gain
+        # additive noise moves few bits
+        noisy = sig + rng.randint(-40, 40, size=2000)
+        f3 = M.audio_fingerprint64(self._pcm(noisy), 2000, 1)
+        assert bin((f1 ^ f3) & (2**64 - 1)).count("1") <= 6
+        # an unrelated signal is far
+        other = rng.randint(-4000, 4000, size=2000)
+        f4 = M.audio_fingerprint64(self._pcm(other), 2000, 1)
+        assert bin((f1 ^ f4) & (2**64 - 1)).count("1") >= 12
+
+    def test_tiny_stereo_and_empty_clips(self):
+        assert M.audio_fingerprint64(b"", 0, 1) == 0
+        # 10-sample stereo clip: nearest path, must not crash
+        assert isinstance(
+            M.audio_fingerprint64(self._pcm(range(20)), 10, 2), int
+        )
+
+    def test_wav_synth_roundtrip_and_twins(self, spark):
+        """documents_as_wav -> audio_fingerprints -> pairs: gain twins
+        land at hamming 0, corrupt rows carry errors."""
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"audio doc {i} " * (i % 6 + 3), "src") for i in range(1, 61)],
+            "doc_id long, text string, source string",
+        )
+        twins = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000)
+        )
+        media = M.documents_as_wav(docs).unionByName(
+            M.documents_as_wav(twins, gain=4)
+        )
+        fps = M.audio_fingerprints(media).localCheckpoint(eager=True)
+        errs = {r.media_id for r in fps.filter("decode_error IS NOT NULL").collect()}
+        assert errs == {50}
+        found = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in M.audio_near_dup_pairs(fps).collect()
+        }
+        for t in (7, 14, 21, 28, 35, 42, 49, 56):
+            assert found.get((t, t + 1000)) == 0, (t, found)
+        assert not any(50 in p for p in found)
