@@ -2049,7 +2049,14 @@ def multimodal_image_neardup_pairs(
     target = spark.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target)
-    hashes = M.image_hashes(M.documents_as_png(corpus))
+    # materialize the 4-column hash relation ONCE: the band self-join
+    # consumes it from five plan branches (left/right sides, bucket
+    # sizing, star caps), and without the checkpoint each branch would
+    # re-run the Python decode+hash pass (verified in the physical
+    # plan — 5x MapInPandas)
+    hashes = M.image_hashes(M.documents_as_png(corpus)).localCheckpoint(
+        eager=True
+    )
     return M.image_near_dup_pairs(hashes, max_hamming=3)
 
 
@@ -2078,7 +2085,10 @@ def multimodal_audio_neardup_pairs(
     media = M.documents_as_wav(base).unionByName(
         M.documents_as_wav(twins, gain=4)
     )
-    return M.audio_near_dup_pairs(M.audio_fingerprints(media), max_hamming=3)
+    # one materialization for the five-branch band self-join — same
+    # rationale as multimodal_image_neardup_pairs
+    fps = M.audio_fingerprints(media).localCheckpoint(eager=True)
+    return M.audio_near_dup_pairs(fps, max_hamming=3)
 
 
 @register("neardup_store_cluster_survivors")  # rows-only: minhash store
@@ -4595,4 +4605,12 @@ ROWS_ONLY = {
     "heavy_hitter_tokens",
     "bloom_prefilter_documents",
     "sequence_packing_bestfit",
+    # round-8 additions: perceptual hashes and fingerprints are
+    # numpy-side, the store/cluster/shard lifecycles are trained or
+    # fs-bound artifacts — each carries planted-twin recall,
+    # incremental-equals-recompute, or byte-identity tests instead
+    "multimodal_image_neardup_pairs",
+    "multimodal_audio_neardup_pairs",
+    "neardup_store_cluster_survivors",
+    "llm_training_shards_bpe",
 }
