@@ -175,6 +175,9 @@ HEADLINE = [
     # round-8: gain-invariant audio fingerprint near-dup (WAV synth +
     # stdlib decode + energy-gradient hash in one Arrow pass)
     "multimodal_audio_neardup_pairs",
+    # round-8: SlimPajama-style soft dedup — 1/|cluster| sampling
+    # weights off the same df-capped Jaccard edges (hash-oracled)
+    "soft_dedup_weights",
 ]
 
 

@@ -233,3 +233,28 @@ def keep_best_in_cluster(
             (F.col("_rn") == 1).alias("keep"),
         )
     )
+
+
+def soft_dedup_weights(
+    clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """SlimPajama-style SOFT deduplication: instead of dropping
+    near-dups, every document gets sampling weight 1/|cluster|, so
+    each near-dup cluster contributes one document in expectation
+    while intra-cluster diversity (different boilerplate wrappings of
+    one article) stays reachable. Returns ``(id, cluster_id,
+    cluster_size, weight)``; singletons weigh 1.0. One cluster-keyed
+    window count over the label relation — no component recompute, so
+    it composes with the persisted labels of
+    :mod:`.neardup_store` as-is. Weight is a single IEEE division,
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    ).withColumn(
+        "weight", F.lit(1.0) / F.col("cluster_size").cast("double")
+    )

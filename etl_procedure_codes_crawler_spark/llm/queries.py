@@ -3539,6 +3539,75 @@ def llm_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT doc_a, doc_b
+        FROM shared
+          JOIN sizes x ON x.doc_id = doc_a
+          JOIN sizes y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    ),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM p
+        UNION ALL
+        SELECT doc_b AS x, doc_a AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    ),
+    cl AS (SELECT v AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY v),
+    sized AS (
+        SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM cl
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           1.0 / CAST(cluster_size AS DOUBLE) AS weight
+    FROM sized
+    """,
+)
+def soft_dedup_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (SlimPajama-style): near-dup clusters from the same
+    df-capped exact-Jaccard >= 0.05 edges as the survivor family, but
+    instead of dropping members every document gets sampling weight
+    1/|cluster| — one cluster in expectation, diversity preserved.
+    Hash-oracled: the oracle recomputes the component fixpoint
+    recursively; the weight is a single IEEE division, bit-identical
+    across engines (llm/cluster.soft_dedup_weights)."""
+    from . import cluster as CL
+
+    documents = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        documents, threshold=0.05, max_doc_freq=50
+    ).select("doc_a", "doc_b")
+    clusters = CL.duplicate_clusters(pairs, all_ids=documents)
+    return CL.soft_dedup_weights(clusters)
+
+
+@register(
     "near_dup_quality_survivors",
     oracle=f"""
     WITH RECURSIVE

@@ -180,3 +180,29 @@ class TestDriverFastPath:
         # the distributed loop would add jobs per diameter round; the
         # driver fast path must not
         assert deep == shallow, (shallow, deep)
+
+
+def test_soft_dedup_weights_per_cluster(spark):
+    """1/|cluster| weights: a 3-cluster, a 2-cluster, a singleton."""
+    from pyspark.sql import functions as F
+
+    from etl_procedure_codes_crawler_spark.llm import cluster as CL
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.weight)
+        for r in CL.soft_dedup_weights(
+            CL.duplicate_clusters(pairs, all_ids=ids)
+        ).collect()
+    }
+    assert out[1] == (1, 3, 1 / 3) and out[2] == (1, 3, 1 / 3)
+    assert out[10] == (10, 2, 0.5) and out[11] == (10, 2, 0.5)
+    assert out[99] == (99, 1, 1.0)
+    # expectation property: weights sum to the number of clusters
+    total = sum(w for _c, _s, w in out.values())
+    assert abs(total - 3.0) < 1e-12
