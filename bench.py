@@ -178,6 +178,9 @@ HEADLINE = [
     # round-8: SlimPajama-style soft dedup — 1/|cluster| sampling
     # weights off the same df-capped Jaccard edges (hash-oracled)
     "soft_dedup_weights",
+    # round-8: the streaming MEDIA ingest gate — decode+dHash once per
+    # object, intra-batch collapse + persisted phash-store gate
+    "streaming_media_neardup_ingest",
 ]
 
 

@@ -832,6 +832,68 @@ def hamming_band_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_band_pairs_between(
+    new: DataFrame,
+    existing: DataFrame,
+    sig_col: str,
+    id_col: str = "id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(new_id, existing_id, hamming) pairs ACROSS two relations —
+    the store-probe shape: a small batch of signatures against a
+    persisted corpus-sized signature relation. Same band construction
+    and pigeonhole-exactness as :func:`hamming_band_pairs`; both
+    sides explode to ``bands`` rows and equi-join on (band, bucket),
+    so the persisted side shuffles 3 small columns and the batch side
+    is broadcast-sized by construction. Self-matches (same id on both
+    sides) are excluded — replayed batches are the exact-id path's
+    job."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def _banded(df: DataFrame, id_out: str, sig_out: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftrightunsigned(F.col(sig_out), band * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for band in range(bands)
+        ]
+        return df.select(
+            F.col(id_col).cast("bigint").alias(id_out),
+            F.col(sig_col).cast("bigint").alias(sig_out),
+        ).select(
+            id_out, sig_out, F.explode(F.array(*structs)).alias("bb")
+        ).select(
+            id_out,
+            sig_out,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    nb = _banded(new, "new_id", "_nsig")
+    eb = _banded(existing, "existing_id", "_esig")
+    return (
+        nb.join(eb, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("existing_id"))
+        .select(
+            "new_id",
+            "existing_id",
+            F.bit_count(F.col("_nsig").bitwiseXOR(F.col("_esig")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("new_id", "existing_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

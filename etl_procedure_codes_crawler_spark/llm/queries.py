@@ -2091,6 +2091,72 @@ def multimodal_audio_neardup_pairs(
     return M.audio_near_dup_pairs(fps, max_hamming=3)
 
 
+@register("streaming_media_neardup_ingest")  # rows-only: phash gate
+def streaming_media_neardup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MEDIA ingest gate end to end
+    (streaming/incremental.stream_ingest_media_neardup): the PNG
+    corpus plus byte-identical twins of every 7th image arrives as one
+    micro-batch; the gate decodes + dHashes once per object, collapses
+    perceptual duplicates within the batch (every planted twin — and
+    the corpus's organic hamming<=3 collisions — drops to its
+    lowest-id representative), signs survivors into the persisted
+    phash store, and appends payloads. The warehouse must hold exactly
+    the batch's perceptual representatives; a second run of the same
+    stream (store now populated) is pinned a no-op in
+    tests/test_phash_store.py. Rows-only: the hash is numpy-side."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_ingest_media_neardup
+    from . import phash_store as PS
+
+    documents = load(spark, sf_dir, "documents")
+    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    media = M.documents_as_png(
+        documents.unionByName(twins), corrupt_every=0
+    )
+    root = tempfile.mkdtemp(prefix="media_gate_")
+    try:
+        src = _os.path.join(root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(root, "staging")
+        media.repartition(
+            max(spark.sparkContext.defaultParallelism, 4)
+        ).write.mode("overwrite").parquet(staging)
+        import glob as _glob
+
+        for i, part in enumerate(
+            _glob.glob(_os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(part, _os.path.join(src, f"b{i}.parquet"))
+        store = _os.path.join(root, "store")
+        PS.create_phash_store(spark, store)
+        wh = _os.path.join(root, "wh")
+        q = stream_ingest_media_neardup(
+            spark,
+            src,
+            M.MEDIA_SCHEMA,
+            wh,
+            store,
+            _os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        from ..sources.parquet import read_table_or_empty
+
+        return (
+            read_table_or_empty(spark, wh, M.MEDIA_SCHEMA)
+            .select("media_id")
+            .localCheckpoint(eager=True)  # outlives the temp dir
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("neardup_store_cluster_survivors")  # rows-only: minhash store
 def neardup_store_cluster_survivors(
     spark: SparkSession, sf_dir: str
@@ -4682,4 +4748,5 @@ ROWS_ONLY = {
     "multimodal_audio_neardup_pairs",
     "neardup_store_cluster_survivors",
     "llm_training_shards_bpe",
+    "streaming_media_neardup_ingest",
 }

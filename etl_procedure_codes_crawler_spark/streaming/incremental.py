@@ -901,3 +901,120 @@ def stream_ingest_with_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_media_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hasher=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The MEDIA ingest gate: perceptual near-dup dedup for
+    image/audio payloads at the corpus front door — the multimodal
+    twin of :func:`stream_ingest_with_neardup`. Each batch is
+    (1) id-deduped against the warehouse (replay safety), (2) decoded
+    + perceptually hashed in ONE Arrow pass (``hasher`` maps a media
+    frame to (media_id, phash, ...) — default
+    :func:`..llm.multimodal.image_hashes`; pass
+    ``audio_fingerprints``-based hashers for audio corpora),
+    (3) collapsed WITHIN the batch (the greater id of any pair within
+    ``max_hamming`` drops — a crawl burst carrying one image under
+    many URLs), (4) gated against the persisted phash store (a
+    re-hosted/re-encoded copy of anything accepted before is
+    rejected), and (5) survivors append their payloads to the
+    warehouse AND their 16-byte hash rows to the store.
+
+    Decode-ERROR payloads (NULL phash) are ADMITTED past the
+    perceptual stages — an undecodable object has no perceptual
+    identity to compare, and the exact-id gate already holds; the
+    error is preserved in the store-less hash relation for auditing
+    upstream. Crash contract mirrors the text gate: heal-first (batch
+    objects the warehouse already holds are offered to the store
+    before any gating), store append BEFORE warehouse append
+    (over-approximation only ever rejects a would-be duplicate
+    earlier), id anti-join makes replays no-ops."""
+    from ..llm import multimodal as MM
+    from ..llm import phash_store as PS
+    from ..llm.dedup import hamming_band_pairs
+
+    hash_fn = hasher if hasher is not None else MM.image_hashes
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.filter(F.col(id_col).isNotNull())
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # hashed + joined below
+        )
+        existing = read_table_or_empty(spark, warehouse_path, rows.schema)
+        # heal-first: re-offer already-warehoused batch objects to the
+        # store (its id anti-join no-ops the steady state) so a crash
+        # between a prior warehouse append and store append cannot
+        # leave accepted objects unsigned
+        warehoused = rows.join(
+            existing.select(id_col), id_col, "left_semi"
+        )
+        if not warehoused.isEmpty():
+            PS.append_to_phash_store(
+                spark, store_path, hash_fn(warehoused), id_col=id_col
+            )
+        fresh = rows.join(
+            existing.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+        hashes = hash_fn(fresh).localCheckpoint(eager=True)
+        # intra-batch collapse: drop the greater id of any pair
+        intra_losers = (
+            hamming_band_pairs(
+                hashes.filter(F.col("phash").isNotNull()),
+                "phash",
+                id_col,
+                max_hamming=max_hamming,
+            )
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        survivors_h = hashes.join(intra_losers, id_col, "left_anti")
+        # store gate: reject anything perceptually held already
+        near = (
+            PS.near_dups_against_phash_store(
+                spark, store_path, survivors_h, max_hamming, id_col=id_col
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        accepted_ids = (
+            survivors_h.select(id_col)
+            .join(near, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if accepted_ids.isEmpty():
+            return
+        # store BEFORE warehouse (see the crash contract)
+        PS.append_to_phash_store(
+            spark,
+            store_path,
+            hashes.join(accepted_ids, id_col, "left_semi"),
+            id_col=id_col,
+        )
+        fresh.join(accepted_ids, id_col, "left_semi").write.mode(
+            "append"
+        ).option("compression", "snappy").parquet(warehouse_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
