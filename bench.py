@@ -181,6 +181,10 @@ HEADLINE = [
     # round-8: the streaming MEDIA ingest gate — decode+dHash once per
     # object, intra-batch collapse + persisted phash-store gate
     "streaming_media_neardup_ingest",
+    # round-8: in-engine quality-model training — one normal-equation
+    # aggregation pass distills the Gopher battery into the linear
+    # scorer, corpus re-scored with the learned model
+    "quality_model_distilled",
 ]
 
 

@@ -124,3 +124,15 @@ def near_dups_against_phash_store(
         max_hamming=max_hamming,
         bands=4,
     )
+
+
+def compact_phash_store(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Restore a compact file layout after incremental appends (one
+    file per accepted batch, forever). Delegates to
+    :func:`..sinks.parquet.compact_dataset` (atomic swap,
+    crash-healed); hashes are a set — no ordering contract."""
+    from ..sinks.parquet import compact_dataset
+
+    return compact_dataset(spark, _hashes_path(path), target_file_mb)

@@ -234,3 +234,71 @@ def score_documents(
         grid,
         (score > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def fit_linear_quality(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    ridge: float = 1e-6,
+) -> dict:
+    """Train the linear quality model IN the engine — the trainer half
+    of the model-as-data contract :func:`score_documents` consumes.
+
+    Closed-form ridge regression over the shared
+    :func:`quality_features` (fastText-style pipelines train a cheap
+    linear scorer on a labeled seed set; with only k=4 features the
+    normal equations beat any iterative solver): ONE corpus pass
+    aggregates the (k+1)x(k+1) moment matrix XᵀX (intercept included)
+    and the k+1 vector Xᵀy as plain ``F.sum`` products — map-side
+    partial aggregation, so the shuffle carries 20 numbers per
+    partition regardless of corpus size — and the tiny symmetric
+    solve runs on the driver with numpy. Ridge λ is applied to the
+    feature diagonal only (the intercept stays unpenalized, the
+    standard convention). Rows whose features are NULL (empty/NULL
+    text) are excluded — a trainer must not learn from documents the
+    scorer cannot score.
+
+    Returns the feature→coefficient dict (plus ``bias``) that
+    ``score_documents``/``linear_margin`` accept verbatim. Pinned
+    against a pure-numpy ``lstsq`` replica in tests/test_quality.py.
+    """
+    import numpy as np
+
+    feats = quality_features(text_col)
+    names = list(FEATURE_ORDER)
+    k = len(names)
+    x_cols = [F.lit(1.0).alias("_x0")] + [
+        feats[n].alias(f"_x{i + 1}") for i, n in enumerate(names)
+    ]
+    rows = df.select(
+        *x_cols, F.col(label_col).cast("double").alias("_y")
+    )
+    good = rows
+    for i in range(k + 1):
+        good = good.where(F.col(f"_x{i}").isNotNull())
+    good = good.where(F.col("_y").isNotNull())
+    aggs = []
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            aggs.append(
+                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(f"_a{i}_{j}")
+            )
+        aggs.append(F.sum(F.col(f"_x{i}") * F.col("_y")).alias(f"_b{i}"))
+    row = good.agg(*aggs).first()
+    if row[f"_a0_0"] is None:
+        raise ValueError(
+            "fit_linear_quality: no scorable labeled rows to train on"
+        )
+    a = np.zeros((k + 1, k + 1))
+    b = np.zeros(k + 1)
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            a[i, j] = a[j, i] = float(row[f"_a{i}_{j}"])
+        b[i] = float(row[f"_b{i}"])
+    a += float(ridge) * np.diag([0.0] + [1.0] * k)  # intercept unpenalized
+    w = np.linalg.solve(a, b)
+    model = {"bias": float(w[0])}
+    for i, n in enumerate(names):
+        model[n] = float(w[i + 1])
+    return model

@@ -301,6 +301,48 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.gopher_rules(documents, min_stop_hits=1)
 
 
+@register("quality_model_distilled")  # rows-only: trained-artifact plan
+def quality_model_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score IN the engine (round 8): the Gopher rule
+    battery labels the corpus (keep=1/0, the gate's corpus-calibrated
+    ``min_stop_hits=1`` knob), ``fit_linear_quality`` distills those
+    labels into the 4-feature linear scorer with ONE normal-equation
+    aggregation pass (map-side partials, 20 numbers shuffled, driver
+    numpy solve), and the corpus is re-scored with the LEARNED model
+    through the unchanged ``score_documents`` path — the fastText-
+    style train-a-cheap-proxy workflow with no external trainer.
+    Returns (doc_id, quality_score, keep, gopher_keep, agrees);
+    rows-only because the coefficients are a trained float artifact,
+    but the trainer itself is pinned against a numpy lstsq replica and
+    a planted-model recovery test in tests/test_quality.py."""
+    from . import quality as Q
+
+    documents = load(spark, sf_dir, "documents")
+    labeled = documents.join(
+        Q.gopher_rules(documents, min_stop_hits=1).select(
+            "doc_id", F.col("keep").cast("double").alias("_label")
+        ),
+        "doc_id",
+    )
+    model = Q.fit_linear_quality(labeled, "_label")
+    scored = Q.score_documents(documents, model=model, threshold=0.5)
+    return (
+        scored.join(
+            Q.gopher_rules(documents, min_stop_hits=1).select(
+                "doc_id", F.col("keep").alias("gopher_keep")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "quality_score",
+            "keep",
+            "gopher_keep",
+            (F.col("keep") == F.col("gopher_keep")).alias("agrees"),
+        )
+    )
+
+
 @register(
     "token_drift_by_source",
     oracle=f"""
@@ -4749,4 +4791,5 @@ ROWS_ONLY = {
     "neardup_store_cluster_survivors",
     "llm_training_shards_bpe",
     "streaming_media_neardup_ingest",
+    "quality_model_distilled",
 }

@@ -1018,3 +1018,19 @@ def stream_ingest_media_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_budget_stats(
+    spark: SparkSession, stats_path: str, target_file_mb: int = 16
+) -> int:
+    """Restore a compact layout for the budget-gate stats artifact —
+    every accepted batch appends one file, so a year-long gate
+    accretes tens of thousands of tiny files whose listing cost the
+    per-batch consumed read pays forever. Safe anytime the gate is not
+    mid-batch: rows are read through a (gate_id, batch_id, source)
+    dedup + sum, which is invariant under file re-layout. Delegates to
+    :func:`..sinks.parquet.compact_dataset` (atomic swap,
+    crash-healed on the next call)."""
+    from ..sinks.parquet import compact_dataset
+
+    return compact_dataset(spark, stats_path, target_file_mb)
