@@ -526,3 +526,62 @@ def store_cluster_labels(
     return ids.join(labels, "id", "left").select(
         "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
     )
+
+
+def near_dup_pairs_within_store(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.5,
+    max_store_bucket_size: int = DEFAULT_MAX_STORE_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) among the STORE's own members —
+    candidate pairs from the PERSISTED bucket assignments (no
+    re-shingling, no re-signing: the one corpus-sized pass already
+    happened at build/append time), verified by the signature-
+    agreement estimate. The self-join is (band, bucket)-local with the
+    same deterministic ranked cap as :func:`near_dups_against_store`,
+    so a degenerate boilerplate bucket costs cap² rows, never
+    |bucket|². Feeds :func:`update_cluster_labels` /
+    ``cluster.duplicate_clusters`` directly."""
+    meta = load_store_meta(spark, path)
+    bands, rpb = meta["bands"], meta["rows_per_band"]
+    num_hashes = bands * rpb
+    snap = spark.read.parquet(path.rstrip("/") + "/signatures")
+    w_cap = Window.partitionBy("band", "bucket").orderBy("snapshot_id")
+    rows = (
+        _store_bucket_rows(snap, bands, rpb)
+        .withColumn("_bkrank", F.row_number().over(w_cap))
+        .filter(F.col("_bkrank") <= max_store_bucket_size)
+        .drop("_bkrank")
+    )
+    a = rows.select(
+        F.col("snapshot_id").alias("doc_a"),
+        F.col("snap_sig").alias("_sig_a"),
+        "band",
+        "bucket",
+    )
+    b = rows.select(
+        F.col("snapshot_id").alias("doc_b"),
+        F.col("snap_sig").alias("_sig_b"),
+        "band",
+        "bucket",
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_sig_a"), F.col("_sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -2224,6 +2224,7 @@ def neardup_store_cluster_survivors(
     from .cluster import keep_best_in_cluster
     from .neardup_store import (
         build_minhash_store,
+        near_dup_pairs_within_store,
         store_cluster_labels,
         update_cluster_labels,
     )
@@ -2238,8 +2239,11 @@ def neardup_store_cluster_survivors(
     try:
         store = _os.path.join(root, "store")
         build_minhash_store(corpus, store)
-        pairs = D.minhash_near_dup_pairs(
-            corpus, "text", "doc_id", 3, 8, 4, threshold=0.9
+        # pairs come off the PERSISTED signatures — the corpus is
+        # shingled+signed exactly once (at build), not re-signed for
+        # pair generation (the round-8 bench showed the double pass)
+        pairs = near_dup_pairs_within_store(
+            spark, store, threshold=0.9
         ).select("doc_a", "doc_b").localCheckpoint(eager=True)
         update_cluster_labels(
             spark, store, pairs.filter(F.pmod(F.col("doc_b"), F.lit(2)) == 0)

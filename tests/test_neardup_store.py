@@ -893,3 +893,30 @@ class TestStreamIngestLabelMode:
             corpus.select("doc_id", token_count("text").alias("score")),
         ).filter("keep")
         assert sorted(r.doc_id for r in survivors.collect()) == [1, 50]
+
+
+def test_within_store_pairs_use_persisted_buckets(spark, tmp_path):
+    """near_dup_pairs_within_store: twins pair at est 1.0 off the
+    PERSISTED signatures (no re-signing), unrelated docs do not, and
+    the pair set feeds update_cluster_labels directly."""
+    import etl_procedure_codes_crawler_spark.llm.neardup_store as NS
+
+    store = str(tmp_path / "store")
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # twin
+            (3, "completely different content with other words"),
+        ],
+    )
+    NS.build_minhash_store(docs, store)
+    pairs = NS.near_dup_pairs_within_store(spark, store, threshold=0.9)
+    got = {(r.doc_a, r.doc_b, r.est_jaccard) for r in pairs.collect()}
+    assert got == {(1, 2, 1.0)}
+    NS.update_cluster_labels(spark, store, pairs.select("doc_a", "doc_b"))
+    labels = {
+        (r.id, r.cluster_id)
+        for r in NS.store_cluster_labels(spark, store).collect()
+    }
+    assert labels == {(1, 1), (2, 1), (3, 3)}
