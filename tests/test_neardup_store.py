@@ -715,13 +715,21 @@ def test_gate_metrics_cost_only_the_metric_write(spark, tmp_path):
         after = dag.nextJobId()
         return (after.get() if hasattr(after, "get") else after) - before
 
-    jobs_off = run("off", None)
-    jobs_on = run("on", str(tmp_path / "metrics"))
+    # the measurement diffs GLOBAL job ids, so a stray job from a
+    # neighboring test's async teardown landing inside one window
+    # inflates it by 1-2 — re-measure once before declaring a
+    # regression (observed exactly once in ~10 full-suite runs)
+    for attempt in ("a", "b"):
+        metrics = str(tmp_path / f"metrics_{attempt}")
+        jobs_off = run(f"off{attempt}", None)
+        jobs_on = run(f"on{attempt}", metrics)
+        if jobs_on - jobs_off <= 2:
+            break
     # identical pipeline; the only audit-mode additions are the
     # metric-row append (1-2 jobs). 6 count jobs would blow this.
     assert jobs_on - jobs_off <= 2, (jobs_on, jobs_off)
     # and the audit row still reconciles
-    row = spark.read.parquet(str(tmp_path / "metrics")).first()
+    row = spark.read.parquet(metrics).first()
     assert (row.n_input, row.n_accepted, row.n_intra_dropped) == (3, 2, 1)
 
 
