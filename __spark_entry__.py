@@ -36,7 +36,11 @@ _GATE_PRIORITY = [
     "clean_codes_normalize",
     "window_top3_orders_per_customer",
     "rollup_revenue_by_flag_status",
-    "pivot_event_counts_by_type",
+    # round-8 family takes the long-green pivot slot (r7 precedent:
+    # ceded slots stay oracled in the full registry + parity replica):
+    # soft-dedup weights hash-prove the component fixpoint AND the
+    # 1/|cluster| weighting in one sampled row
+    "soft_dedup_weights",
     "explode_token_counts",
     "intersect_nations_with_both",
     "events_hourly_windows",

@@ -85,6 +85,8 @@ def test_family_coverage_in_gate_sample(entry):
         # v3 hash-proves gopher rules + quality margin + intra-doc
         # block dedup + cluster quality survivors in one slot
         "round7_funnel": {"llm_corpus_prep_v3"},
+        # round-8: components + 1/|cluster| soft-dedup weighting
+        "soft_dedup": {"soft_dedup_weights"},
     }
     uncovered = [fam for fam, members in families.items() if not members & sample]
     assert not uncovered, f"families with no gate-sample hash row: {uncovered}"
