@@ -580,13 +580,17 @@ def _capped_bucket_pairs(
     signature) carried into the output as ``<col>_a``/``<col>_b``.
     """
     carry = carry_cols or []
-    sizes = buckets.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_bn"),
-        F.min(F.struct("id", *carry)).alias("_hub"),
-    )
-    # one shuffle on (band, bucket); the size join reuses that
-    # partitioning, so the cap costs no extra wide stage
-    annotated = buckets.join(sizes, ["band", "bucket"])
+    # bucket size + hub via ONE window over the (band, bucket)
+    # exchange (round 8: the groupBy+join form cost two extra stages
+    # per pair query — pure scheduling overhead on hash-sized
+    # relations); the window's output partitioning is exactly what the
+    # self-join below requires, so both join sides reuse the exchange
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    annotated = buckets.withColumn(
+        "_bn", F.count(F.lit(1)).over(w)
+    ).withColumn("_hub", F.min(F.struct("id", *carry)).over(w))
 
     small = annotated.filter(F.col("_bn") <= max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
