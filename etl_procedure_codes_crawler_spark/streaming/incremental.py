@@ -915,6 +915,7 @@ def stream_ingest_media_neardup(
     hasher=None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    neardup_action: str = "reject",
 ):
     """The MEDIA ingest gate: perceptual near-dup dedup for
     image/audio payloads at the corpus front door — the multimodal
@@ -939,10 +940,25 @@ def stream_ingest_media_neardup(
     objects the warehouse already holds are offered to the store
     before any gating), store append BEFORE warehouse append
     (over-approximation only ever rejects a would-be duplicate
-    earlier), id anti-join makes replays no-ops."""
+    earlier), id anti-join makes replays no-ops.
+
+    ``neardup_action="label"`` (same policy switch as the text gate):
+    perceptual copies are ADMITTED and the observed pairs (intra-batch
+    + vs-store) land in the phash store's incremental cluster labels
+    (the :mod:`..llm.neardup_store` edge-log/label machinery is
+    store-layout-agnostic), so per-cluster survivor selection runs at
+    serving time off persisted ``(id, cluster_id)`` rows — e.g. keep
+    the highest-resolution copy of each image cluster rather than
+    whichever URL was crawled first."""
+    if neardup_action not in ("reject", "label"):
+        raise ValueError(
+            f"neardup_action must be 'reject' or 'label', got "
+            f"{neardup_action!r}"
+        )
     from ..llm import multimodal as MM
     from ..llm import phash_store as PS
     from ..llm.dedup import hamming_band_pairs
+    from ..llm.neardup_store import update_cluster_labels
 
     hash_fn = hasher if hasher is not None else MM.image_hashes
 
@@ -970,31 +986,46 @@ def stream_ingest_media_neardup(
         if fresh.isEmpty():
             return
         hashes = hash_fn(fresh).localCheckpoint(eager=True)
-        # intra-batch collapse: drop the greater id of any pair
-        intra_losers = (
-            hamming_band_pairs(
-                hashes.filter(F.col("phash").isNotNull()),
-                "phash",
-                id_col,
-                max_hamming=max_hamming,
+        intra_pairs = hamming_band_pairs(
+            hashes.filter(F.col("phash").isNotNull()),
+            "phash",
+            id_col,
+            max_hamming=max_hamming,
+        )
+        if neardup_action == "label":
+            # admit everything; record the observed pair structure as
+            # cluster edges BEFORE the warehouse append (a crash
+            # between replays into duplicate edges, never lost ones)
+            store_pairs = PS.near_dups_against_phash_store(
+                spark, store_path, hashes, max_hamming, id_col=id_col
+            ).select(
+                F.col("new_id").alias("doc_a"),
+                F.col("existing_id").alias("doc_b"),
             )
-            .select(F.col("doc_b").alias(id_col))
-            .distinct()
-        )
-        survivors_h = hashes.join(intra_losers, id_col, "left_anti")
-        # store gate: reject anything perceptually held already
-        near = (
-            PS.near_dups_against_phash_store(
-                spark, store_path, survivors_h, max_hamming, id_col=id_col
+            update_cluster_labels(
+                spark,
+                store_path,
+                intra_pairs.select("doc_a", "doc_b").unionByName(store_pairs),
             )
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        accepted_ids = (
-            survivors_h.select(id_col)
-            .join(near, id_col, "left_anti")
-            .localCheckpoint(eager=True)
-        )
+            accepted_ids = fresh.select(id_col)
+        else:
+            # intra-batch collapse: drop the greater id of any pair
+            intra_losers = (
+                intra_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            )
+            survivors_h = hashes.join(intra_losers, id_col, "left_anti")
+            # store gate: reject anything perceptually held already
+            near = (
+                PS.near_dups_against_phash_store(
+                    spark, store_path, survivors_h, max_hamming, id_col=id_col
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            accepted_ids = survivors_h.select(id_col).join(
+                near, id_col, "left_anti"
+            )
+        accepted_ids = accepted_ids.localCheckpoint(eager=True)
         if accepted_ids.isEmpty():
             return
         # store BEFORE warehouse (see the crash contract)
