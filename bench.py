@@ -185,6 +185,9 @@ HEADLINE = [
     # aggregation pass distills the Gopher battery into the linear
     # scorer, corpus re-scored with the learned model
     "quality_model_distilled",
+    # round-8: CCNet-style cross-doc boilerplate strip — fingerprint
+    # shuffle + doc-frequency groupBy + in-order reassembly
+    "boilerplate_passage_removal",
 ]
 
 

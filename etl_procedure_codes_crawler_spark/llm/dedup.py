@@ -914,3 +914,94 @@ def simhash_near_dup_pairs(
     return hamming_band_pairs(
         sig, "simhash", "id", max_hamming, max_bucket_size, bands=4
     )
+
+
+def remove_boilerplate_passages(
+    df: DataFrame,
+    min_doc_freq: int = 50,
+    block: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style CROSS-document boilerplate strip: split every
+    document into consecutive ``block``-token passages; a passage
+    appearing in MORE THAN ``min_doc_freq`` distinct documents
+    (navigation bars, subscribe prompts, license footers — content no
+    single-document dedup can see) is removed from every document,
+    and the survivors reassemble in order. Returns
+    ``(id, n_passages, n_removed, text_clean)`` for every input row —
+    NULL-text documents pass through with NULL text_clean and zero
+    counts (a cleaner must not invent text), fully-boilerplate
+    documents come back empty rather than vanishing.
+
+    Scale shape: passages are sha2-fingerprinted BEFORE the exchange,
+    so the frequency groupBy shuffles (id, 32-byte fp) rows, never
+    passage text; the join back to the passage rows hashes on the same
+    fingerprint, reusing the exchange. Doc frequency is an exact
+    countDistinct inside the fp group (a posting list read linearly —
+    a degenerate boilerplate passage costs O(list), not O(list²)).
+    Complements :func:`remove_intra_doc_repeats` (within-doc) and
+    :func:`remove_duplicate_spans` (pairwise spans): this is the
+    corpus-frequency axis."""
+    chunk_structs = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.ceil(F.size("_toks") / F.lit(int(block))).cast("int"),
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice("_toks", (i - F.lit(1)) * F.lit(int(block)) + 1,
+                        F.lit(int(block))),
+                " ",
+            ).alias("passage"),
+        ),
+    )
+    chunks = (
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        .where(F.col("_toks").isNotNull() & (F.size("_toks") > 0))
+        .select("id", F.explode(chunk_structs).alias("c"))
+        .select(
+            "id",
+            F.col("c.pos").alias("pos"),
+            F.col("c.passage").alias("passage"),
+        )
+        .withColumn("fp", F.sha2(F.col("passage"), 256))
+    )
+    freq = chunks.groupBy("fp").agg(
+        F.countDistinct("id").alias("_df")
+    )
+    judged = chunks.join(freq, "fp")
+    rebuilt = judged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+        F.sum(
+            F.when(F.col("_df") > int(min_doc_freq), 1).otherwise(0)
+        ).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_df") <= int(min_doc_freq),
+                            F.struct("pos", "passage"),
+                        )
+                    )
+                ),
+                lambda x: x["passage"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    # every input row survives: NULL/empty text contributes no chunks
+    # and re-enters with NULL text_clean + zero counts
+    return (
+        df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            "text_clean",
+        )
+    )

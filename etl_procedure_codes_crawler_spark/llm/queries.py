@@ -301,6 +301,55 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.gopher_rules(documents, min_stop_hits=1)
 
 
+@register(
+    "boilerplate_passage_removal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(toks, (i - 1) * 3 + 1, i * 3), ' ')
+                   AS passage
+        FROM tok,
+             LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+        SELECT passage, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY passage
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
+                               ' ' ORDER BY i), '') AS text_clean
+    FROM chunks c JOIN freq USING (passage)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_passage_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate strip
+    (llm/dedup.remove_boilerplate_passages): passages appearing in
+    more than ``min_doc_freq`` DISTINCT documents are removed from
+    every document and the survivors reassemble in order — the
+    corpus-frequency dedup axis that per-document and pairwise dedup
+    cannot see (nav bars, subscribe prompts, license footers).
+    Hash-oracled end to end including the rebuilt text. Gate knobs:
+    ``block=3, min_doc_freq=5`` — the synthetic docs carry no
+    repeated 16-token runs (DuckDB-probed: the production default
+    block=16 removes nothing at any SF, while 3-token passages shared
+    by >5 docs exist at every SF: 101 chunks removed at sf0.001, 110
+    at sf0.01, 24k at sf0.1)."""
+    documents = load(spark, sf_dir, "documents")
+    return D.remove_boilerplate_passages(
+        documents, min_doc_freq=5, block=3
+    ).select(
+        F.col("id").alias("doc_id"), "n_passages", "n_removed", "text_clean"
+    )
+
+
 @register("quality_model_distilled")  # rows-only: trained-artifact plan
 def quality_model_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score IN the engine (round 8): the Gopher rule

@@ -472,3 +472,45 @@ class TestIntraDocRepeats:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestBoilerplatePassageRemoval:
+    def test_frequent_passages_stripped_order_preserved(self, spark):
+        from etl_procedure_codes_crawler_spark.llm.dedup import (
+            remove_boilerplate_passages,
+        )
+
+        boiler = "subscribe to our newsletter"
+        rows = [(i, f"unique words {i} here {boiler}") for i in range(1, 8)]
+        rows.append((100, f"{boiler} opening then unique tail {100}"))
+        rows.append((200, "entirely clean document nothing shared"))
+        rows.append((300, None))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.id: (r.n_passages, r.n_removed, r.text_clean)
+            for r in remove_boilerplate_passages(
+                df, min_doc_freq=5, block=4
+            ).collect()
+        }
+        assert len(out) == 10  # nobody vanishes, incl. the NULL doc
+        # doc 1: "unique words 1 here" kept, the boiler block removed
+        n, rm, clean = out[1]
+        assert (n, rm) == (2, 1) and clean == "unique words 1 here"
+        # boiler at the FRONT: the unique tail survives in order
+        n, rm, clean = out[100]
+        assert rm == 1 and clean == "opening then unique tail 100"
+        # clean doc untouched
+        assert out[200] == (2, 0, "entirely clean document nothing shared")
+        # NULL text passes through untouched with zero counts
+        assert out[300] == (0, 0, None)
+
+    def test_fully_boilerplate_doc_comes_back_empty(self, spark):
+        from etl_procedure_codes_crawler_spark.llm.dedup import (
+            remove_boilerplate_passages,
+        )
+
+        rows = [(i, "same four word block") for i in range(1, 9)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_boilerplate_passages(df, min_doc_freq=5, block=5).collect()
+        assert all(r.text_clean == "" and r.n_removed == r.n_passages == 1
+                   for r in out)
