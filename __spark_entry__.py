@@ -42,7 +42,11 @@ _GATE_PRIORITY = [
     # 1/|cluster| weighting in one sampled row
     "soft_dedup_weights",
     "explode_token_counts",
-    "intersect_nations_with_both",
+    # round-8 capstone takes the long-green intersect slot (stays
+    # oracled in registry + parity replica): v4 hash-proves the
+    # boilerplate strip, the rebuilt-text token counts, and the
+    # soft-dedup-weighted yield in one sampled row
+    "llm_corpus_prep_v4",
     "events_hourly_windows",
     "sessionize_user_events",
     "scalar_extract_functions",

@@ -188,6 +188,9 @@ HEADLINE = [
     # round-8: CCNet-style cross-doc boilerplate strip — fingerprint
     # shuffle + doc-frequency groupBy + in-order reassembly
     "boilerplate_passage_removal",
+    # round-8 capstone #2: boilerplate strip -> soft-dedup weights ->
+    # per-source effective-token yield (hash-oracled end to end)
+    "llm_corpus_prep_v4",
 ]
 
 
