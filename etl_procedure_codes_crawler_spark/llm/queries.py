@@ -350,6 +350,157 @@ def boilerplate_passage_removal(
     )
 
 
+@register(
+    "llm_corpus_prep_v4",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    -- cross-doc boilerplate strip (3-token passages, df > 5)
+    chunks AS (
+        SELECT doc_id,
+               i,
+               array_to_string(list_slice(t, (i - 1) * 3 + 1, i * 3), ' ')
+                   AS passage
+        FROM tok,
+             LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS s(i)
+    ),
+    pfreq AS (
+        SELECT passage, COUNT(DISTINCT doc_id) AS pdf
+        FROM chunks GROUP BY passage
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN pdf > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(CASE WHEN pdf <= 5 THEN passage END,
+                                   ' ' ORDER BY i), '') AS text_clean
+        FROM chunks JOIN pfreq USING (passage)
+        GROUP BY doc_id
+    ),
+    -- near-dup clusters (df-capped exact jaccard >= 0.05 edges)
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM tok
+    ),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT doc_a, doc_b
+        FROM shared
+          JOIN sizes x ON x.doc_id = doc_a
+          JOIN sizes y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.05
+    ),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM p
+        UNION ALL
+        SELECT doc_b AS x, doc_a AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    ),
+    cl AS (SELECT v AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY v),
+    csz AS (
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM cl
+    ),
+    -- per-doc clean token count + soft-dedup-weighted micro-tokens
+    per_doc AS (
+        SELECT d.source,
+               c.n_removed,
+               CASE WHEN c.text_clean = '' THEN 0
+                    ELSE len(string_split_regex(trim(c.text_clean), '\\s+'))
+               END AS n_tok_clean,
+               z.cluster_id,
+               z.cluster_size
+        FROM documents d
+          JOIN cleaned c USING (doc_id)
+          JOIN csz z USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_removed) AS BIGINT) AS boiler_passages_removed,
+           CAST(SUM(n_tok_clean) AS BIGINT) AS tokens_clean,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CAST(FLOOR(n_tok_clean * 1000000.0 / cluster_size)
+                         AS BIGINT)) AS BIGINT) AS eff_tokens_micro
+    FROM per_doc GROUP BY source
+    """,
+)
+def llm_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 funnel capstone: cross-document BOILERPLATE
+    passages are stripped (the corpus-frequency axis), near-dup
+    clusters get SOFT-dedup weights (1/|cluster| — keep diversity,
+    one copy in expectation), and the per-source report answers the
+    planner's question: how many EFFECTIVE clean tokens does each
+    source contribute? ``eff_tokens_micro`` is the soft-dedup-weighted
+    clean token count in exact integer micro-units (per-doc FLOOR of
+    one IEEE multiply-divide, then an order-independent integer SUM —
+    the cross-engine-exact discipline), so a source whose volume is
+    boilerplate + near-dups shows its true yield. Corpus exchanges:
+    one passage-fingerprint shuffle, one df-capped shingle posting
+    join, one cluster window — every other signal rides map-side."""
+    from . import cluster as CL
+
+    documents = load(spark, sf_dir, "documents")
+    cleaned = D.remove_boilerplate_passages(
+        documents, min_doc_freq=5, block=3
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_removed",
+        "text_clean",
+    )
+    pairs = D.ngram_jaccard_pairs(
+        documents, threshold=0.05, max_doc_freq=50
+    ).select("doc_a", "doc_b")
+    weights = CL.soft_dedup_weights(
+        CL.duplicate_clusters(pairs, all_ids=documents)
+    )
+    n_tok_clean = F.when(F.col("text_clean") == "", F.lit(0)).otherwise(
+        F.size(T.tokens("text_clean"))
+    ).cast("bigint")
+    per_doc = (
+        documents.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .join(weights, "doc_id")
+        .select(
+            "source",
+            "n_removed",
+            n_tok_clean.alias("n_tok_clean"),
+            "cluster_id",
+            "cluster_size",
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed").cast("bigint").alias("boiler_passages_removed"),
+        F.sum("n_tok_clean").cast("bigint").alias("tokens_clean"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.sum(
+            F.floor(
+                F.col("n_tok_clean") * F.lit(1000000.0)
+                / F.col("cluster_size").cast("double")
+            ).cast("bigint")
+        ).cast("bigint").alias("eff_tokens_micro"),
+    )
+
+
 @register("quality_model_distilled")  # rows-only: trained-artifact plan
 def quality_model_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score IN the engine (round 8): the Gopher rule
