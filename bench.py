@@ -191,6 +191,9 @@ HEADLINE = [
     # round-8 capstone #2: boilerplate strip -> soft-dedup weights ->
     # per-source effective-token yield (hash-oracled end to end)
     "llm_corpus_prep_v4",
+    # round-8: the passage-frequency store lifecycle (two mergeable
+    # count appends + strip against persisted frequencies)
+    "boilerplate_store_strip",
 ]
 
 

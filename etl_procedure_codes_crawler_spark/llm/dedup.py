@@ -943,6 +943,25 @@ def remove_boilerplate_passages(
     Complements :func:`remove_intra_doc_repeats` (within-doc) and
     :func:`remove_duplicate_spans` (pairwise spans): this is the
     corpus-frequency axis."""
+    chunks = passage_rows(df, block, text_col, id_col)
+    freq = chunks.groupBy("fp").agg(
+        F.countDistinct("id").alias("_df")
+    )
+    judged = chunks.join(freq, "fp")
+    return _rebuild_cleaned(df, judged, min_doc_freq, id_col)
+
+
+def passage_rows(
+    df: DataFrame,
+    block: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, passage, fp) — every document's consecutive
+    ``block``-token passages with their 32-byte sha2 fingerprints,
+    the shared substrate of :func:`remove_boilerplate_passages` and
+    the persisted passage-frequency store
+    (:mod:`.passagefreq`). NULL/empty texts contribute no rows."""
     chunk_structs = F.transform(
         F.sequence(
             F.lit(1),
@@ -957,7 +976,7 @@ def remove_boilerplate_passages(
             ).alias("passage"),
         ),
     )
-    chunks = (
+    return (
         spread_small_input(df)
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
         .where(F.col("_toks").isNotNull() & (F.size("_toks") > 0))
@@ -969,10 +988,14 @@ def remove_boilerplate_passages(
         )
         .withColumn("fp", F.sha2(F.col("passage"), 256))
     )
-    freq = chunks.groupBy("fp").agg(
-        F.countDistinct("id").alias("_df")
-    )
-    judged = chunks.join(freq, "fp")
+
+
+def _rebuild_cleaned(
+    df: DataFrame, judged: DataFrame, min_doc_freq: int, id_col: str
+) -> DataFrame:
+    """Reassemble kept passages in order from a ``judged`` relation of
+    (id, pos, passage, _df) rows; every input row of ``df`` survives —
+    NULL/empty text re-enters with NULL text_clean and zero counts."""
     rebuilt = judged.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_passages"),
         F.sum(
@@ -993,8 +1016,6 @@ def remove_boilerplate_passages(
             " ",
         ).alias("text_clean"),
     )
-    # every input row survives: NULL/empty text contributes no chunks
-    # and re-enters with NULL text_clean + zero counts
     return (
         df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
         .join(rebuilt, "id", "left")

@@ -501,6 +501,75 @@ def llm_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_store_strip",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(toks, (i - 1) * 3 + 1, i * 3), ' ')
+                   AS passage
+        FROM tok,
+             LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+        SELECT passage, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY passage
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
+                               ' ' ORDER BY i), '') AS text_clean
+    FROM chunks c JOIN freq USING (passage)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_store_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The passage-frequency STORE lifecycle end to end
+    (llm/passagefreq.py): corpus counts land in the store across TWO
+    incremental appends (odd doc_ids then even — exercising the
+    mergeable-segment sum), then the corpus is cleaned against the
+    persisted frequencies. Because every document is offered exactly
+    once, the summed segments equal the global distinct-document
+    frequencies, so the result is BIT-IDENTICAL to the batch operator
+    and shares its oracle — the store is an incremental refactoring
+    of the same math, and the hash proves it."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from . import passagefreq as PF
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="pfreq_")
+    try:
+        store = _os.path.join(root, "store")
+        PF.create_passage_freq_store(spark, store, block=3)
+        PF.append_passage_counts(
+            spark, store, documents.filter(F.col("doc_id") % 2 == 1)
+        )
+        PF.append_passage_counts(
+            spark, store, documents.filter(F.col("doc_id") % 2 == 0)
+        )
+        return (
+            PF.strip_boilerplate_against_store(
+                spark, store, documents, min_doc_freq=5
+            )
+            .select(
+                F.col("id").alias("doc_id"),
+                "n_passages",
+                "n_removed",
+                "text_clean",
+            )
+            .localCheckpoint(eager=True)  # outlives the temp store
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("quality_model_distilled")  # rows-only: trained-artifact plan
 def quality_model_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score IN the engine (round 8): the Gopher rule

@@ -514,3 +514,78 @@ class TestBoilerplatePassageRemoval:
         out = remove_boilerplate_passages(df, min_doc_freq=5, block=5).collect()
         assert all(r.text_clean == "" and r.n_removed == r.n_passages == 1
                    for r in out)
+
+
+class TestPassageFreqStore:
+    def test_incremental_counts_equal_full_corpus(self, spark, tmp_path):
+        """Two appends must sum to the one-shot frequencies, and the
+        store strip must equal the batch operator bit for bit."""
+        from etl_procedure_codes_crawler_spark.llm import passagefreq as PF
+        from etl_procedure_codes_crawler_spark.llm.dedup import (
+            remove_boilerplate_passages,
+        )
+
+        boiler = "subscribe to our newsletter"
+        docs = spark.createDataFrame(
+            [(i, f"unique words {i} here {boiler}") for i in range(1, 10)],
+            "doc_id long, text string",
+        )
+        store = str(tmp_path / "store")
+        PF.create_passage_freq_store(spark, store, block=4)
+        PF.append_passage_counts(spark, store, docs.filter("doc_id < 5"))
+        PF.append_passage_counts(spark, store, docs.filter("doc_id >= 5"))
+        freqs = {
+            r.fp: r.df for r in PF.read_passage_freqs(spark, store).collect()
+        }
+        assert max(freqs.values()) == 9  # the boiler block, all docs
+        via_store = sorted(
+            (r.id, r.n_passages, r.n_removed, r.text_clean)
+            for r in PF.strip_boilerplate_against_store(
+                spark, store, docs, min_doc_freq=5
+            ).collect()
+        )
+        via_batch = sorted(
+            (r.id, r.n_passages, r.n_removed, r.text_clean)
+            for r in remove_boilerplate_passages(
+                docs, min_doc_freq=5, block=4
+            ).collect()
+        )
+        assert via_store == via_batch
+        assert all(rm == 1 for _i, _n, rm, _t in via_store)
+
+    def test_unseen_passages_never_stripped(self, spark, tmp_path):
+        from etl_procedure_codes_crawler_spark.llm import passagefreq as PF
+
+        store = str(tmp_path / "store")
+        PF.create_passage_freq_store(spark, store, block=4)
+        fresh = spark.createDataFrame(
+            [(1, "never seen words entirely new")],
+            "doc_id long, text string",
+        )
+        out = PF.strip_boilerplate_against_store(
+            spark, store, fresh, min_doc_freq=1
+        ).first()
+        assert out.n_removed == 0
+        assert out.text_clean == "never seen words entirely new"
+
+    def test_compaction_preserves_frequencies(self, spark, tmp_path):
+        from etl_procedure_codes_crawler_spark.llm import passagefreq as PF
+
+        store = str(tmp_path / "store")
+        PF.create_passage_freq_store(spark, store, block=2)
+        for lo in (1, 4, 7):
+            docs = spark.createDataFrame(
+                [(i, "alpha beta shared tail") for i in range(lo, lo + 3)],
+                "doc_id long, text string",
+            )
+            PF.append_passage_counts(spark, store, docs)
+        before = sorted(
+            (r.fp, r.df)
+            for r in PF.read_passage_freqs(spark, store).collect()
+        )
+        PF.compact_passage_freq_store(spark, store)
+        after = sorted(
+            (r.fp, r.df)
+            for r in PF.read_passage_freqs(spark, store).collect()
+        )
+        assert before == after and after[0][1] == 9
