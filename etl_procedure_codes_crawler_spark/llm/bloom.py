@@ -181,7 +181,7 @@ def create_bloom_store(
     — a bloom that under-covers its warehouse would wrongly wave
     known keys through the definitely-new fast path."""
     m_bits, k = bloom_parameters(n_items, fpr)
-    meta = {"m_bits": m_bits, "k": k, "fpr": fpr, "version": 1}
+    meta = {"m_bits": m_bits, "k": k, "fpr": fpr, "version": 2}
     spark.createDataFrame([(json.dumps(meta),)], "meta string").repartition(
         1
     ).write.mode("overwrite").parquet(_meta_path(path))
@@ -194,10 +194,34 @@ def create_bloom_store(
     return meta
 
 
+class BloomStoreVersionError(RuntimeError):
+    """Persisted store was built under an older probe scheme."""
+
+
 def load_bloom_meta(spark: SparkSession, path: str) -> dict:
-    return json.loads(
+    """Store meta, REFUSING version-1 stores.
+
+    Version 2 changed the double-hash step to h2 = 1 + pmod(h, m−1)
+    (nonzero step), which redefines the probe positions of every key
+    with k ≥ 2. Probing a version-1 bit array with version-2 positions
+    yields FALSE NEGATIVES — the definitely-new fast path would
+    silently re-append keys the warehouse already holds, breaking
+    exactly-once — so a stale store is a hard error, not a warning.
+    Rebuild with ``create_bloom_store(..., seed_df=warehouse)``."""
+    meta = json.loads(
         spark.read.parquet(_meta_path(path)).first()["meta"]
     )
+    version = meta.get("version", 1)
+    if version != 2:
+        raise BloomStoreVersionError(
+            f"bloom store at {path!r} is version {version}; this code "
+            "probes with the version-2 nonzero double-hash step and "
+            "would return false negatives against its bit array. "
+            "Rebuild the store from the guarded warehouse: "
+            "create_bloom_store(spark, path, n_items, fpr, "
+            "seed_df=warehouse, col=key)."
+        )
+    return meta
 
 
 def read_bloom_store(spark: SparkSession, path: str) -> DataFrame:

@@ -715,24 +715,32 @@ PHASH_SCHEMA = StructType(
 
 def _gray_grid(pixels: bytes, width: int, height: int, channels: int,
                rows: int, cols: int):
-    """Grayscale ``rows x cols`` downsample of raw pixel bytes.
+    """Grayscale ``rows x cols`` downsample as EXACT INTEGER
+    ``(sums, counts)`` object arrays (Python ints — no overflow, no
+    rounding, ever).
 
-    Area-mean pooling when the image is at least grid-sized (robust to
-    per-pixel noise); nearest-neighbor sampling for tiny images where
-    mean bins would be empty. Alpha is ignored (4-channel inputs use
-    RGB only); multi-channel gray = unweighted channel mean — the
-    exact luma weighting does not matter for a sign-of-gradient hash,
-    and unweighted keeps the arithmetic integer-free-of-rounding
-    across platforms (float64 means are exact for sums of <2**53).
+    ``sums[i,j]`` is the raw channel-value sum over the cell (alpha
+    ignored: 4-channel inputs use RGB only) and ``counts[i,j]`` the
+    number of pixels pooled. Dividing would round (channel means ÷3
+    and area means ÷ non-power-of-2 bin counts are inexact in
+    float64, which let a clip-free uniform brightness shift flip a
+    near-tie gradient sign); instead the hash functions compare cells
+    by integer cross-multiplication ``sum_l*count_r < sum_r*count_l``,
+    so a uniform shift ``+d`` — which adds exactly ``d*channels*count``
+    to each sum — cancels algebraically and the invariance is exact.
+
+    Area-sum pooling when the image is at least grid-sized (robust to
+    per-pixel noise); nearest-neighbor single-pixel sampling for tiny
+    images where area bins would be empty (count=1 cells).
     """
     import numpy as np
 
     arr = np.frombuffer(pixels, dtype=np.uint8)
     if channels > 1:
         arr = arr.reshape(height, width, channels)
-        gray = arr[:, :, : min(channels, 3)].astype(np.float64).mean(axis=2)
+        gray = arr[:, :, : min(channels, 3)].astype(np.int64).sum(axis=2)
     else:
-        gray = arr.reshape(height, width).astype(np.float64)
+        gray = arr.reshape(height, width).astype(np.int64)
     if height >= rows and width >= cols:
         r_edges = np.linspace(0, height, rows + 1).astype(np.int64)
         c_edges = np.linspace(0, width, cols + 1).astype(np.int64)
@@ -740,10 +748,11 @@ def _gray_grid(pixels: bytes, width: int, height: int, channels: int,
             np.add.reduceat(gray, r_edges[:-1], axis=0), c_edges[:-1], axis=1
         )
         counts = np.outer(np.diff(r_edges), np.diff(c_edges))
-        return summed / counts
+        return summed.astype(object), counts.astype(object)
     r_idx = ((np.arange(rows) + 0.5) * height / rows).astype(np.int64)
     c_idx = ((np.arange(cols) + 0.5) * width / cols).astype(np.int64)
-    return gray[r_idx][:, c_idx]
+    sampled = gray[r_idx][:, c_idx]
+    return sampled.astype(object), np.ones_like(sampled, dtype=object)
 
 
 def _pack_bits(bits) -> int:
@@ -763,8 +772,12 @@ def dhash64(pixels: bytes, width: int, height: int, channels: int) -> int:
     right cell, row-major. Gradient SIGNS survive uniform brightness /
     contrast shifts exactly and small local noise with low hamming
     cost — the standard dHash formulation."""
-    grid = _gray_grid(pixels, width, height, channels, 8, 9)
-    bits = (grid[:, :-1] < grid[:, 1:]).reshape(-1)
+    sums, counts = _gray_grid(pixels, width, height, channels, 8, 9)
+    # exact integer cross-multiplication: mean_l < mean_r without the
+    # division that made float64 rounding brightness-sensitive
+    bits = (
+        sums[:, :-1] * counts[:, 1:] < sums[:, 1:] * counts[:, :-1]
+    ).reshape(-1)
     return _pack_bits(bits)
 
 
@@ -773,8 +786,12 @@ def ahash64(pixels: bytes, width: int, height: int, channels: int) -> int:
     Cheaper but brightness-sensitive; kept as the second public
     formulation for corpora where gradients are degenerate (flat
     synthetic tiles)."""
-    grid = _gray_grid(pixels, width, height, channels, 8, 8)
-    bits = (grid > grid.mean()).reshape(-1)
+    sums, counts = _gray_grid(pixels, width, height, channels, 8, 8)
+    # bit = cell_mean > grid_mean, exact: sum_i/cnt_i > total/total_cnt
+    # <=> sum_i*total_cnt > total*cnt_i (all Python ints)
+    total = sums.sum()
+    total_cnt = counts.sum()
+    bits = (sums * total_cnt > total * counts).reshape(-1)
     return _pack_bits(bits)
 
 

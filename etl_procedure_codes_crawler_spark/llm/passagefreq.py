@@ -8,13 +8,18 @@ growing corpus cannot re-aggregate history per batch. This store
 persists mergeable per-batch count segments:
 
     <path>/meta/      one JSON row: block, version
-    <path>/segments/  (fp, df) — per-segment DISTINCT-document counts;
-                      the read path sums segments, which equals the
+    <path>/segments/  (batch_id, fp, df) — per-segment DISTINCT-
+                      document counts KEYED BY BATCH; the read path
+                      drops duplicate (batch_id, fp) rows BEFORE
+                      summing, so a crash-replayed append (same batch
+                      re-offered after a failure between the segment
+                      write and the caller's warehouse append) cannot
+                      double-count — the stats-artifact discipline the
+                      budget gate uses. The summed segments equal the
                       global distinct-document frequency under the
                       store's contract: EVERY DOCUMENT IS OFFERED
                       EXACTLY ONCE (the ingest gates' id anti-join
-                      provides this — the same once-per-doc discipline
-                      the budget gate's stats artifact relies on).
+                      provides this).
 
 Counts are additive, so the store is mergeable like the HLL/Bloom
 stores but EXACT; 32-byte fingerprints + one long per distinct
@@ -51,8 +56,16 @@ def _segments_schema():
     )
 
     return StructType(
-        [StructField("fp", StringType()), StructField("df", LongType())]
+        [
+            StructField("batch_id", StringType()),
+            StructField("fp", StringType()),
+            StructField("df", LongType()),
+        ]
     )
+
+
+class PassageFreqStoreVersionError(RuntimeError):
+    """Persisted store predates batch-keyed (replay-safe) segments."""
 
 
 def create_passage_freq_store(
@@ -61,7 +74,7 @@ def create_passage_freq_store(
     """Initialize an empty store; ``block`` rides in meta so a batch
     chunked at a different granularity cannot silently contribute
     incomparable counts."""
-    meta = {"block": int(block), "version": 1}
+    meta = {"block": int(block), "version": 2}
     spark.createDataFrame([(json.dumps(meta),)], "meta string").repartition(
         1
     ).write.mode("overwrite").parquet(_meta_path(path))
@@ -69,9 +82,38 @@ def create_passage_freq_store(
 
 
 def load_passage_freq_meta(spark: SparkSession, path: str) -> dict:
-    return json.loads(
+    """Store meta, REFUSING version-1 stores: their segments carry no
+    batch_id, so the replay-dedup read path cannot tell a crash-
+    replayed append from a legitimate one — exactly the silent
+    frequency inflation version 2 exists to prevent. Rebuild by
+    re-offering the corpus once into a fresh store."""
+    meta = json.loads(
         spark.read.parquet(_meta_path(path)).first()["meta"]
     )
+    version = meta.get("version", 1)
+    if version != 2:
+        raise PassageFreqStoreVersionError(
+            f"passage-frequency store at {path!r} is version {version}; "
+            "version-2 segments are batch-keyed for replay idempotency. "
+            "Rebuild: create_passage_freq_store + one append per batch."
+        )
+    return meta
+
+
+def _derived_batch_id(docs: DataFrame, id_col: str) -> str:
+    """Deterministic, order-independent id of the OFFERED DOCUMENT
+    SET: count + two independently-seeded xxhash64 XOR folds. Under
+    the once-per-doc contract, two appends can only share an id set
+    when one is a replay of the other — which is exactly when the
+    read-side (batch_id, fp) dedup must collapse them. One tiny
+    3-number aggregate; no extra corpus pass (the ids are already in
+    hand)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.lit(0xB1D1))).alias("x1"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.lit(0xB1D2))).alias("x2"),
+    ).first()
+    return f"auto-{row['n']}-{row['x1']}-{row['x2']}"
 
 
 def append_passage_counts(
@@ -80,18 +122,30 @@ def append_passage_counts(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: str | None = None,
 ) -> int:
     """Append one count segment covering ``docs`` — (fp, distinct-doc
-    count) within the batch. The caller must offer each document
-    exactly once across the store's lifetime (ingest gates' id
-    anti-join); re-offering a document inflates its passages'
-    frequencies, which for a boilerplate detector only errs toward
-    stripping more. Returns the segment's row count."""
+    count) within the batch, keyed by ``batch_id``.
+
+    REPLAY-IDEMPOTENT: a crash between this append and the caller's
+    warehouse append re-offers the batch; the replay recomputes the
+    identical (batch_id, fp, df) rows and the read path's
+    (batch_id, fp) dedup collapses them, so frequencies never inflate
+    (a version-1 store double-counted here, which could strip
+    non-boilerplate passages corpus-wide). Callers with a durable
+    batch identity (streaming epoch, ingest-gate batch) should pass
+    it; otherwise the id derives deterministically from the offered
+    document-id set. The caller must still offer each document
+    exactly once across DISTINCT batches (ingest gates' id
+    anti-join). Returns the segment's row count."""
     meta = load_passage_freq_meta(spark, path)
+    if batch_id is None:
+        batch_id = _derived_batch_id(docs, id_col)
     seg = (
         passage_rows(docs, meta["block"], text_col, id_col)
         .groupBy("fp")
         .agg(F.countDistinct("id").cast("bigint").alias("df"))
+        .select(F.lit(batch_id).alias("batch_id"), "fp", "df")
         .localCheckpoint(eager=True)  # lineage must not read the append
     )
     n = seg.count()
@@ -102,11 +156,14 @@ def append_passage_counts(
 
 def read_passage_freqs(spark: SparkSession, path: str) -> DataFrame:
     """(fp, df) summed over all segments — the corpus-wide passage
-    document-frequency relation (one row per distinct passage)."""
+    document-frequency relation (one row per distinct passage).
+    Duplicate (batch_id, fp) rows — a crash-replayed append — count
+    once."""
     from ..sources.parquet import read_table_or_empty
 
     return (
         read_table_or_empty(spark, _segments_path(path), _segments_schema())
+        .dropDuplicates(["batch_id", "fp"])
         .groupBy("fp")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )

@@ -316,15 +316,25 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (
         SELECT passage, COUNT(DISTINCT doc_id) AS df
         FROM chunks GROUP BY passage
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_passages,
+               CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
+                                   ' ' ORDER BY i), '') AS text_clean
+        FROM chunks c JOIN freq USING (passage)
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           COUNT(*) AS n_passages,
-           CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_removed,
-           COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
-                               ' ' ORDER BY i), '') AS text_clean
-    FROM chunks c JOIN freq USING (passage)
-    GROUP BY doc_id
+    -- LEFT JOIN from documents pins the token-less-doc contract:
+    -- a NULL/zero-token document survives with (0, 0, NULL), exactly
+    -- what the operator emits (dedup._rebuild_cleaned)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+           p.text_clean AS text_clean
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def boilerplate_passage_removal(
@@ -422,15 +432,17 @@ def boilerplate_passage_removal(
     ),
     -- per-doc clean token count + soft-dedup-weighted micro-tokens
     per_doc AS (
+        -- LEFT JOIN from documents pins the token-less-doc contract:
+        -- no chunk rows -> n_removed 0, n_tok_clean 0 (not NULL)
         SELECT d.source,
-               c.n_removed,
-               CASE WHEN c.text_clean = '' THEN 0
+               COALESCE(c.n_removed, 0) AS n_removed,
+               CASE WHEN c.text_clean IS NULL OR c.text_clean = '' THEN 0
                     ELSE len(string_split_regex(trim(c.text_clean), '\\s+'))
                END AS n_tok_clean,
                z.cluster_id,
                z.cluster_size
         FROM documents d
-          JOIN cleaned c USING (doc_id)
+          LEFT JOIN cleaned c USING (doc_id)
           JOIN csz z USING (doc_id)
     )
     SELECT source,
@@ -472,9 +484,11 @@ def llm_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = CL.soft_dedup_weights(
         CL.duplicate_clusters(pairs, all_ids=documents)
     )
-    n_tok_clean = F.when(F.col("text_clean") == "", F.lit(0)).otherwise(
-        F.size(T.tokens("text_clean"))
-    ).cast("bigint")
+    # NULL text_clean (a token-less source document) counts 0 clean
+    # tokens, not NULL — otherwise the per-source sums go NULL
+    n_tok_clean = F.when(
+        F.col("text_clean").isNull() | (F.col("text_clean") == ""), F.lit(0)
+    ).otherwise(F.size(T.tokens("text_clean"))).cast("bigint")
     per_doc = (
         documents.select("doc_id", "source")
         .join(cleaned, "doc_id")
@@ -516,15 +530,23 @@ def llm_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (
         SELECT passage, COUNT(DISTINCT doc_id) AS df
         FROM chunks GROUP BY passage
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_passages,
+               CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
+                                   ' ' ORDER BY i), '') AS text_clean
+        FROM chunks c JOIN freq USING (passage)
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           COUNT(*) AS n_passages,
-           CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_removed,
-           COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
-                               ' ' ORDER BY i), '') AS text_clean
-    FROM chunks c JOIN freq USING (passage)
-    GROUP BY doc_id
+    -- LEFT JOIN from documents: token-less docs survive as (0,0,NULL)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+           p.text_clean AS text_clean
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def boilerplate_store_strip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,3 +141,25 @@ class TestBloomStore:
 
         files = glob.glob(str(tmp_path / "bloom" / "segments" / "*.parquet"))
         assert len(files) == 1
+
+    def test_version1_store_refused(self, spark, tmp_path):
+        """A store persisted under the version-1 probe scheme (zero-step
+        double hash) must be refused: probing its bit array with the
+        version-2 nonzero step yields false negatives, which would let
+        the definitely-new fast path re-append warehouse keys."""
+        import json
+
+        path = str(tmp_path / "bloom")
+        B.create_bloom_store(spark, path, n_items=100)
+        stale = {"m_bits": 1024, "k": 7, "fpr": 0.01, "version": 1}
+        spark.createDataFrame(
+            [(json.dumps(stale),)], "meta string"
+        ).repartition(1).write.mode("overwrite").parquet(path + "/meta")
+        with pytest.raises(B.BloomStoreVersionError, match="version 1"):
+            B.load_bloom_meta(spark, path)
+        # rebuild (create over the same path) heals it
+        meta = B.create_bloom_store(spark, path, n_items=100)
+        assert B.load_bloom_meta(spark, path) == meta == {
+            "m_bits": meta["m_bits"], "k": meta["k"],
+            "fpr": 0.01, "version": 2,
+        }

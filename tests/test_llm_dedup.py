@@ -4,6 +4,8 @@ operators actually catch what they claim to)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_procedure_codes_crawler_spark.llm import dedup as D
@@ -589,3 +591,57 @@ class TestPassageFreqStore:
             for r in PF.read_passage_freqs(spark, store).collect()
         )
         assert before == after and after[0][1] == 9
+
+    def test_replayed_append_does_not_inflate_counts(self, spark, tmp_path):
+        """Crash-replay: the same batch re-offered (same derived or
+        caller-supplied batch id) must leave frequencies unchanged —
+        a version-1 store double-counted here, which could strip
+        non-boilerplate passages corpus-wide."""
+        from etl_procedure_codes_crawler_spark.llm import passagefreq as PF
+
+        store = str(tmp_path / "store")
+        PF.create_passage_freq_store(spark, store, block=4)
+        docs = spark.createDataFrame(
+            [(i, "shared boiler block here") for i in range(1, 4)],
+            "doc_id long, text string",
+        )
+        PF.append_passage_counts(spark, store, docs)
+        before = sorted(
+            (r.fp, r.df)
+            for r in PF.read_passage_freqs(spark, store).collect()
+        )
+        # replay without an explicit id: the id derives from the doc set
+        PF.append_passage_counts(spark, store, docs)
+        # replay with a durable caller-supplied id
+        PF.append_passage_counts(spark, store, docs, batch_id="epoch-7")
+        PF.append_passage_counts(spark, store, docs, batch_id="epoch-7")
+        after = sorted(
+            (r.fp, r.df)
+            for r in PF.read_passage_freqs(spark, store).collect()
+        )
+        # the derived-id replay collapses; the distinct "epoch-7" batch
+        # counts once (the caller broke the once-per-doc contract for
+        # it, deliberately, to pin that DISTINCT ids still sum)
+        assert [df for _fp, df in before] == [3]
+        assert [df for _fp, df in after] == [6]
+        # a true same-id replay is invisible end to end
+        PF.append_passage_counts(spark, store, docs, batch_id="epoch-7")
+        final = sorted(
+            (r.fp, r.df)
+            for r in PF.read_passage_freqs(spark, store).collect()
+        )
+        assert final == after
+
+    def test_version1_store_refused(self, spark, tmp_path):
+        import json as _json
+
+        from etl_procedure_codes_crawler_spark.llm import passagefreq as PF
+
+        store = str(tmp_path / "store")
+        PF.create_passage_freq_store(spark, store, block=4)
+        stale = {"block": 4, "version": 1}
+        spark.createDataFrame(
+            [(_json.dumps(stale),)], "meta string"
+        ).repartition(1).write.mode("overwrite").parquet(store + "/meta")
+        with pytest.raises(PF.PassageFreqStoreVersionError, match="version 1"):
+            PF.load_passage_freq_meta(spark, store)
