@@ -110,6 +110,18 @@ def near_dups_against_phash_store(
     ``max_hamming`` of a stored one — exact for max_hamming <= 3
     (4-band pigeonhole). The store side shuffles (id, phash, band,
     bucket) rows only; payloads are never read."""
+    # empty-store fast path: a store with no appended hashes yet (the
+    # first batch of a fresh gate) has nothing to probe — skip the
+    # band join entirely instead of planning it against an empty
+    # relation (saves two exchanges of pure scheduling latency in the
+    # per-batch sink)
+    from ..sinks.fsutil import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath(_hashes_path(path))):
+        return spark.createDataFrame(
+            [], "new_id bigint, existing_id bigint, hamming bigint"
+        )
     new = new_hashes.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(phash_col).cast("bigint").alias("phash"),

@@ -916,6 +916,7 @@ def stream_ingest_media_neardup(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     neardup_action: str = "reject",
+    gate_shuffle_partitions: int | None = None,
 ):
     """The MEDIA ingest gate: perceptual near-dup dedup for
     image/audio payloads at the corpus front door — the multimodal
@@ -949,7 +950,14 @@ def stream_ingest_media_neardup(
     store-layout-agnostic), so per-cluster survivor selection runs at
     serving time off persisted ``(id, cluster_id)`` rows — e.g. keep
     the highest-resolution copy of each image cluster rather than
-    whichever URL was crawled first."""
+    whichever URL was crawled first.
+
+    ``gate_shuffle_partitions``: the gate's exchanges are BATCH-sized
+    (64-bit hash rows), not corpus-sized — on a wide session default
+    (e.g. 32+ for the corpus queries) each tiny exchange pays pure
+    task-scheduling latency. When set, the sink body runs under this
+    shuffle width (restored after each batch); AQE still coalesces
+    below it. Leave None to inherit the session setting."""
     if neardup_action not in ("reject", "label"):
         raise ValueError(
             f"neardup_action must be 'reject' or 'label', got "
@@ -963,29 +971,62 @@ def stream_ingest_media_neardup(
     hash_fn = hasher if hasher is not None else MM.image_hashes
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        rows = (
-            batch.filter(F.col(id_col).isNotNull())
-            .dropDuplicates([id_col])
-            .localCheckpoint(eager=True)  # hashed + joined below
-        )
-        existing = read_table_or_empty(spark, warehouse_path, rows.schema)
-        # heal-first: re-offer already-warehoused batch objects to the
-        # store (its id anti-join no-ops the steady state) so a crash
-        # between a prior warehouse append and store append cannot
-        # leave accepted objects unsigned
-        warehoused = rows.join(
-            existing.select(id_col), id_col, "left_semi"
-        )
-        if not warehoused.isEmpty():
-            PS.append_to_phash_store(
-                spark, store_path, hash_fn(warehoused), id_col=id_col
+        if gate_shuffle_partitions is not None:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(int(gate_shuffle_partitions)),
             )
-        fresh = rows.join(
-            existing.select(id_col), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
-        if fresh.isEmpty():
+            try:
+                _gate_body(batch)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            _gate_body(batch)
+
+    def _gate_body(batch: DataFrame) -> None:
+        # decode + hash FIRST: the whole gate then runs on the 4-column
+        # hash relation, and the payload bytes are only read once more
+        # at the final warehouse append (semi-join against accepted
+        # ids). The previous shape checkpointed the payload rows twice
+        # (rows + fresh) before hashing — at sf0.1 those payload
+        # materializations were ~2 s of the gate's cost, and at 100 TB
+        # a payload shuffle per batch is exactly the thing a
+        # hashes-only gate exists to avoid. Heal path included: the
+        # one decode pass covers warehoused rows too, so re-signing
+        # them costs no second decode.
+        raw = batch.filter(F.col(id_col).isNotNull())
+        hashes_all = (
+            hash_fn(raw)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # small: ids + 64-bit hashes
+        )
+        # missing-warehouse fast path: before the first accepted batch
+        # there is nothing to heal against and nothing to anti-join —
+        # one filesystem stat instead of two join jobs
+        from ..sinks.fsutil import hadoop_fs
+
+        fs, hpath = hadoop_fs(spark, warehouse_path)
+        if not fs.exists(hpath(warehouse_path)):
+            hashes = hashes_all
+        else:
+            existing = read_table_or_empty(
+                spark, warehouse_path, batch.schema
+            ).select(id_col)
+            # heal-first: re-offer already-warehoused batch objects to
+            # the store (its id anti-join no-ops the steady state) so a
+            # crash between a prior warehouse append and store append
+            # cannot leave accepted objects unsigned
+            warehoused_h = hashes_all.join(existing, id_col, "left_semi")
+            if not warehoused_h.isEmpty():
+                PS.append_to_phash_store(
+                    spark, store_path, warehoused_h, id_col=id_col
+                )
+            hashes = hashes_all.join(
+                existing, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+        if hashes.isEmpty():
             return
-        hashes = hash_fn(fresh).localCheckpoint(eager=True)
         intra_pairs = hamming_band_pairs(
             hashes.filter(F.col("phash").isNotNull()),
             "phash",
@@ -1007,7 +1048,7 @@ def stream_ingest_media_neardup(
                 store_path,
                 intra_pairs.select("doc_a", "doc_b").unionByName(store_pairs),
             )
-            accepted_ids = fresh.select(id_col)
+            accepted_ids = hashes.select(id_col)
         else:
             # intra-batch collapse: drop the greater id of any pair
             intra_losers = (
@@ -1035,9 +1076,15 @@ def stream_ingest_media_neardup(
             hashes.join(accepted_ids, id_col, "left_semi"),
             id_col=id_col,
         )
-        fresh.join(accepted_ids, id_col, "left_semi").write.mode(
-            "append"
-        ).option("compression", "snappy").parquet(warehouse_path)
+        # payloads re-enter here and ONLY here: semi-join the raw
+        # batch against the (small, checkpointed) accepted ids; the
+        # dedup-by-id runs after the semi-join so only accepted
+        # payload rows ever shuffle
+        raw.join(accepted_ids, id_col, "left_semi").dropDuplicates(
+            [id_col]
+        ).write.mode("append").option(
+            "compression", "snappy"
+        ).parquet(warehouse_path)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
