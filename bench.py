@@ -206,6 +206,11 @@ HEADLINE = [
     # round-8: the passage-frequency store lifecycle (two mergeable
     # count appends + strip against persisted frequencies)
     "boilerplate_store_strip",
+    # round-9: the streaming twin — passage counts appended under the
+    # durable (gate, batch) key + strip-at-admission, one stream
+    # round-trip (the full gate runs every pass; only the corpus file
+    # staging is process-shared scaffolding)
+    "streaming_boilerplate_strip_ingest",
 ]
 
 

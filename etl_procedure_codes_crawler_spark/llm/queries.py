@@ -632,6 +632,110 @@ def boilerplate_store_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_boilerplate_strip_ingest",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(toks, (i - 1) * 3 + 1, i * 3), ' ')
+                   AS passage
+        FROM tok,
+             LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+        SELECT passage, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY passage
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_passages,
+               CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
+                                   ' ' ORDER BY i), '') AS text_clean
+        FROM chunks c JOIN freq USING (passage)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+           p.text_clean AS text_clean
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def streaming_boilerplate_strip_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING twin of ``boilerplate_store_strip``
+    (streaming/incremental.stream_ingest_with_boilerplate): the corpus
+    arrives as one availableNow micro-batch; the gate appends the
+    batch's passage counts to the persisted store under its durable
+    (stream id, batch id) key — crash-replay collapses on the store's
+    read-side (batch_id, fp) dedup — then strips each document against
+    the cumulative frequencies INSIDE the same batch commit and lands
+    original + (n_passages, n_removed, text_clean) in the warehouse.
+    A single batch sees the full corpus counts, so the result is
+    BIT-IDENTICAL to the batch operator and shares its DuckDB oracle —
+    the stream is an incremental refactoring of the same math, and the
+    hash proves it. Multi-batch monotone semantics + crash replay are
+    pinned in tests/test_streaming_incremental.py::TestBoilerplateIngest.
+
+    The staged source files are process-shared scaffolding
+    (_memo_scaffold, corpus layout only); the GATE — store create,
+    stream round-trip, count append, strip, warehouse append — runs on
+    every invocation."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_ingest_with_boilerplate
+    from . import passagefreq as PF
+
+    documents = load(spark, sf_dir, "documents")
+
+    def build(memo_root: str) -> None:
+        import glob as _glob
+
+        src = _os.path.join(memo_root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(memo_root, "staging")
+        documents.repartition(
+            max(spark.sparkContext.defaultParallelism, 4)
+        ).write.mode("overwrite").parquet(staging)
+        for i, part in enumerate(
+            _glob.glob(_os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(part, _os.path.join(src, f"b{i}.parquet"))
+
+    src = _os.path.join(
+        _memo_scaffold(f"docstage:{sf_dir}", build), "incoming"
+    )
+    root = tempfile.mkdtemp(prefix="boiler_gate_")
+    try:
+        store = _os.path.join(root, "store")
+        PF.create_passage_freq_store(spark, store, block=3)
+        wh = _os.path.join(root, "wh")
+        q = stream_ingest_with_boilerplate(
+            spark,
+            src,
+            documents.schema,
+            wh,
+            store,
+            _os.path.join(root, "ckpt"),
+            min_doc_freq=5,
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(wh)
+            .select("doc_id", "n_passages", "n_removed", "text_clean")
+            .localCheckpoint(eager=True)  # outlives the temp store
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("quality_model_distilled")  # rows-only: trained-artifact plan
 def quality_model_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score IN the engine (round 8): the Gopher rule

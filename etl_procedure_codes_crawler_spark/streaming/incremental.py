@@ -1098,6 +1098,104 @@ def stream_ingest_media_neardup(
     return writer.start()
 
 
+def stream_ingest_with_boilerplate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    min_doc_freq: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Passage-frequency-aware ingest: boilerplate is stripped AT
+    ADMISSION against the persisted passage-frequency store
+    (:mod:`..llm.passagefreq`), and the batch's own passage counts
+    land in the store inside the same batch commit — the incremental
+    form of :func:`..llm.passagefreq.strip_boilerplate_against_store`
+    wired to the corpus front door. Each batch:
+
+    1. id-dedups against the warehouse (replay safety — the standard
+       exactly-once anti-join);
+    2. APPENDS its passage counts to the store, keyed by the durable
+       ``(stream id, batch id)`` identity (the budget gate's stats-
+       artifact discipline): a crash between this append and the
+       warehouse append re-offers the batch, the replay recomputes the
+       identical segment under the same key, and the store's
+       (batch_id, fp) read-side dedup collapses it — frequencies never
+       inflate, and the replayed strip sees BIT-IDENTICAL store state;
+    3. strips each fresh document against the store's cumulative
+       frequencies — which include this batch's own counts, so a
+       corpus offered as ONE batch matches the batch operator (and its
+       DuckDB oracle) exactly;
+    4. appends the original columns + ``(n_passages, n_removed,
+       text_clean)`` to the warehouse.
+
+    Across MULTIPLE batches the strip is deliberately monotone-
+    approximate: an early document is judged against the frequencies
+    known at its admission (a passage only later revealed as
+    boilerplate stays in the early document's text_clean). That is
+    the honest streaming contract — global frequencies do not exist
+    until the corpus ends — and the store retains exact cumulative
+    counts, so a serve-time re-strip
+    (``strip_boilerplate_against_store`` over the warehouse) upgrades
+    any document to the full-corpus judgment without rescanning
+    history."""
+    from ..llm import passagefreq as PF
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.filter(F.col(id_col).isNotNull())
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # counted + stripped + joined
+        )
+        from ..sinks.fsutil import hadoop_fs
+
+        fs, hpath = hadoop_fs(spark, warehouse_path)
+        if fs.exists(hpath(warehouse_path)):
+            existing_ids = (
+                spark.read.parquet(warehouse_path).select(id_col)
+            )
+            fresh = rows.join(
+                existing_ids, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            fresh = rows
+        if fresh.isEmpty():
+            return
+        # counts BEFORE warehouse (crash contract above); the batch
+        # key makes the replayed append a read-side no-op
+        gate_id = _stream_gate_id(spark, checkpoint_dir)
+        PF.append_passage_counts(
+            spark,
+            store_path,
+            fresh,
+            text_col,
+            id_col,
+            batch_id=f"{gate_id}-{int(batch_id)}",
+        )
+        cleaned = PF.strip_boilerplate_against_store(
+            spark, store_path, fresh, min_doc_freq, text_col, id_col
+        ).withColumnRenamed("id", id_col)
+        fresh.join(cleaned, id_col).write.mode("append").option(
+            "compression", "snappy"
+        ).parquet(warehouse_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_budget_stats(
     spark: SparkSession, stats_path: str, target_file_mb: int = 16
 ) -> int:
