@@ -211,6 +211,9 @@ HEADLINE = [
     # round-trip (the full gate runs every pass; only the corpus file
     # staging is process-shared scaffolding)
     "streaming_boilerplate_strip_ingest",
+    # round-9: MP4 container box-walk (synth + parse in Arrow passes,
+    # no codec decode) — the video-modality payload-stats shape
+    "multimodal_mp4_stats",
 ]
 
 

@@ -1059,3 +1059,526 @@ def documents_as_wav(
     return documents.select("doc_id", "text", "source").mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container parsing (ISO/IEC 14496-12, public box grammar)
+# ---------------------------------------------------------------------------
+#
+# Round-9 slice of the video modality: CODEC decode stays stubbed (an
+# H.264 decoder has no business in a stdlib sandbox — _decode_stub
+# raises loudly), but the CONTAINER is pure public structure: a box
+# walk yields duration, track schema, per-sample sizes and keyframe
+# positions, which is everything a 100 TB crawl pipeline needs for
+# payload stats, sampling manifests ("decode only keyframes 1, 6, 11"),
+# and corrupt-object triage — without touching a single codec frame.
+# Synthesis mirrors documents_as_png: a deterministic VALID container
+# whose geometry is closed-form in the document text, so DuckDB
+# oracles pin the parsed numbers exactly.
+
+#: synthesis geometry shared with the SQL oracles: 25 fps at a
+#: millisecond timescale, a keyframe every 5th sample
+MP4_TIMESCALE = 1000
+MP4_SAMPLE_DUR = 40
+MP4_KEYFRAME_EVERY = 5
+MP4_CORRUPT_EVERY = 50
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the boxes in
+    data[start:end]; raises ValueError on any malformed size (the
+    corrupt-payload path). Handles size==0 (to end of enclosing box)
+    and size==1 (64-bit largesize) per ISO/IEC 14496-12 §4.2."""
+    import struct
+
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError(f"truncated box header at {off}")
+        (size,) = struct.unpack_from(">I", data, off)
+        btype = data[off + 4 : off + 8]
+        body = off + 8
+        if size == 0:
+            box_end = end
+        elif size == 1:
+            if off + 16 > end:
+                raise ValueError(f"truncated largesize header at {off}")
+            (size64,) = struct.unpack_from(">Q", data, off + 8)
+            if size64 < 16:
+                raise ValueError(f"bad largesize {size64} at {off}")
+            body = off + 16
+            box_end = off + size64
+        else:
+            if size < 8:
+                raise ValueError(f"bad box size {size} at {off}")
+            box_end = off + size
+        if box_end > end:
+            raise ValueError(
+                f"box {btype!r} at {off} overruns enclosing box "
+                f"({box_end} > {end})"
+            )
+        yield btype, body, box_end
+        off = box_end
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO BMFF container: ftyp brand, movie timescale +
+    duration (mvhd), per-track handler / timescale / duration /
+    sample count + total bytes (mdhd, hdlr, stts, stsz), keyframe
+    sample numbers (stss), chunk offsets (stco/co64), and mdat size.
+    Bounds-checked throughout — corrupt input raises ValueError,
+    which the Spark stage turns into an error row. Codec payloads are
+    NOT decoded (see _decode_stub)."""
+    import struct
+
+    data = bytes(payload)
+    out = {
+        "brand": None,
+        "timescale": None,
+        "duration": None,
+        "mdat_bytes": 0,
+        "tracks": [],
+    }
+
+    def full_box(body: int, end: int) -> tuple[int, int]:
+        if body + 4 > end:
+            raise ValueError("truncated FullBox header")
+        version = data[body]
+        return version, body + 4
+
+    def parse_stbl(body: int, end: int, track: dict) -> None:
+        for btype, b, e in _walk_boxes(data, body, end):
+            if btype == b"stts":
+                _v, p = full_box(b, e)
+                (n,) = struct.unpack_from(">I", data, p)
+                if p + 4 + n * 8 > e:
+                    raise ValueError("truncated stts")
+                total = dur = 0
+                for i in range(n):
+                    cnt, delta = struct.unpack_from(">II", data, p + 4 + i * 8)
+                    total += cnt
+                    dur += cnt * delta
+                track["n_samples_stts"] = total
+                track["samples_duration"] = dur
+            elif btype == b"stss":
+                _v, p = full_box(b, e)
+                (n,) = struct.unpack_from(">I", data, p)
+                if p + 4 + n * 4 > e:
+                    raise ValueError("truncated stss")
+                track["keyframes"] = list(
+                    struct.unpack_from(f">{n}I", data, p + 4)
+                )
+            elif btype == b"stsz":
+                _v, p = full_box(b, e)
+                fixed, n = struct.unpack_from(">II", data, p)
+                if fixed:
+                    track["sample_sizes"] = [fixed] * n
+                else:
+                    if p + 8 + n * 4 > e:
+                        raise ValueError("truncated stsz")
+                    track["sample_sizes"] = list(
+                        struct.unpack_from(f">{n}I", data, p + 8)
+                    )
+            elif btype in (b"stco", b"co64"):
+                _v, p = full_box(b, e)
+                (n,) = struct.unpack_from(">I", data, p)
+                width = 4 if btype == b"stco" else 8
+                if p + 4 + n * width > e:
+                    raise ValueError(f"truncated {btype.decode()}")
+                fmt = ">I" if btype == b"stco" else ">Q"
+                track["chunk_offsets"] = [
+                    struct.unpack_from(fmt, data, p + 4 + i * width)[0]
+                    for i in range(n)
+                ]
+
+    def parse_trak(body: int, end: int) -> dict:
+        track = {
+            "track_id": None,
+            "handler": None,
+            "timescale": None,
+            "duration": None,
+            "width": None,
+            "height": None,
+            "keyframes": [],
+            "sample_sizes": [],
+            "chunk_offsets": [],
+            "n_samples_stts": 0,
+            "samples_duration": 0,
+        }
+        for btype, b, e in _walk_boxes(data, body, end):
+            if btype == b"tkhd":
+                v, p = full_box(b, e)
+                if v == 1:
+                    p += 8 + 8  # 64-bit ctime/mtime
+                    (track["track_id"],) = struct.unpack_from(">I", data, p)
+                    p += 4 + 4 + 8  # id, reserved, 64-bit duration
+                else:
+                    p += 4 + 4
+                    (track["track_id"],) = struct.unpack_from(">I", data, p)
+                    p += 4 + 4 + 4
+                p += 8 + 2 + 2 + 2 + 2 + 36  # reserved..matrix
+                w, h = struct.unpack_from(">II", data, p)
+                track["width"] = w >> 16  # 16.16 fixed point
+                track["height"] = h >> 16
+            elif btype == b"mdia":
+                for bt2, b2, e2 in _walk_boxes(data, b, e):
+                    if bt2 == b"mdhd":
+                        v, p = full_box(b2, e2)
+                        if v == 1:
+                            p += 16
+                            ts, = struct.unpack_from(">I", data, p)
+                            dur, = struct.unpack_from(">Q", data, p + 4)
+                        else:
+                            p += 8
+                            ts, dur = struct.unpack_from(">II", data, p)
+                        track["timescale"], track["duration"] = ts, dur
+                    elif bt2 == b"hdlr":
+                        _v, p = full_box(b2, e2)
+                        track["handler"] = data[p + 4 : p + 8].decode(
+                            "ascii", "replace"
+                        )
+                    elif bt2 == b"minf":
+                        for bt3, b3, e3 in _walk_boxes(data, b2, e2):
+                            if bt3 == b"stbl":
+                                parse_stbl(b3, e3, track)
+        return track
+
+    for btype, body, end in _walk_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            if body + 4 > end:
+                raise ValueError("truncated ftyp")
+            out["brand"] = data[body : body + 4].decode("ascii", "replace")
+        elif btype == b"mdat":
+            out["mdat_bytes"] += end - body
+        elif btype == b"moov":
+            for bt2, b2, e2 in _walk_boxes(data, body, end):
+                if bt2 == b"mvhd":
+                    v, p = full_box(b2, e2)
+                    if v == 1:
+                        p += 16
+                        (out["timescale"],) = struct.unpack_from(
+                            ">I", data, p
+                        )
+                        (out["duration"],) = struct.unpack_from(
+                            ">Q", data, p + 4
+                        )
+                    else:
+                        p += 8
+                        out["timescale"], out["duration"] = (
+                            struct.unpack_from(">II", data, p)
+                        )
+                elif bt2 == b"trak":
+                    out["tracks"].append(parse_trak(b2, e2))
+    if out["brand"] is None or out["timescale"] is None:
+        raise ValueError("not an ISO BMFF movie (missing ftyp/moov)")
+    return out
+
+
+def _mp4_sample_sizes(n_bytes: int, n_samples: int) -> list[int]:
+    """Even split of the payload into sample sizes: base = bytes //
+    samples, the first (bytes % samples) samples carry one extra byte
+    — the closed form the SQL oracles replicate."""
+    base, rem = divmod(n_bytes, n_samples)
+    return [base + (1 if i < rem else 0) for i in range(n_samples)]
+
+
+def build_mp4(
+    text_bytes: bytes,
+    timescale: int = MP4_TIMESCALE,
+    sample_dur: int = MP4_SAMPLE_DUR,
+    keyframe_every: int = MP4_KEYFRAME_EVERY,
+    width: int = 320,
+    height: int = 240,
+) -> bytes:
+    """A minimal VALID single-track ISO BMFF container whose mdat is
+    ``text_bytes``: n_samples = max(1, whitespace tokens of the text),
+    one sample every ``sample_dur`` ticks, a keyframe every
+    ``keyframe_every``-th sample, sample sizes the even split of the
+    payload (see _mp4_sample_sizes). Pure stdlib struct packing —
+    the geometry is what parse_mp4 + the oracles verify."""
+    import struct
+
+    n_samples = max(1, len(text_bytes.decode("utf-8", "replace").split()))
+    sizes = _mp4_sample_sizes(len(text_bytes), n_samples)
+    keyframes = list(range(1, n_samples + 1, keyframe_every))
+    duration = n_samples * sample_dur
+
+    def box(btype: bytes, *parts: bytes) -> bytes:
+        body = b"".join(parts)
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, version: int, flags: int, *parts: bytes) -> bytes:
+        return box(
+            btype, struct.pack(">I", (version << 24) | flags), *parts
+        )
+
+    matrix = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+
+    def moov(mdat_data_off: int) -> bytes:
+        mvhd = full(
+            b"mvhd", 0, 0,
+            struct.pack(">II", 0, 0),          # ctime, mtime
+            struct.pack(">II", timescale, duration),
+            struct.pack(">I", 0x00010000),     # rate 1.0
+            struct.pack(">H", 0x0100),         # volume 1.0
+            b"\x00" * 10,                      # reserved
+            matrix,
+            b"\x00" * 24,                      # pre_defined
+            struct.pack(">I", 2),              # next_track_ID
+        )
+        tkhd = full(
+            b"tkhd", 0, 7,                     # enabled|in_movie|preview
+            struct.pack(">II", 0, 0),
+            struct.pack(">I", 1),              # track_ID
+            b"\x00" * 4,
+            struct.pack(">I", duration),
+            b"\x00" * 8,
+            struct.pack(">HHHH", 0, 0, 0, 0),  # layer, group, volume, rsvd
+            matrix,
+            struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = full(
+            b"mdhd", 0, 0,
+            struct.pack(">II", 0, 0),
+            struct.pack(">II", timescale, duration),
+            struct.pack(">HH", 0x55C4, 0),     # language 'und'
+        )
+        hdlr = full(
+            b"hdlr", 0, 0,
+            b"\x00" * 4, b"vide", b"\x00" * 12, b"SparkGraftVideo\x00",
+        )
+        # minimal mp4v VisualSampleEntry: 6 reserved + data_ref_index,
+        # then the 70 fixed bytes of the visual fields (pre_defined,
+        # dims, resolution, frame_count=1, compressorname, depth, -1)
+        entry = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0)
+            + b"\x00" * 12
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + b"\x00" * 4
+            + struct.pack(">H", 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1)
+        )
+        stsd = full(
+            b"stsd", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">I", len(entry) + 8) + b"mp4v" + entry,
+        )
+        stts = full(
+            b"stts", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">II", n_samples, sample_dur),
+        )
+        stss = full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(keyframes)),
+            struct.pack(f">{len(keyframes)}I", *keyframes),
+        )
+        stsz = full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n_samples),
+            struct.pack(f">{n_samples}I", *sizes),
+        )
+        stsc = full(
+            b"stsc", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">III", 1, n_samples, 1),
+        )
+        stco = full(
+            b"stco", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">I", mdat_data_off),
+        )
+        stbl = box(b"stbl", stsd, stts, stss, stsz, stsc, stco)
+        dref = full(
+            b"dref", 0, 0,
+            struct.pack(">I", 1),
+            full(b"url ", 0, 1),               # self-contained
+        )
+        minf = box(
+            b"minf",
+            full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+            box(b"dinf", dref),
+            stbl,
+        )
+        mdia = box(b"mdia", mdhd, hdlr, minf)
+        return box(b"moov", mvhd, box(b"trak", tkhd, mdia))
+
+    ftyp = box(b"ftyp", b"isom", struct.pack(">I", 512), b"isomiso2mp41")
+    # stco stores an absolute file offset; the offset FIELD is fixed
+    # width, so building moov twice (placeholder, then patched) keeps
+    # every size stable
+    probe = moov(0)
+    mdat_data_off = len(ftyp) + len(probe) + 8
+    return ftyp + moov(mdat_data_off) + box(b"mdat", text_bytes)
+
+
+def documents_as_mp4(
+    documents: DataFrame,
+    corrupt_every: int = MP4_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #5: each document
+    becomes a valid single-track MP4 whose mdat is the utf-8 text and
+    whose sample table derives from the token count (see build_mp4).
+    Every ``corrupt_every``-th doc is truncated mid-container to
+    exercise the parse-error path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                payload = build_mp4((text or "").encode("utf-8"))
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    payload = payload[: max(12, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("video/mp4")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+MP4_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("source", StringType()),
+        StructField("brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", LongType()),
+        StructField("handler", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_keyframes", LongType()),
+        StructField("sample_bytes", LongType()),
+        StructField("mdat_bytes", LongType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def mp4_container_stats(media: DataFrame) -> DataFrame:
+    """Box-walk every payload in one Arrow pass → real container
+    metadata (no codec decode): duration in ms, track schema, sample
+    + keyframe counts, byte accounting. Corrupt containers flow as
+    error rows (NULL metrics + parse_error), the decode_media
+    error-as-data contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in MP4_STATS_SCHEMA.fields}
+            for media_id, source, payload in zip(
+                batch["media_id"], batch["source"], batch["payload"]
+            ):
+                row = dict.fromkeys(out, None)
+                row["media_id"] = media_id
+                row["source"] = source
+                try:
+                    info = parse_mp4(payload if payload is not None else b"")
+                    t = info["tracks"][0] if info["tracks"] else {}
+                    row["brand"] = info["brand"]
+                    row["duration_ms"] = (
+                        info["duration"] * 1000
+                    ) // info["timescale"]
+                    row["n_tracks"] = len(info["tracks"])
+                    row["handler"] = t.get("handler")
+                    row["width"] = t.get("width")
+                    row["height"] = t.get("height")
+                    row["n_samples"] = t.get("n_samples_stts", 0)
+                    row["n_keyframes"] = len(t.get("keyframes") or [])
+                    row["sample_bytes"] = sum(t.get("sample_sizes") or [])
+                    row["mdat_bytes"] = info["mdat_bytes"]
+                except Exception as exc:  # noqa: BLE001 — error-as-data
+                    row["parse_error"] = repr(exc)
+                for k, v in row.items():
+                    out[k].append(v)
+            for name in (
+                "media_id", "duration_ms", "n_tracks", "width", "height",
+                "n_samples", "n_keyframes", "sample_bytes", "mdat_bytes",
+            ):
+                # nullable Int64, NOT object: one error row would
+                # otherwise coerce the column through float64 on the
+                # Arrow hop (the round-8 phash rounding hazard)
+                out[name] = pd.array(out[name], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "source", "payload").mapInPandas(
+        run, schema=MP4_STATS_SCHEMA
+    )
+
+
+MP4_KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_no", LongType()),
+        StructField("rel_offset", LongType()),
+        StructField("sample_bytes", LongType()),
+    ]
+)
+
+
+def mp4_keyframe_manifest(media: DataFrame) -> DataFrame:
+    """(media_id, sample_no, rel_offset, sample_bytes) for every
+    KEYFRAME — the sampling manifest a frame-extraction stage consumes
+    ("seek to offset, read bytes, decode"): rel_offset is the
+    keyframe's byte position inside the mdat payload, computed from
+    the stsz prefix sums anchored at the stco chunk offset. Corrupt
+    containers contribute no rows (their error is the stats query's
+    job). At 100 TB this relation is what ships to the decode fleet —
+    tiny integer rows, never the video bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, nos, offs, szs = [], [], [], []
+            for media_id, payload in zip(
+                batch["media_id"], batch["payload"]
+            ):
+                try:
+                    info = parse_mp4(payload if payload is not None else b"")
+                except Exception:  # noqa: BLE001 — stats query reports it
+                    continue
+                for t in info["tracks"]:
+                    sizes = t.get("sample_sizes") or []
+                    prefix = [0]
+                    for s in sizes:
+                        prefix.append(prefix[-1] + s)
+                    for kf in t.get("keyframes") or []:
+                        if not 1 <= kf <= len(sizes):
+                            continue
+                        ids.append(media_id)
+                        nos.append(kf)
+                        offs.append(prefix[kf - 1])
+                        szs.append(sizes[kf - 1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "sample_no": pd.array(nos, dtype="Int64"),
+                    "rel_offset": pd.array(offs, dtype="Int64"),
+                    "sample_bytes": pd.array(szs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=MP4_KEYFRAME_SCHEMA
+    )

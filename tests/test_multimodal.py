@@ -822,3 +822,111 @@ class TestAudioFingerprint:
         for t in (7, 14, 21, 28, 35, 42, 49, 56):
             assert found.get((t, t + 1000)) == 0, (t, found)
         assert not any(50 in p for p in found)
+
+
+class TestMp4Container:
+    """ISO BMFF box walk (multimodal.parse_mp4 / build_mp4) — real
+    container parsing, codec decode deliberately stubbed."""
+
+    TEXT = "alpha beta gamma delta epsilon zeta eta"
+
+    def test_build_parse_roundtrip_fields(self):
+        data = self.TEXT.encode()
+        info = M.parse_mp4(M.build_mp4(data))
+        assert info["brand"] == "isom"
+        assert info["timescale"] == M.MP4_TIMESCALE
+        n = len(self.TEXT.split())
+        assert info["duration"] == n * M.MP4_SAMPLE_DUR
+        assert info["mdat_bytes"] == len(data)
+        (t,) = info["tracks"]
+        assert t["handler"] == "vide"
+        assert (t["track_id"], t["width"], t["height"]) == (1, 320, 240)
+        assert t["n_samples_stts"] == n
+        assert t["keyframes"] == list(range(1, n + 1, M.MP4_KEYFRAME_EVERY))
+        assert sum(t["sample_sizes"]) == len(data)
+        assert t["samples_duration"] == n * M.MP4_SAMPLE_DUR
+
+    def test_sample_offsets_point_into_payload(self):
+        """stco + stsz prefix sums must address the REAL mdat bytes:
+        reassembling every sample slice recovers the exact text."""
+        data = self.TEXT.encode()
+        payload = M.build_mp4(data)
+        (t,) = M.parse_mp4(payload)["tracks"]
+        base = t["chunk_offsets"][0]
+        off, got = base, b""
+        for s in t["sample_sizes"]:
+            got += payload[off : off + s]
+            off += s
+        assert got == data
+
+    def test_empty_text_is_one_empty_sample(self):
+        info = M.parse_mp4(M.build_mp4(b""))
+        (t,) = info["tracks"]
+        assert t["n_samples_stts"] == 1
+        assert t["sample_sizes"] == [0]
+        assert t["keyframes"] == [1]
+        assert info["mdat_bytes"] == 0
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: p[: len(p) // 2],              # truncated mid-moov
+            lambda p: p[:6],                         # shorter than a header
+            lambda p: b"\x00\x00\x00\x03zzzz" + p,   # size < 8
+            lambda p: p[:4] + b"ftyp",               # ftyp body cut off
+        ],
+    )
+    def test_corrupt_containers_raise(self, mutate):
+        payload = M.build_mp4(self.TEXT.encode())
+        with pytest.raises(ValueError):
+            M.parse_mp4(mutate(payload))
+
+    def test_not_a_movie_raises(self):
+        # valid box syntax, but no ftyp/moov
+        import struct
+
+        free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+        with pytest.raises(ValueError, match="ftyp/moov"):
+            M.parse_mp4(free)
+
+    def test_largesize_and_to_end_boxes_walk(self):
+        """size==1 (64-bit largesize) and size==0 (to end of file)
+        are part of the public grammar — the walker must handle both."""
+        import struct
+
+        body = b"\x00" * 8
+        large = struct.pack(">I", 1) + b"free" + struct.pack(
+            ">Q", 16 + len(body)
+        ) + body
+        to_end = struct.pack(">I", 0) + b"skip" + b"\x00" * 4
+        boxes = list(M._walk_boxes(large + to_end, 0, len(large + to_end)))
+        assert [b[0] for b in boxes] == [b"free", b"skip"]
+
+    def test_container_stats_error_rows_flow(self, spark):
+        docs = spark.createDataFrame(
+            [(50, "corrupt me please", "s0"), (51, "i parse fine ok", "s0")],
+            "doc_id long, text string, source string",
+        )
+        stats = {
+            r.media_id: r
+            for r in M.mp4_container_stats(
+                M.documents_as_mp4(docs)
+            ).collect()
+        }
+        assert stats[50].parse_error is not None
+        assert stats[50].duration_ms is None
+        ok = stats[51]
+        assert ok.parse_error is None
+        assert ok.n_samples == 4 and ok.n_keyframes == 1
+        assert ok.duration_ms == 4 * M.MP4_SAMPLE_DUR
+        assert ok.mdat_bytes == len(b"i parse fine ok")
+
+    def test_keyframe_manifest_skips_corrupt(self, spark):
+        docs = spark.createDataFrame(
+            [(50, "corrupt me please", "s0"),
+             (51, " ".join(f"w{i}" for i in range(11)), "s0")],
+            "doc_id long, text string, source string",
+        )
+        rows = M.mp4_keyframe_manifest(M.documents_as_mp4(docs)).collect()
+        assert {r.media_id for r in rows} == {51}
+        assert sorted(r.sample_no for r in rows) == [1, 6, 11]
