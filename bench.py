@@ -214,6 +214,10 @@ HEADLINE = [
     # round-9: MP4 container box-walk (synth + parse in Arrow passes,
     # no codec decode) — the video-modality payload-stats shape
     "multimodal_mp4_stats",
+    # round-9 capstone: the three-modality attrition funnel (v4 text
+    # funnel + per-modality decode/hash/band-join/content-verify) —
+    # deliberately the heaviest all-operator query in the suite
+    "llm_corpus_prep_multimodal",
 ]
 
 

@@ -712,6 +712,12 @@ PHASH_SCHEMA = StructType(
     ]
 )
 
+#: PHASH_SCHEMA + the decoded-content key (sha256 hex of the raw
+#: pixel/PCM bytes) for candidates→verify pipelines
+PHASH_CONTENT_SCHEMA = StructType(
+    PHASH_SCHEMA.fields + [StructField("content_sha", StringType())]
+)
+
 
 def _gray_grid(pixels: bytes, width: int, height: int, channels: int,
                rows: int, cols: int):
@@ -802,13 +808,20 @@ def image_hashes(
     media: DataFrame,
     decoder=default_decoder,
     method: str = "dhash",
+    content_key: bool = False,
 ) -> DataFrame:
     """(media_id, mime, phash, decode_error): decode + perceptual-hash
     in ONE Arrow pass — pixels never cross back into the plan, so the
     shuffle-visible row is 4 small columns regardless of image size
     (at 100 TB of images the hash relation is GB-scale). Decode
     failures carry a NULL phash + the error string (the decode_media
-    error-as-data contract); a missing codec library still raises."""
+    error-as-data contract); a missing codec library still raises.
+
+    ``content_key=True`` adds ``content_sha`` (sha256 hex of the raw
+    DECODED pixel bytes, computed in the same pass) for
+    candidates→verify pipelines: perceptual candidates from the band
+    join, EXACT content equality as the verification — the image twin
+    of the text pipeline's LSH-candidates → jaccard-verify shape."""
     if method not in _PHASH_METHODS:
         raise ValueError(
             f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
@@ -816,19 +829,26 @@ def image_hashes(
     hasher = _PHASH_METHODS[method]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for batch in batches:
             out = {"media_id": [], "mime": [], "phash": [],
                    "decode_error": []}
+            if content_key:
+                out["content_sha"] = []
             for media_id, mime, payload in zip(
                 batch["media_id"], batch["mime"], batch["payload"]
             ):
                 phash = None
                 error = None
+                sha = None
                 try:
                     w, h, c, pix = decoder(
                         payload if payload is not None else b""
                     )
                     phash = hasher(pix, w, h, c)
+                    if content_key:
+                        sha = hashlib.sha256(bytes(pix)).hexdigest()
                 except NotImplementedError:
                     raise  # missing codec library: loud, not a data error
                 except Exception as exc:  # noqa: BLE001 — error-as-data
@@ -837,6 +857,8 @@ def image_hashes(
                 out["mime"].append(mime)
                 out["phash"].append(phash)
                 out["decode_error"].append(error)
+                if content_key:
+                    out["content_sha"].append(sha)
             # nullable Int64, NOT an object column: a batch holding one
             # NULL phash (a decode-error row) would otherwise coerce
             # the whole column through float64 on the Arrow hop, and
@@ -846,7 +868,9 @@ def image_hashes(
             out["phash"] = pd.array(out["phash"], dtype="Int64")
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+    return media.mapInPandas(
+        run, schema=PHASH_CONTENT_SCHEMA if content_key else PHASH_SCHEMA
+    )
 
 
 def image_near_dup_pairs(
@@ -940,28 +964,43 @@ def audio_fingerprint64(frames: bytes, n_frames: int, channels: int) -> int:
     return _pack_bits(energy[1:] > energy[:-1])
 
 
+#: AUDIO_FP_SCHEMA + the decoded-content key (sha256 hex of the raw
+#: PCM bytes) for candidates→verify pipelines
+AUDIO_FP_CONTENT_SCHEMA = StructType(
+    AUDIO_FP_SCHEMA.fields + [StructField("content_sha", StringType())]
+)
+
+
 def audio_fingerprints(
-    media: DataFrame, decoder=default_decoder
+    media: DataFrame, decoder=default_decoder, content_key: bool = False
 ) -> DataFrame:
     """(media_id, mime, afp, decode_error): decode + fingerprint in one
     Arrow pass — the audio twin of :func:`image_hashes`, with the same
     error-as-data contract and the same nullable-Int64 discipline (a
     batch holding one NULL would otherwise round 64-bit fingerprints
-    through float64)."""
+    through float64). ``content_key=True`` adds ``content_sha``
+    (sha256 of the raw PCM bytes) for candidates→verify pipelines."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for batch in batches:
             out = {"media_id": [], "mime": [], "afp": [], "decode_error": []}
+            if content_key:
+                out["content_sha"] = []
             for media_id, mime, payload in zip(
                 batch["media_id"], batch["mime"], batch["payload"]
             ):
                 afp = None
                 error = None
+                sha = None
                 try:
                     n_frames, _one, channels, frames = decoder(
                         payload if payload is not None else b""
                     )
                     afp = audio_fingerprint64(frames, n_frames, channels)
+                    if content_key:
+                        sha = hashlib.sha256(bytes(frames)).hexdigest()
                 except NotImplementedError:
                     raise
                 except Exception as exc:  # noqa: BLE001 — error-as-data
@@ -970,10 +1009,15 @@ def audio_fingerprints(
                 out["mime"].append(mime)
                 out["afp"].append(afp)
                 out["decode_error"].append(error)
+                if content_key:
+                    out["content_sha"].append(sha)
             out["afp"] = pd.array(out["afp"], dtype="Int64")
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    return media.mapInPandas(
+        run,
+        schema=AUDIO_FP_CONTENT_SCHEMA if content_key else AUDIO_FP_SCHEMA,
+    )
 
 
 def audio_near_dup_pairs(

@@ -398,10 +398,10 @@ def boilerplate_passage_removal(
     )
 
 
-@register(
-    "llm_corpus_prep_v4",
-    oracle=f"""
-    WITH RECURSIVE
+#: the v4 funnel CTE block (boilerplate strip + jaccard clusters +
+#: per-doc clean tokens), shared by llm_corpus_prep_v4 and the
+#: multimodal capstone
+_V4_FUNNEL_CTES = f"""
     tok AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
     -- cross-doc boilerplate strip (3-token passages, df > 5)
     chunks AS (
@@ -483,6 +483,14 @@ def boilerplate_passage_removal(
           LEFT JOIN cleaned c USING (doc_id)
           JOIN csz z USING (doc_id)
     )
+"""
+
+
+@register(
+    "llm_corpus_prep_v4",
+    oracle=f"""
+    WITH RECURSIVE
+{_V4_FUNNEL_CTES}
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_removed) AS BIGINT) AS boiler_passages_removed,
@@ -551,6 +559,200 @@ def llm_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).cast("bigint").alias("eff_tokens_micro"),
     )
+
+
+@register(
+    "llm_corpus_prep_multimodal",
+    oracle=f"""
+    WITH RECURSIVE
+{_V4_FUNNEL_CTES}
+    , text_rep AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_removed) AS BIGINT) AS boiler_passages_removed,
+               CAST(SUM(n_tok_clean) AS BIGINT) AS tokens_clean,
+               CAST(SUM(CAST(FLOOR(n_tok_clean * 1000000.0 / cluster_size)
+                             AS BIGINT)) AS BIGINT) AS eff_tokens_micro
+        FROM per_doc GROUP BY source
+    ),
+    -- the media synthesis is deterministic in doc_id: every 7th doc
+    -- gets a content-identical twin (distant id, same source), every
+    -- 50th doc (and, since 10^9 % 50 = 0, its twin) is truncated-
+    -- corrupt. The verify stage admits ONLY content-identical pairs,
+    -- and the corpus has zero exact-duplicate texts, so the reject
+    -- set is exactly the decodable twins.
+    media AS (
+        SELECT source,
+               COUNT(*) AS nd,
+               CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb,
+               CAST(SUM(CASE WHEN doc_id % 7 = 0 AND doc_id % 50 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN doc_id % 7 = 0 AND doc_id % 50 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ntw
+        FROM documents GROUP BY source
+    )
+    SELECT t.source,
+           t.n_docs,
+           t.boiler_passages_removed,
+           t.tokens_clean,
+           t.eff_tokens_micro,
+           CAST(m.nd + m.nt AS BIGINT) AS n_img,
+           CAST(m.cb + m.ct AS BIGINT) AS n_img_corrupt,
+           m.ntw AS n_img_neardup,
+           CAST(m.nd + m.nt - m.cb - m.ct - m.ntw AS BIGINT) AS n_img_kept,
+           CAST(m.nd + m.nt AS BIGINT) AS n_aud,
+           CAST(m.cb + m.ct AS BIGINT) AS n_aud_corrupt,
+           m.ntw AS n_aud_neardup,
+           CAST(m.nd + m.nt - m.cb - m.ct - m.ntw AS BIGINT) AS n_aud_kept
+    FROM text_rep t JOIN media m USING (source)
+    """,
+)
+def llm_corpus_prep_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-9 capstone: ONE per-source attrition funnel across
+    all three modalities of a crawl corpus — the report a 100 TB
+    training-data planner actually reads.
+
+    TEXT rides the v4 funnel (cross-doc boilerplate strip + soft-dedup
+    cluster weights → effective clean tokens in exact integer
+    micro-units). IMAGES and AUDIO ride the perceptual
+    candidates→VERIFY pipeline: the corpus synthesizes into real PNGs
+    and WAVs (content-identical twins under distant ids = the
+    re-crawl signal; every 50th object truncated-corrupt), one Arrow
+    pass per modality decodes + hashes + emits the decoded-content
+    sha, the 4-band hamming join proposes candidates (hamming<=3),
+    and a pair is rejected ONLY when its decoded content matches
+    exactly — the same candidates-then-verify shape as the text
+    pipeline's LSH → jaccard-verify, which is what makes the gate
+    decision deterministic AND DuckDB-expressible (content equality
+    ⟺ text equality; the corpus's organic hamming<=3 collisions are
+    candidates that FAIL verification, and the oracle proves the gate
+    admits every one of them). Decode failures are the corrupt
+    attrition bucket; kept = total − corrupt − near-dup.
+
+    Everything is integer-exact, so the whole three-modality funnel
+    hash-matches the oracle. Corpus exchanges: the v4 trio (passage
+    shuffle, df-capped posting join, cluster window) + per modality
+    one hash-relation band join — pixels and PCM never shuffle."""
+    from . import cluster as CL
+
+    documents = load(spark, sf_dir, "documents")
+
+    # ---- text: the v4 funnel ------------------------------------
+    cleaned = D.remove_boilerplate_passages(
+        documents, min_doc_freq=5, block=3
+    ).select(F.col("id").alias("doc_id"), "n_removed", "text_clean")
+    pairs = D.ngram_jaccard_pairs(
+        documents, threshold=0.05, max_doc_freq=50
+    ).select("doc_a", "doc_b")
+    weights = CL.soft_dedup_weights(
+        CL.duplicate_clusters(pairs, all_ids=documents)
+    )
+    n_tok_clean = F.when(
+        F.col("text_clean").isNull() | (F.col("text_clean") == ""), F.lit(0)
+    ).otherwise(F.size(T.tokens("text_clean"))).cast("bigint")
+    text_rep = (
+        documents.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .join(weights, "doc_id")
+        .select(
+            "source",
+            "n_removed",
+            n_tok_clean.alias("n_tok_clean"),
+            "cluster_size",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").cast("bigint")
+            .alias("boiler_passages_removed"),
+            F.sum("n_tok_clean").cast("bigint").alias("tokens_clean"),
+            F.sum(
+                F.floor(
+                    F.col("n_tok_clean") * F.lit(1000000.0)
+                    / F.col("cluster_size").cast("double")
+                ).cast("bigint")
+            ).cast("bigint").alias("eff_tokens_micro"),
+        )
+    )
+
+    # ---- media: candidates -> verify, per modality ----------------
+    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    corpus = documents.unionByName(twins)
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
+    id_source = corpus.select(
+        F.col("doc_id").alias("media_id"), "source"
+    )
+
+    def modality_report(hashes: DataFrame, sig: str, prefix: str):
+        from .dedup import hamming_band_pairs
+
+        h = hashes.localCheckpoint(eager=True)  # one decode pass
+        candidates = hamming_band_pairs(
+            h.filter(F.col(sig).isNotNull()), sig, "media_id", max_hamming=3
+        )
+        sha = h.select("media_id", "content_sha")
+        verified = (
+            candidates
+            .join(
+                sha.select(
+                    F.col("media_id").alias("doc_a"),
+                    F.col("content_sha").alias("_sha_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sha.select(
+                    F.col("media_id").alias("doc_b"),
+                    F.col("content_sha").alias("_sha_b"),
+                ),
+                "doc_b",
+            )
+            .filter(F.col("_sha_a") == F.col("_sha_b"))
+        )
+        rejected = verified.select(
+            F.col("doc_b").alias("media_id")
+        ).distinct()
+        status = (
+            h.select("media_id", "decode_error")
+            .join(rejected.withColumn("_rej", F.lit(True)), "media_id", "left")
+            .join(id_source, "media_id")
+        )
+        corrupt = F.col("decode_error").isNotNull()
+        neardup = F.col("_rej").isNotNull() & ~corrupt
+        return status.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{prefix}"),
+            F.sum(F.when(corrupt, 1).otherwise(0)).cast("bigint")
+            .alias(f"n_{prefix}_corrupt"),
+            F.sum(F.when(neardup, 1).otherwise(0)).cast("bigint")
+            .alias(f"n_{prefix}_neardup"),
+            F.sum(F.when(~corrupt & ~neardup, 1).otherwise(0))
+            .cast("bigint").alias(f"n_{prefix}_kept"),
+        )
+
+    img_rep = modality_report(
+        M.image_hashes(
+            M.documents_as_png(corpus, corrupt_every=50), content_key=True
+        ),
+        "phash",
+        "img",
+    )
+    aud_rep = modality_report(
+        M.audio_fingerprints(
+            M.documents_as_wav(corpus, corrupt_every=50), content_key=True
+        ),
+        "afp",
+        "aud",
+    )
+    return text_rep.join(img_rep, "source").join(aud_rep, "source")
 
 
 @register(

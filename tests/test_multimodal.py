@@ -930,3 +930,101 @@ class TestMp4Container:
         rows = M.mp4_keyframe_manifest(M.documents_as_mp4(docs)).collect()
         assert {r.media_id for r in rows} == {51}
         assert sorted(r.sample_no for r in rows) == [1, 6, 11]
+
+
+class TestContentVerify:
+    """candidates→verify: perceptual candidates must be ADMITTED when
+    their decoded content differs (organic hamming collisions) and
+    rejected only on exact content equality (the capstone gate's
+    decision — what makes it deterministic and oracle-expressible)."""
+
+    def test_content_sha_rides_the_hash_pass(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same text here", "s0"), (2, "same text here", "s0"),
+             (3, "different words now", "s0")],
+            "doc_id long, text string, source string",
+        )
+        h = M.image_hashes(
+            M.documents_as_png(docs, corrupt_every=0), content_key=True
+        )
+        rows = {r.media_id: r for r in h.collect()}
+        assert rows[1].content_sha == rows[2].content_sha  # same pixels
+        assert rows[1].content_sha != rows[3].content_sha
+        assert rows[1].phash == rows[2].phash
+        # audio twin contract
+        a = M.audio_fingerprints(
+            M.documents_as_wav(docs, corrupt_every=0), content_key=True
+        )
+        arows = {r.media_id: r for r in a.collect()}
+        assert arows[1].content_sha == arows[2].content_sha
+        assert arows[1].content_sha != arows[3].content_sha
+
+    def test_corrupt_rows_have_null_content_sha(self, spark):
+        docs = spark.createDataFrame(
+            [(50, "gets corrupted", "s0")],
+            "doc_id long, text string, source string",
+        )
+        h = M.image_hashes(
+            M.documents_as_png(docs, corrupt_every=50), content_key=True
+        ).first()
+        assert h.decode_error is not None and h.content_sha is None
+
+    def test_capstone_gate_admits_unverified_candidates(self, spark):
+        """Two flat images share a dHash (gradients all zero) but hold
+        different pixels: they are CANDIDATES at hamming 0 yet must
+        both survive the verify stage."""
+        import zlib
+        import struct
+
+        def png_gray(value, w=16, h=16):
+            def chunk(ctype, body):
+                return (
+                    struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(
+                        ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+                    )
+                )
+
+            scan = b"".join(b"\x00" + bytes([value]) * w for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(scan))
+                + chunk(b"IEND", b"")
+            )
+
+        import pandas as pd
+
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [1, 2],
+                    "payload": [png_gray(40), png_gray(200)],
+                    "mime": ["image/png"] * 2,
+                    "n_bytes": [0, 0],
+                    "source": ["s0"] * 2,
+                }
+            ),
+            M.MEDIA_SCHEMA,
+        )
+        h = M.image_hashes(media, content_key=True)
+        rows = {r.media_id: r for r in h.collect()}
+        assert rows[1].phash == rows[2].phash  # flat: dHash degenerate
+        assert rows[1].content_sha != rows[2].content_sha
+        from pyspark.sql import functions as F
+        from etl_procedure_codes_crawler_spark.llm.dedup import (
+            hamming_band_pairs,
+        )
+
+        cands = hamming_band_pairs(
+            h.filter(F.col("phash").isNotNull()), "phash", "media_id",
+            max_hamming=3,
+        )
+        assert cands.count() == 1  # candidate proposed...
+        sha = {r.media_id: r.content_sha for r in h.collect()}
+        verified = [
+            (a, b) for a, b in
+            ((r.doc_a, r.doc_b) for r in cands.collect())
+            if sha[a] == sha[b]
+        ]
+        assert verified == []  # ...and killed by content verification
