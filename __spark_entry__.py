@@ -47,15 +47,25 @@ _GATE_PRIORITY = [
     # boilerplate strip, the rebuilt-text token counts, and the
     # soft-dedup-weighted yield in one sampled row
     "llm_corpus_prep_v4",
+    # round-9 rotation (the documented precedent: ceded slots stay
+    # oracled in the full registry + the parity replica run in
+    # pytest). The three-modality capstone takes llm_corpus_prep_v2's
+    # slot — it hash-proves the v4 text funnel PLUS both perceptual
+    # content-verify gates in one sampled row
+    "llm_corpus_prep_multimodal",
     "events_hourly_windows",
     "sessionize_user_events",
     "scalar_extract_functions",
     "streaming_hourly_event_counts",
     # TPC-H completions — never driver-sampled before r5
     "q2_min_cost_supplier",
-    "q13_customer_order_distribution",
-    "q18_large_volume_customers",
     "q21_last_to_ship_suppliers",
+    # round-9 lifecycle conversions take two long-green TPC-H slots
+    # (q13/q18 stay oracled in registry + parity replica): the
+    # takedown and time-travel roundtrips now emit deterministic
+    # relations the driver hashes instead of rows-only counting
+    "forget_documents_roundtrip",
+    "dataset_versioning_roundtrip",
     # round-7 session-2 families take four long-green TPC-H slots
     # (q6/q7/q8/q10 stay oracled in the full registry + parity
     # replica): exact TV drift, its streaming monitor twin,
@@ -72,13 +82,18 @@ _GATE_PRIORITY = [
     "range_join_purchases_within_hour_of_signup",
     "funnel_signup_to_purchase",
     "customer_spend_deciles",
-    "date_spine_daily_revenue",
+    # round-9: the composed bloom-gate decision (no-false-negative +
+    # exact-check-catches-FPs, now enforced by hash) takes the
+    # date-spine slot
+    "bloom_prefilter_documents",
     "exact_moment_statistics",
 
     # §2.7 extraction goldens
     "extract_procedure_pages_fixture",
     "udtf_extract_modifiers_fixture",
-    "streaming_distinct_user_event_types",
+    # round-9: the MP4 keyframe manifest takes the distinct-event-types
+    # slot (streaming keeps four other sampled rows)
+    "multimodal_mp4_keyframe_manifest",
     # round-5 training-layout + PII-enforcement families
     "training_shuffle_manifest",
     "corpus_holdout_split",
@@ -107,13 +122,19 @@ _GATE_PRIORITY = [
     "semantic_dedup_exact",
     # multimodal (BMP/PNG stay oracled in the full registry; the
     # round-7 real-codec JPEG path takes the sampled slot)
-    "multimodal_payload_stats",
-    "multimodal_jpeg_decode_stats",
+    # round-9: the MP4 box-walk takes both image-stats slots (payload
+    # byte accounting is subsumed; JPEG decode stays oracled in the
+    # registry + parity replica)
+    "multimodal_mp4_stats",
     # trends / corpus prep / packing
     "user_value_trends",
-    "llm_corpus_prep_v2",
+    # round-9: the streaming boilerplate gate (store lifecycle +
+    # strip-at-admission, bit-identical to the batch oracle) and the
+    # best-fit packer (recursive-CTE replay oracle) take the v2/stats
+    # slots
+    "streaming_boilerplate_strip_ingest",
     "tfidf_top_terms",
-    "sequence_packing_stats",
+    "sequence_packing_bestfit",
 ]
 
 

@@ -3572,14 +3572,85 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.sequence_stats(documents, seq_len=512, shard_col="source")
 
 
-@register("sequence_packing_bestfit")
+@register(
+    "sequence_packing_bestfit",
+    oracle=f"""
+    WITH RECURSIVE
+    sized AS (
+        SELECT source AS shard, doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n
+        FROM documents
+        WHERE len({_TOKS}) > 0
+    ),
+    ordered AS (
+        SELECT shard, doc_id, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY n DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY shard) AS cnt
+        FROM sized
+    ),
+    -- replay the best-fit-decreasing loop exactly: bins ride as a
+    -- sorted list of (remaining*100000 + seq_id) keys, so "smallest
+    -- remaining >= n, ties to lowest seq_id" is one list_min over a
+    -- filtered list; full bins (remaining 0) drop out like the
+    -- operator's bisect structure
+    state(shard, step, rems, next_id) AS (
+        SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+               CAST(0 AS BIGINT)
+        FROM (SELECT DISTINCT shard FROM ordered)
+        UNION ALL
+        SELECT s.shard, s.step + 1,
+               CASE
+                 WHEN d.n > 512 THEN s.rems
+                 WHEN fit.k IS NULL THEN
+                   CASE WHEN 512 - d.n > 0
+                        THEN list_sort(list_append(s.rems,
+                             (512 - d.n) * 100000 + s.next_id))
+                        ELSE s.rems END
+                 ELSE
+                   CASE WHEN (fit.k // 100000 - d.n) > 0
+                        THEN list_sort(list_append(
+                             list_filter(s.rems, x -> x <> fit.k),
+                             (fit.k // 100000 - d.n) * 100000
+                                 + fit.k % 100000))
+                        ELSE list_filter(s.rems, x -> x <> fit.k) END
+               END,
+               CASE WHEN d.n > 512 OR fit.k IS NULL
+                    THEN s.next_id + 1 ELSE s.next_id END
+        FROM state s
+        JOIN ordered d ON d.shard = s.shard AND d.rn = s.step + 1,
+        LATERAL (SELECT list_min(list_filter(s.rems,
+                        x -> x >= d.n * 100000)) AS k) fit
+    ),
+    final AS (
+        SELECT st.shard, st.next_id
+        FROM state st
+        JOIN (SELECT shard, MAX(cnt) AS cnt FROM ordered GROUP BY shard) c
+          ON c.shard = st.shard AND st.step = c.cnt
+    )
+    SELECT s.shard,
+           COUNT(*) AS n_docs,
+           CAST(MAX(f.next_id) AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversize,
+           CAST(512 * (MAX(f.next_id)
+                 - SUM(CASE WHEN n > 512 THEN 1 ELSE 0 END))
+                 - SUM(CASE WHEN n <= 512 THEN n ELSE 0 END) AS BIGINT)
+               AS total_padding
+    FROM sized s JOIN final f USING (shard)
+    GROUP BY s.shard
+    """,
+)
 def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document best-fit-decreasing packing at seq_len=512
     (llm/packing.pack_sequences_bestfit) — zero boundary crossings in
     exchange for bounded padding; per-shard stats prove the
-    accounting. Rows-only: the fit loop is sequential per shard (an
-    applyInPandas algorithm, not a SQL expression); determinism and
-    replica-exactness are pinned in tests/test_packing.py."""
+    accounting. HASH-ORACLED since round 9: the sequential fit loop
+    is replayed in DuckDB as a recursive CTE whose state is the
+    sorted bin-remainder list (every placement decision re-derived
+    step by step), so the per-shard stats — including the bin COUNT
+    the padding figure hinges on — are pinned cross-engine, not just
+    replica-pinned in tests/test_packing.py."""
     documents = load(spark, sf_dir, "documents")
     packed = PK.pack_sequences_bestfit(
         documents, seq_len=512, shard_col="source"
@@ -4735,45 +4806,64 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bloom_prefilter_documents")
+@register(
+    "bloom_prefilter_documents",
+    oracle="""
+    SELECT doc_id, (doc_id % 2 <> 0) AS admitted
+    FROM documents
+    """,
+)
 def bloom_prefilter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Bloom-membership ingest prefilter (llm/bloom.py), end to
-    end: build the filter over the already-ingested half of the corpus
-    (doc_id below the midpoint), merge it from two per-batch filters
-    (the OR-fold the incremental store relies on), probe the full
-    corpus, and return (doc_id, maybe_seen). Every ingested doc MUST
-    probe true (no false negatives — asserted here, not just in
-    tests); fresh docs are mostly false with the designed 1% FPR.
-    Rows-only: positions come from JVM xxhash64, which DuckDB cannot
-    reproduce."""
+    """The Bloom-gated ingest DECISION, end to end (llm/bloom.py):
+    build the filter over the already-ingested half of the corpus
+    (even doc_ids), merged from two per-batch filters (the OR-fold
+    the incremental store relies on); probe the full corpus; route
+    maybe-seen suspects through the exact anti-join; admit the rest
+    on the definitely-new fast path. Returns (doc_id, admitted).
+
+    HASH-ORACLED since round 9 on the COMPOSED decision, which is
+    deterministic even though the filter's bit positions are JVM
+    xxhash64 DuckDB cannot reproduce: admitted ⟺ the doc is not in
+    the ingested set, because (a) no false negatives means every
+    ingested doc probes maybe-seen and is then rejected exactly, and
+    (b) every false positive among fresh docs is CAUGHT by the exact
+    check. A bloom false negative would admit an ingested doc and
+    fail the hash — the oracle now enforces the property the old
+    rows-only registration could only assert internally. The FPR
+    remains pinned in tests/test_bloom.py."""
     from . import bloom as B
 
     documents = load(spark, sf_dir, "documents")
     fps = documents.select(
         "doc_id", T.fingerprint_sha256("text").alias("fp")
     )
-    mid = fps.agg(
-        F.percentile_approx("doc_id", 0.5).alias("m")
-    ).first()["m"]
-    seen = fps.where(F.col("doc_id") <= F.lit(mid))
+    seen = fps.where(F.col("doc_id") % 2 == 0)
     n_seen = seen.count()
     m_bits, k = B.bloom_parameters(max(n_seen, 1), fpr=0.01)
     half_a = B.build_bloom(
-        seen.where(F.col("doc_id") % 2 == 0), "fp", m_bits, k
+        seen.where(F.col("doc_id") % 4 == 0), "fp", m_bits, k
     )
     half_b = B.build_bloom(
-        seen.where(F.col("doc_id") % 2 == 1), "fp", m_bits, k
+        seen.where(F.col("doc_id") % 4 == 2), "fp", m_bits, k
     )
     bloom = B.merge_blooms(half_a, half_b).localCheckpoint(eager=True)
     probed = B.probe_bloom(fps, "fp", bloom, m_bits, k)
-    missed = probed.where(
-        (F.col("doc_id") <= F.lit(mid)) & ~F.col("maybe_seen")
-    ).count()
-    if missed:
-        raise AssertionError(
-            f"bloom false negatives: {missed} ingested docs probed false"
+    definite = probed.filter(~F.col("maybe_seen")).select("doc_id")
+    suspects = probed.filter(F.col("maybe_seen")).select("doc_id", "fp")
+    cleared = suspects.join(
+        seen.select("fp"), "fp", "left_anti"
+    ).select("doc_id")
+    admitted = definite.unionByName(cleared).withColumn(
+        "_adm", F.lit(True)
+    )
+    return (
+        fps.select("doc_id")
+        .join(admitted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_adm"), F.lit(False)).alias("admitted"),
         )
-    return probed.select("doc_id", "maybe_seen")
+    )
 
 
 @register(
@@ -5312,7 +5402,23 @@ def llm_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register("dataset_versioning_roundtrip")  # rows-only (fs-lifecycle plan)
+@register(
+    "dataset_versioning_roundtrip",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS v1,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+               AS BIGINT) AS v1_rows,
+           CAST(2 AS BIGINT) AS v2,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS v2_rows,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS live_rows,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+               AS BIGINT) AS expected_v1_rows,
+           true AS schema_matches_live,
+           true AS diff_equals_appended_batch,
+           true AS v1_survives_pruned_takedown,
+           true AS v2_expired_by_forget
+    """,
+)
 def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over an append-grown warehouse: ingest half the
     corpus, commit v1, append the rest, commit v2 — v1 must still
@@ -5320,7 +5426,14 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     then forget two docs that live only in the SECOND batch's files:
     the file-pruned takedown (llm/forget.py) leaves v1's files
     byte-identical so v1 STAYS readable, while v2 expires with the
-    takedown named as the cause (sinks/versions.py rewrite stamps)."""
+    takedown named as the cause (sinks/versions.py rewrite stamps).
+
+    HASH-ORACLED since round 9: every reported value is deterministic
+    — version numbers start at 1, the row counts are corpus halves,
+    and the four invariants must come back true — so the oracle pins
+    the whole lifecycle contract; any regression (a version that
+    drops rows, a takedown that breaks v1, a diff that misses files)
+    flips a value and fails the hash."""
     import shutil
     import tempfile
 
@@ -5395,13 +5508,28 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("forget_documents_roundtrip")  # rows-only (multi-artifact deletion)
+@register(
+    "forget_documents_roundtrip",
+    oracle=f"""
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id IN (3, 7, 11))
+               AS BIGINT) AS removed_warehouse,
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id IN (3, 7, 11) AND len({_TOKS}) > 0)
+               AS BIGINT) AS removed_neardup,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id IN (3, 7, 11))
+               AS BIGINT) AS removed_index,
+           CAST(0 AS BIGINT) AS residue
+    """,
+)
 def forget_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten end-to-end: ingest the corpus into a
     warehouse + near-dup store + ANN index, forget three ids, and
     report the per-artifact rows removed plus the residual count
     (which must be zero) — the takedown path exercised as one plan
-    (llm/forget.py)."""
+    (llm/forget.py). HASH-ORACLED since round 9: the doomed ids are
+    pinned, so every artifact's removal count and the zero residue
+    are deterministic integers — a takedown that misses an artifact
+    or leaves residue fails the hash, not just an inline assert."""
     import shutil
     import tempfile
 
@@ -5521,8 +5649,6 @@ ROWS_ONLY = {
     "bpe_train_merges",
     "bpe_encode_documents",
     "bpe_bucketed_batches",
-    "forget_documents_roundtrip",
-    "dataset_versioning_roundtrip",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
     "near_dup_clusters",
@@ -5539,8 +5665,6 @@ ROWS_ONLY = {
     "hll_sketch_union_users",
     "approx_quantiles_prices",
     "heavy_hitter_tokens",
-    "bloom_prefilter_documents",
-    "sequence_packing_bestfit",
     # round-8 additions: perceptual hashes and fingerprints are
     # numpy-side, the store/cluster/shard lifecycles are trained or
     # fs-bound artifacts — each carries planted-twin recall,

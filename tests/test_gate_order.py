@@ -75,10 +75,13 @@ def test_family_coverage_in_gate_sample(entry):
         "jaccard": {"ngram_jaccard_pairs_dfcap"},
         "safety": {"contamination_overlap", "pii_scan_documents"},
         "ann": {"ann_cosine_topk", "embedding_similar_pairs"},
-        "multimodal": {"multimodal_payload_stats", "multimodal_decode_stats"},
+        # round-9 rotation: the MP4 box-walk family holds the sampled
+        # multimodal rows (payload/PNG/JPEG stats stay in the registry)
+        "multimodal": {"multimodal_mp4_stats", "multimodal_mp4_keyframe_manifest"},
         "trends": {"user_value_trends"},
-        "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms"},
-        "packing": {"sequence_packing_stats"},
+        "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms",
+                        "llm_corpus_prep_multimodal"},
+        "packing": {"sequence_packing_stats", "sequence_packing_bestfit"},
         "data_selection": {"dsir_importance_topk"},
         "drift": {"token_drift_by_source", "streaming_token_drift_monitor"},
         "leakage_safe_split": {"cluster_aware_holdout"},
