@@ -235,17 +235,24 @@ def _kmeans_np(
         centers = X[rng.choice(n, size=k, replace=True)].copy()
         centers += rng.randn(k, X.shape[1]) * 1e-9
     for _ in range(max_iter):
-        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # one matmul for the full (n, k) distance matrix — the naive
+        # (X[:,None,:] - centers[None,:,:]) broadcast materializes an
+        # (n, k, dim) array, which at the k-tracks-corpus settings the
+        # cell-scoped dedup uses (n=20k, k=625, dim=64) is 6.4 GB PER
+        # ITERATION; the round-9 10x scale sweep caught it as a 47x
+        # blowup (kmeans alone 200 s; ~1 s with the matmul identity)
+        d = _sq_dists_np(X, centers)
         labels = d.argmin(axis=1)
         nearest = d[np.arange(n), labels]
-        empties = []
-        for j in range(k):
-            mask = labels == j
-            if mask.any():
-                centers[j] = X[mask].mean(axis=0)
-            else:
-                empties.append(j)
-        if empties:
+        # vectorized per-cluster means (bincount/add.at), not a k-wide
+        # Python loop of masked means
+        counts = np.bincount(labels, minlength=k)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, labels, X)
+        filled = counts > 0
+        centers[filled] = sums[filled] / counts[filled, None]
+        empties = np.flatnonzero(~filled)
+        if len(empties):
             # DISTINCT farthest points per empty cluster — one shared
             # reseed point would return duplicate centroids (dead PQ
             # codes / permanently empty IVF cells)
