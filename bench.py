@@ -218,6 +218,9 @@ HEADLINE = [
     # funnel + per-modality decode/hash/band-join/content-verify) —
     # deliberately the heaviest all-operator query in the suite
     "llm_corpus_prep_multimodal",
+    # round-9: DoReMi excess-loss domain reweighting — one corpus
+    # bigram groupBy + count-relation rollups + driver softmax
+    "doremi_domain_weights",
 ]
 
 

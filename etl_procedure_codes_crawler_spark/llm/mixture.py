@@ -220,3 +220,195 @@ def unimax_manifest(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al., NeurIPS 2023,
+# arXiv:2305.10429 — public paper)
+# ---------------------------------------------------------------------------
+#
+# DoReMi sets pretraining mixture weights by EXCESS LOSS: domains where
+# a generic reference model underperforms the domain's own achievable
+# loss carry learnable headroom and get upweighted (Group-DRO
+# exponentiated-gradient updates on the proxy run, final weights mixed
+# with uniform). The in-engine distillation keeps the decision
+# structure and replaces the neural proxy/reference pair with the
+# add-k bigram LMs this module family already uses:
+#
+#   ref model  = bigram LM trained on the WHOLE corpus
+#   own model  = bigram LM trained on the domain alone (per domain)
+#   excess_d   = max(0, NLL_ref(domain d) − NLL_own(domain d))
+#   weight_d   ∝ exp(step · excess_d), then mixed with uniform
+#
+# NLL_own is the in-domain achievable baseline, so excess_d measures
+# exactly what DoReMi's proxy headroom measures: how much better a
+# model COULD fit domain d than the generic one does.
+#
+# Scale shape (100 TB): the ONLY corpus-sized work is ONE groupBy over
+# the exploded (source, w1, w2) bigram relation. Both models' counts
+# derive from that count relation by rollup (global c(w1,w2) = Σ over
+# sources, marginals = Σ over w2), so no second corpus pass and no
+# corpus-sized window. Per-bigram log-probs are FLOOR-snapped to
+# integer nano-nats and summed as BIGINTs weighted by their counts —
+# order-independent, so the per-domain sums are bit-stable across
+# partitionings (the ln() itself is libm, which is why the query
+# registers rows-only with a numpy replica test instead of a DuckDB
+# oracle). The exponentiated-gradient softmax runs on the
+# domain-count-sized relation on the driver.
+
+
+def doremi_domain_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """(source, n_bigrams, ref_nll_nano, own_nll_nano) per domain —
+    the excess-loss substrate: total negative log-likelihood of the
+    domain's bigram stream under the corpus-global reference LM and
+    under the domain's own LM, both add-``k`` smoothed, in exact
+    integer nano-nats (per-distinct-bigram FLOOR, multiplied by the
+    bigram's count — order-independent integer sums)."""
+    if k <= 0:
+        raise ValueError(f"add-k smoothing needs k > 0, got {k}")
+    toks = tokens(text_col)
+    base = docs.select(F.col(source_col).alias("source"), toks.alias("_t"))
+    n_big = F.greatest(F.size("_t") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("_t"), 1, n_big),
+        F.slice(F.col("_t"), 2, n_big),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    # THE one corpus-sized exchange
+    cnt = (
+        base.select("source", F.explode(bigrams).alias("bg"))
+        .groupBy("source", F.col("bg.w1").alias("w1"),
+                 F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # vocab sizes: corpus-global and per-domain (two tiny distinct aggs
+    # over the token stream — metadata-sized outputs)
+    tok_rows = docs.select(
+        F.col(source_col).alias("source"), F.explode(toks).alias("t")
+    )
+    v_global = tok_rows.select("t").distinct().count()
+    v_dom = tok_rows.groupBy("source").agg(
+        F.countDistinct("t").alias("v_dom")
+    )
+    # model counts by rollup of the count relation (vocab²-bounded)
+    g2 = cnt.groupBy("w1", "w2").agg(F.sum("c").alias("gc2"))
+    g1 = g2.groupBy("w1").agg(F.sum("gc2").alias("gc1"))
+    d1 = cnt.groupBy("source", "w1").agg(F.sum("c").alias("dc1"))
+    kk = float(k)
+    nano = F.lit(1_000_000_000.0)
+    # g2/g1/d1 are distinct-bigram/-unigram relations: tiny on the
+    # synthetic vocabulary but web-scale corpora have billions of
+    # distinct bigrams — leave join strategy to Catalyst/AQE (the
+    # joins are equi-keyed on the count relation's own grouping keys);
+    # only the domain-sized vocab relation is a guaranteed broadcast
+    scored = (
+        cnt.join(g2, ["w1", "w2"])
+        .join(g1, ["w1"])
+        .join(d1, ["source", "w1"])
+        .join(F.broadcast(v_dom), ["source"])
+        .select(
+            "source",
+            "c",
+            F.floor(
+                -F.log(
+                    (F.col("gc2") + F.lit(kk))
+                    / (F.col("gc1") + F.lit(kk * v_global))
+                )
+                * nano
+            ).cast("long").alias("_ref_nano"),
+            F.floor(
+                -F.log(
+                    (F.col("c") + F.lit(kk))
+                    / (F.col("dc1") + F.lit(kk) * F.col("v_dom"))
+                )
+                * nano
+            ).cast("long").alias("_own_nano"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("_ref_nano")).cast("long")
+        .alias("ref_nll_nano"),
+        F.sum(F.col("c") * F.col("_own_nano")).cast("long")
+        .alias("own_nll_nano"),
+    )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: float = 0.5,
+    step: float = 1.0,
+    uniform_mix_pct: int = 20,
+) -> DataFrame:
+    """(source, n_bigrams, ref_nll_nano, own_nll_nano, excess_nano,
+    weight_ppm) — DoReMi-style mixture weights: softmax of
+    ``step × mean excess loss`` per domain, mixed with
+    ``uniform_mix_pct`` percent uniform (the paper's final-weight
+    smoothing), expressed in integer parts-per-million that sum to
+    exactly 1,000,000 (largest-remainder rounding — deterministic).
+
+    The softmax runs on the driver over the domain-sized stats
+    relation (domains are metadata, never corpus-scale); everything
+    corpus-sized happened in :func:`doremi_domain_stats`' single
+    groupBy."""
+    if not 0 <= int(uniform_mix_pct) <= 100:
+        raise ValueError(
+            f"uniform_mix_pct must be in [0, 100], got {uniform_mix_pct}"
+        )
+    import math
+
+    stats = doremi_domain_stats(docs, source_col, text_col, k).collect()
+    if not stats:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [],
+            "source string, n_bigrams long, ref_nll_nano long, "
+            "own_nll_nano long, excess_nano long, weight_ppm long",
+        )
+    rows = sorted(stats, key=lambda r: r["source"])
+    excess = []
+    for r in rows:
+        if r["n_bigrams"]:
+            e = max(0, r["ref_nll_nano"] - r["own_nll_nano"]) / r["n_bigrams"]
+        else:
+            e = 0.0
+        excess.append(e / 1e9)  # mean nats
+    m = max(excess)
+    exps = [math.exp(float(step) * (e - m)) for e in excess]
+    z = sum(exps)
+    mix = int(uniform_mix_pct) / 100.0
+    n = len(rows)
+    weights = [(1.0 - mix) * x / z + mix / n for x in exps]
+    # largest-remainder rounding to ppm: integer weights, exact total
+    raw = [w * 1_000_000 for w in weights]
+    ppm = [int(w) for w in raw]
+    short = 1_000_000 - sum(ppm)
+    order = sorted(
+        range(n), key=lambda i: (-(raw[i] - ppm[i]), rows[i]["source"])
+    )
+    for i in order[:short]:
+        ppm[i] += 1
+    spark = docs.sparkSession
+    out = [
+        (
+            r["source"],
+            r["n_bigrams"],
+            r["ref_nll_nano"],
+            r["own_nll_nano"],
+            max(0, r["ref_nll_nano"] - r["own_nll_nano"]),
+            ppm[i],
+        )
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, n_bigrams long, ref_nll_nano long, "
+        "own_nll_nano long, excess_nano long, weight_ppm long",
+    )

@@ -938,6 +938,26 @@ def streaming_boilerplate_strip_ingest(
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register("doremi_domain_weights")  # rows-only: ln() is libm
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting (Xie et al. 2023, public
+    paper) distilled into the engine (mixture.doremi_domain_weights):
+    per-domain EXCESS LOSS — the gap between the corpus-global bigram
+    LM's NLL on the domain and the domain's own achievable NLL —
+    drives an exponentiated softmax mixed with a uniform floor, in
+    integer parts-per-million summing to exactly 10^6. One corpus
+    groupBy over (source, w1, w2); both models derive from that count
+    relation by rollup; log-probs FLOOR-snap to integer nano-nats so
+    the per-domain sums are order-independent. Rows-only: ln() is a
+    libm transcendental (the repo's oracled queries stay rational on
+    principle); a pure-Python replica pins the stats bit-for-bit in
+    tests/test_mixture.py::TestDoremi."""
+    from .mixture import doremi_domain_weights as _weights
+
+    documents = load(spark, sf_dir, "documents")
+    return _weights(documents, step=5.0, uniform_mix_pct=20)
+
+
 @register("quality_model_distilled")  # rows-only: trained-artifact plan
 def quality_model_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score IN the engine (round 8): the Gopher rule
@@ -5675,4 +5695,7 @@ ROWS_ONLY = {
     "llm_training_shards_bpe",
     "streaming_media_neardup_ingest",
     "quality_model_distilled",
+    # round-9: DoReMi excess-loss reweighting — ln() is libm;
+    # python-replica-pinned instead
+    "doremi_domain_weights",
 }

@@ -221,3 +221,139 @@ def test_gate_query_runs_in_mixed_regime(spark, sf_dir):
         capped_max = max(r.n_tokens for r in out if r.capped)
         uncapped_min = min(r.n_tokens for r in out if not r.capped)
         assert capped_max <= uncapped_min
+
+
+class TestDoremi:
+    """DoReMi-style excess-loss reweighting (mixture.doremi_*):
+    bigram-LM substrate pinned against a pure-Python replica,
+    decision structure pinned on planted headroom."""
+
+    def _replica_stats(self, rows, k=0.5):
+        """Pure-Python replica of doremi_domain_stats."""
+        import math
+        from collections import Counter
+
+        by_src_bg = Counter()
+        for src, text in rows:
+            t = text.split()
+            for a, b in zip(t, t[1:]):
+                by_src_bg[(src, a, b)] += 1
+        g2 = Counter()
+        g1 = Counter()
+        d1 = Counter()
+        vg = set()
+        vd = {}
+        for src, text in rows:
+            for w in text.split():
+                vg.add(w)
+                vd.setdefault(src, set()).add(w)
+        for (src, a, b), c in by_src_bg.items():
+            g2[(a, b)] += c
+            g1[a] += c
+            d1[(src, a)] += c
+        out = {}
+        for (src, a, b), c in by_src_bg.items():
+            ref = math.floor(
+                -math.log((g2[(a, b)] + k) / (g1[a] + k * len(vg))) * 1e9
+            )
+            own = math.floor(
+                -math.log((c + k) / (d1[(src, a)] + k * len(vd[src]))) * 1e9
+            )
+            n, r, o = out.get(src, (0, 0, 0))
+            out[src] = (n + c, r + c * ref, o + c * own)
+        return out
+
+    def _rows(self):
+        # domain "niche" is dominated by bigrams NO other domain uses:
+        # the global reference model dilutes them (big headroom);
+        # domain "generic" speaks pure corpus-average (no headroom)
+        rows = []
+        for i in range(6):
+            rows.append(("generic", "the data the data the data"))
+            rows.append(("blend", "the data flux node flux node"))
+            rows.append(("niche", "flux node flux node flux node"))
+        return rows
+
+    def test_stats_match_python_replica(self, spark):
+        from etl_procedure_codes_crawler_spark.llm.mixture import (
+            doremi_domain_stats,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r["source"]: (
+                r["n_bigrams"], r["ref_nll_nano"], r["own_nll_nano"]
+            )
+            for r in doremi_domain_stats(df).collect()
+        }
+        assert got == self._replica_stats(rows)
+
+    def test_headroom_domain_upweighted(self, spark):
+        """Excess loss = how much the GLOBAL model dilutes a domain's
+        continuations. "shadowed" says x->a while "shadower" says
+        x->b, so the global model splits x's continuation and both
+        carry headroom; "unambiguous" uses bigrams nobody else
+        touches, so the global model already fits it (≈zero excess
+        beyond vocabulary smoothing) and it gets the smallest
+        weight — the DoReMi decision structure."""
+        from etl_procedure_codes_crawler_spark.llm.mixture import (
+            doremi_domain_weights,
+        )
+
+        rows = []
+        for _ in range(6):
+            rows.append(("shadowed", "x a x a x a x a"))
+            rows.append(("shadower", "x b x b x b x b"))
+            rows.append(("unambiguous", "q r q r q r q r"))
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {
+            r["source"]: r
+            for r in doremi_domain_weights(df, step=5.0).collect()
+        }
+        assert sum(r["weight_ppm"] for r in out.values()) == 1_000_000
+        assert (
+            out["shadowed"]["weight_ppm"]
+            > out["unambiguous"]["weight_ppm"]
+        )
+        assert (
+            out["shadower"]["weight_ppm"]
+            > out["unambiguous"]["weight_ppm"]
+        )
+        assert all(r["excess_nano"] >= 0 for r in out.values())
+
+    def test_uniform_mix_floor(self, spark):
+        """uniform_mix_pct guarantees every domain at least
+        mix/n of the budget (the paper's smoothing floor)."""
+        from etl_procedure_codes_crawler_spark.llm.mixture import (
+            doremi_domain_weights,
+        )
+
+        df = spark.createDataFrame(
+            self._rows(), "source string, text string"
+        )
+        out = doremi_domain_weights(
+            df, step=50.0, uniform_mix_pct=30
+        ).collect()
+        floor = 0.30 * 1_000_000 / len(out)
+        assert all(r["weight_ppm"] >= floor - 1 for r in out)
+
+    def test_deterministic_across_runs(self, spark):
+        from etl_procedure_codes_crawler_spark.llm.mixture import (
+            doremi_domain_weights,
+        )
+
+        df = spark.createDataFrame(
+            self._rows(), "source string, text string"
+        ).repartition(7)
+        a = sorted(map(tuple, doremi_domain_weights(df).collect()))
+        b = sorted(map(tuple, doremi_domain_weights(df).collect()))
+        assert a == b
+
+    def test_empty_input(self, spark):
+        from etl_procedure_codes_crawler_spark.llm.mixture import (
+            doremi_domain_weights,
+        )
+
+        df = spark.createDataFrame([], "source string, text string")
+        assert doremi_domain_weights(df).count() == 0

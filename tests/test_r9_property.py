@@ -1,0 +1,155 @@
+"""Property tests for the round-9 operators against pure replicas:
+MP4 build/parse round-trip (closed-form geometry), sample-size
+accounting, and the rewritten k-means trainer (matmul distances must
+agree with the naive broadcast form bit-for-bit on argmin decisions
+small enough to check)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_procedure_codes_crawler_spark.llm import multimodal as M
+from etl_procedure_codes_crawler_spark.llm.similarity import (
+    _kmeans_np,
+    _sq_dists_np,
+)
+
+_SETTINGS = dict(max_examples=30, deadline=None)
+
+
+# --------------------------------------------------------------------------
+# MP4 container (pure stdlib)
+# --------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll",), max_codepoint=0x7F
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(words=_WORDS)
+def test_mp4_roundtrip_matches_closed_form(words):
+    text = " ".join(words)
+    data = text.encode()
+    info = M.parse_mp4(M.build_mp4(data))
+    n = max(1, len(text.split()))
+    (t,) = info["tracks"]
+    assert info["timescale"] == M.MP4_TIMESCALE
+    assert info["duration"] == n * M.MP4_SAMPLE_DUR
+    assert info["mdat_bytes"] == len(data)
+    assert t["n_samples_stts"] == n
+    assert len(t["sample_sizes"]) == n
+    assert sum(t["sample_sizes"]) == len(data)
+    assert t["keyframes"] == list(range(1, n + 1, M.MP4_KEYFRAME_EVERY))
+    # the chunk offset points at the mdat payload exactly
+    payload = M.build_mp4(data)
+    base = t["chunk_offsets"][0]
+    assert payload[base : base + len(data)] == data
+
+
+@settings(**_SETTINGS)
+@given(
+    n_bytes=st.integers(min_value=0, max_value=5000),
+    n_samples=st.integers(min_value=1, max_value=200),
+)
+def test_mp4_sample_split_is_exact_and_even(n_bytes, n_samples):
+    sizes = M._mp4_sample_sizes(n_bytes, n_samples)
+    assert len(sizes) == n_samples
+    assert sum(sizes) == n_bytes
+    assert max(sizes) - min(sizes) <= 1      # even split
+    assert sorted(sizes, reverse=True) == sizes  # +1s lead
+
+
+@settings(**_SETTINGS)
+@given(
+    words=_WORDS,
+    cut=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_mp4_any_truncation_raises_or_degrades_loudly(words, cut):
+    """A container cut anywhere must either raise ValueError (the
+    error-row path) or — when the cut lands exactly on a box boundary
+    before moov — fail the ftyp/moov completeness check; it must
+    never return metadata from a half-parsed sample table."""
+    payload = M.build_mp4(" ".join(words).encode())
+    trunc = payload[: max(4, int(len(payload) * cut))]
+    if trunc == payload:
+        return
+    try:
+        M.parse_mp4(trunc)
+    except ValueError:
+        return
+    raise AssertionError("truncated container parsed silently")
+
+
+# --------------------------------------------------------------------------
+# k-means trainer (pure numpy)
+# --------------------------------------------------------------------------
+
+_XKD = st.tuples(
+    st.integers(min_value=2, max_value=60),   # n
+    st.integers(min_value=1, max_value=12),   # k
+    st.integers(min_value=1, max_value=8),    # dim
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+
+
+@settings(**_SETTINGS)
+@given(spec=_XKD)
+def test_matmul_distances_pick_same_centers_as_naive(spec):
+    """The one-matmul identity must make the SAME argmin decisions as
+    the naive broadcast form away from exact ties (float error is
+    ~1e-12 of the magnitudes here; hypothesis floats from randn are
+    never adversarially tie-constructed)."""
+    n, k, dim, seed = spec
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    C = rng.randn(k, dim)
+    fast = _sq_dists_np(X, C)
+    naive = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assert np.allclose(fast, naive, atol=1e-9)
+    if k < 2:
+        return  # argmin over one center is trivially identical
+    # argmin agreement except where the top-2 are within float noise
+    gap = np.partition(naive, 1, axis=1)
+    clear = (gap[:, 1] - gap[:, 0]) > 1e-9
+    assert (fast.argmin(axis=1)[clear] == naive.argmin(axis=1)[clear]).all()
+
+
+@settings(**_SETTINGS)
+@given(spec=_XKD)
+def test_kmeans_centers_finite_and_k_preserved(spec):
+    n, k, dim, seed = spec
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    centers = _kmeans_np(X, k, seed=seed, max_iter=4)
+    assert centers.shape == (k, dim)
+    assert np.isfinite(centers).all()
+
+
+def test_kmeans_deterministic_for_seed():
+    rng = np.random.RandomState(7)
+    X = rng.randn(500, 16)
+    a = _kmeans_np(X, 25, seed=11, max_iter=6)
+    b = _kmeans_np(X.copy(), 25, seed=11, max_iter=6)
+    assert (a == b).all()
+
+
+def test_kmeans_empty_cluster_reseed_keeps_centers_distinct():
+    # 3 identical points, k=3: two clusters go empty every iteration
+    # and must re-seed to DISTINCT points (here: all equal inputs, so
+    # distinctness degrades to shape/finite, but no crash or NaN)
+    X = np.zeros((3, 4))
+    centers = _kmeans_np(X, 3, seed=1, max_iter=3)
+    assert centers.shape == (3, 4)
+    assert np.isfinite(centers).all()
