@@ -3042,14 +3042,51 @@ def neardup_store_cluster_survivors(
     )
 
 
-@register("multimodal_feature_stats")  # rows-only (exercises mapInPandas)
+@register(
+    "multimodal_feature_stats",
+    oracle="""
+    WITH nonempty AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS L
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    counted AS (
+        SELECT doc_id, MAX(L) AS L,
+               CAST(SUM(CASE WHEN ascii(substr(text, i, 1)) % 16 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c0
+        FROM nonempty,
+             LATERAL unnest(generate_series(1, L)) AS t(i)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(16 AS BIGINT) AS dim,
+           -- the feature column is FLOAT32 (Arrow float vector): the
+           -- oracle must round through float32 before the micro snap
+           -- or c/L = 0.19 floors to 189999 on one side only
+           CAST(FLOOR(CAST(CAST(COALESCE(c.c0, 0)
+                       / CAST(GREATEST(COALESCE(c.L, 1), 1) AS DOUBLE)
+                       AS FLOAT) AS DOUBLE)
+                      * 1000000) AS BIGINT) AS f0_micro
+    FROM documents d LEFT JOIN counted c USING (doc_id)
+    """,
+)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched feature-extraction surface (bytes in →
+    fixed-dim vector out via mapInPandas — the GPU-batching shape a
+    real model slots into). HASH-ORACLED since round 9: the
+    deterministic stand-in features are byte-histogram fractions, so
+    f0 = |bytes ≡ 0 mod 16| / n_bytes is one IEEE division both
+    engines perform on identical integers, FLOOR-snapped to
+    micro-units. Corpus calibration (docstring contract): the oracle
+    reads bytes as ascii(char), exact because the synthetic corpus is
+    pure ASCII — a non-ASCII corpus would need a byte-level oracle."""
     documents = load(spark, sf_dir, "documents")
     features = M.extract_features(M.documents_as_media(documents))
     return features.select(
         "media_id",
         F.size("feature").cast("bigint").alias("dim"),
-        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.floor(
+            F.element_at("feature", 1).cast("double") * F.lit(1000000)
+        ).cast("bigint").alias("f0_micro"),
     )
 
 
@@ -5680,7 +5717,6 @@ ROWS_ONLY = {
     "source_cardinality_hll",
     "duplicate_spans_lsh_scoped",
     "user_value_trends_grouped_map",
-    "multimodal_feature_stats",
     "approx_distinct_users",
     "hll_sketch_union_users",
     "approx_quantiles_prices",
