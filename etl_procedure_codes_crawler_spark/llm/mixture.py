@@ -279,21 +279,31 @@ def doremi_domain_stats(
         F.slice(F.col("_t"), 2, n_big),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    # THE one corpus-sized exchange
+    # THE one corpus-sized bigram exchange — MATERIALIZED (eager local
+    # checkpoint) so the three model rollups below consume the
+    # distinct-bigram relation instead of re-exploding the corpus per
+    # branch (the unmaterialized plan re-scanned documents five times)
     cnt = (
         base.select("source", F.explode(bigrams).alias("bg"))
         .groupBy("source", F.col("bg.w1").alias("w1"),
                  F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    # vocab sizes: corpus-global and per-domain (two tiny distinct aggs
-    # over the token stream — metadata-sized outputs)
-    tok_rows = docs.select(
-        F.col(source_col).alias("source"), F.explode(toks).alias("t")
+    # vocab sizes: ONE token pass feeding both the per-domain and the
+    # global distinct counts (the per-(source, token) relation is
+    # vocabulary-bounded)
+    tokc = (
+        docs.select(
+            F.col(source_col).alias("source"), F.explode(toks).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .localCheckpoint(eager=True)
     )
-    v_global = tok_rows.select("t").distinct().count()
-    v_dom = tok_rows.groupBy("source").agg(
-        F.countDistinct("t").alias("v_dom")
+    v_global = tokc.select("t").distinct().count()
+    v_dom = tokc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v_dom")
     )
     # model counts by rollup of the count relation (vocab²-bounded)
     g2 = cnt.groupBy("w1", "w2").agg(F.sum("c").alias("gc2"))
