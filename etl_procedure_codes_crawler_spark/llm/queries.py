@@ -578,35 +578,53 @@ def llm_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the media synthesis is deterministic in doc_id: every 7th doc
     -- gets a content-identical twin (distant id, same source), every
     -- 50th doc (and, since 10^9 % 50 = 0, its twin) is truncated-
-    -- corrupt. The verify stage admits ONLY content-identical pairs,
-    -- and the corpus has zero exact-duplicate texts, so the reject
-    -- set is exactly the decodable twins.
+    -- corrupt. The verify stage rejects a media object iff a LOWER-id
+    -- decodable object holds byte-identical decoded content — twins
+    -- by construction, plus the corpus's own exact-duplicate texts
+    -- (8 raw-text dups exist at sf0.1; identical text ⟺ identical
+    -- pixels/PCM under the synthesizers), so the oracle replays the
+    -- same-content-lower-id rule over the full media id space.
+    media_ids AS (
+        SELECT doc_id AS mid, text, source,
+               (doc_id % 50 = 0) AS corrupt
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text, source, (doc_id % 50 = 0)
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    judged_media AS (
+        SELECT m.mid, m.source, m.corrupt,
+               (NOT m.corrupt AND EXISTS (
+                   SELECT 1 FROM media_ids m2
+                   WHERE NOT m2.corrupt AND m2.mid < m.mid
+                     AND m2.text = m.text
+               )) AS neardup
+        FROM media_ids m
+    ),
     media AS (
         SELECT source,
-               COUNT(*) AS nd,
-               CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS nt,
-               CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS cb,
-               CAST(SUM(CASE WHEN doc_id % 7 = 0 AND doc_id % 50 = 0
-                             THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-               CAST(SUM(CASE WHEN doc_id % 7 = 0 AND doc_id % 50 <> 0
-                             THEN 1 ELSE 0 END) AS BIGINT) AS ntw
-        FROM documents GROUP BY source
+               COUNT(*) AS n_media,
+               CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(SUM(CASE WHEN neardup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neardup
+        FROM judged_media GROUP BY source
     )
     SELECT t.source,
            t.n_docs,
            t.boiler_passages_removed,
            t.tokens_clean,
            t.eff_tokens_micro,
-           CAST(m.nd + m.nt AS BIGINT) AS n_img,
-           CAST(m.cb + m.ct AS BIGINT) AS n_img_corrupt,
-           m.ntw AS n_img_neardup,
-           CAST(m.nd + m.nt - m.cb - m.ct - m.ntw AS BIGINT) AS n_img_kept,
-           CAST(m.nd + m.nt AS BIGINT) AS n_aud,
-           CAST(m.cb + m.ct AS BIGINT) AS n_aud_corrupt,
-           m.ntw AS n_aud_neardup,
-           CAST(m.nd + m.nt - m.cb - m.ct - m.ntw AS BIGINT) AS n_aud_kept
+           CAST(m.n_media AS BIGINT) AS n_img,
+           m.n_corrupt AS n_img_corrupt,
+           m.n_neardup AS n_img_neardup,
+           CAST(m.n_media - m.n_corrupt - m.n_neardup AS BIGINT)
+               AS n_img_kept,
+           CAST(m.n_media AS BIGINT) AS n_aud,
+           m.n_corrupt AS n_aud_corrupt,
+           m.n_neardup AS n_aud_neardup,
+           CAST(m.n_media - m.n_corrupt - m.n_neardup AS BIGINT)
+               AS n_aud_kept
     FROM text_rep t JOIN media m USING (source)
     """,
 )
@@ -4866,8 +4884,22 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bloom_prefilter_documents",
     oracle="""
-    SELECT doc_id, (doc_id % 2 <> 0) AS admitted
-    FROM documents
+    WITH fp AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents
+    )
+    -- admitted ⟺ odd id AND no even doc shares the normalized text:
+    -- the corpus carries a handful of exact-duplicate texts at sf0.1,
+    -- and an odd doc whose fingerprint an even doc already holds is
+    -- correctly caught by the exact check (suspects route through the
+    -- anti-join on the fingerprint, not on the id)
+    SELECT f.doc_id,
+           (f.doc_id % 2 <> 0 AND NOT EXISTS (
+               SELECT 1 FROM fp f2
+               WHERE f2.doc_id % 2 = 0 AND f2.nt = f.nt
+           )) AS admitted
+    FROM fp f
     """,
 )
 def bloom_prefilter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
