@@ -123,6 +123,7 @@ def append_passage_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_id: str | None = None,
+    chunks: DataFrame | None = None,
 ) -> int:
     """Append one count segment covering ``docs`` — (fp, distinct-doc
     count) within the batch, keyed by ``batch_id``.
@@ -137,12 +138,21 @@ def append_passage_counts(
     it; otherwise the id derives deterministically from the offered
     document-id set. The caller must still offer each document
     exactly once across DISTINCT batches (ingest gates' id
-    anti-join). Returns the segment's row count."""
+    anti-join). Returns the segment's row count.
+
+    ``chunks``: a precomputed :func:`..dedup.passage_rows` relation
+    for ``docs`` at the store's block size — callers that both count
+    AND strip the same batch (the streaming gate) pass it so the
+    batch's passages explode once, not twice. The caller owns the
+    block-size agreement; when omitted the rows derive here under the
+    store's meta."""
     meta = load_passage_freq_meta(spark, path)
     if batch_id is None:
         batch_id = _derived_batch_id(docs, id_col)
+    if chunks is None:
+        chunks = passage_rows(docs, meta["block"], text_col, id_col)
     seg = (
-        passage_rows(docs, meta["block"], text_col, id_col)
+        chunks
         .groupBy("fp")
         .agg(F.countDistinct("id").cast("bigint").alias("df"))
         .select(F.lit(batch_id).alias("batch_id"), "fp", "df")
@@ -176,6 +186,7 @@ def strip_boilerplate_against_store(
     min_doc_freq: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Clean ``docs`` against the PERSISTED corpus-wide frequencies:
     passages whose stored document frequency exceeds ``min_doc_freq``
@@ -185,9 +196,11 @@ def strip_boilerplate_against_store(
     side never re-reads history (the store relation is
     distinct-passage-sized, and the join hashes 32-byte
     fingerprints). Passages absent from the store count as df=0
-    (never seen → never boilerplate)."""
+    (never seen → never boilerplate). ``chunks``: precomputed
+    passage rows, same contract as :func:`append_passage_counts`."""
     meta = load_passage_freq_meta(spark, path)
-    chunks = passage_rows(docs, meta["block"], text_col, id_col)
+    if chunks is None:
+        chunks = passage_rows(docs, meta["block"], text_col, id_col)
     judged = chunks.join(
         read_passage_freqs(spark, path).withColumnRenamed("df", "_df"),
         "fp",

@@ -1167,8 +1167,17 @@ def stream_ingest_with_boilerplate(
         if fresh.isEmpty():
             return
         # counts BEFORE warehouse (crash contract above); the batch
-        # key makes the replayed append a read-side no-op
+        # key makes the replayed append a read-side no-op. The batch's
+        # passage rows explode ONCE (checkpointed) and feed both the
+        # count append and the strip — the count/strip pair would
+        # otherwise re-tokenize the batch twice.
+        from ..llm.dedup import passage_rows
+
         gate_id = _stream_gate_id(spark, checkpoint_dir)
+        meta = PF.load_passage_freq_meta(spark, store_path)
+        chunks = passage_rows(
+            fresh, meta["block"], text_col, id_col
+        ).localCheckpoint(eager=True)
         PF.append_passage_counts(
             spark,
             store_path,
@@ -1176,9 +1185,11 @@ def stream_ingest_with_boilerplate(
             text_col,
             id_col,
             batch_id=f"{gate_id}-{int(batch_id)}",
+            chunks=chunks,
         )
         cleaned = PF.strip_boilerplate_against_store(
-            spark, store_path, fresh, min_doc_freq, text_col, id_col
+            spark, store_path, fresh, min_doc_freq, text_col, id_col,
+            chunks=chunks,
         ).withColumnRenamed("id", id_col)
         fresh.join(cleaned, id_col).write.mode("append").option(
             "compression", "snappy"
