@@ -5390,6 +5390,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.train_bpe_merges(documents, num_merges=12, min_pair_freq=2)
 
 
+@register("bpe_fertility_by_source")  # rows-only (trained-model plan)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report — the budgeting signal a trained
+    tokenizer gives a data planner: subword tokens per whitespace
+    word, by source. A source whose text the tokenizer fragments
+    (high fertility) consumes proportionally more of a fixed
+    token budget than its word count suggests, which corrupts
+    mixture math done in words; this report is the conversion table.
+    Train on even doc_ids, encode everything, then one per-source
+    aggregation of exact integers: total subword tokens, total words,
+    and fertility in exact micro-units (one FLOOR-snapped division of
+    two order-independent integer sums). Rows-only: the merge table
+    is a trained artifact (bit-identical per corpus+seed — pinned in
+    tests/test_bpe.py); the aggregation arithmetic rides it."""
+    from . import bpe as B
+
+    documents = load(spark, sf_dir, "documents")
+    merges, seg = B.train_bpe(
+        documents.filter(F.col("doc_id") % 2 == 0), num_merges=12
+    )
+    enc = B.bpe_encode(documents, merges, seg).select(
+        F.col("id").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_subwords"),
+    )
+    per_doc = documents.select(
+        "doc_id", "source", T.token_count("text").alias("n_words")
+    ).join(enc, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subwords").cast("bigint").alias("subword_tokens"),
+        F.sum("n_words").cast("bigint").alias("word_tokens"),
+        F.floor(
+            F.sum("n_subwords").cast("double")
+            * F.lit(1000000.0)
+            / F.sum("n_words").cast("double")
+        ).cast("bigint").alias("fertility_micro"),
+    )
+
+
 @register("bpe_encode_documents")  # rows-only (trained-model tokenization)
 def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-tokenize: learn the merge table on even-doc_id docs,
@@ -5737,6 +5776,7 @@ ROWS_ONLY = {
     "ann_index_health",
     "bpe_train_merges",
     "bpe_encode_documents",
+    "bpe_fertility_by_source",
     "bpe_bucketed_batches",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
