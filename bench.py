@@ -221,6 +221,8 @@ HEADLINE = [
     # round-9: DoReMi excess-loss domain reweighting — one corpus
     # bigram groupBy + count-relation rollups + driver softmax
     "doremi_domain_weights",
+    # round-9: tokenizer fertility — train + encode + one integer agg
+    "bpe_fertility_by_source",
 ]
 
 
