@@ -89,9 +89,18 @@ def append_to_phash_store(
         )
         .where(F.col("id").isNotNull() & F.col("phash").isNotNull())
         .dropDuplicates(["id"])
-        .join(read_phash_store(spark, path).select("id"), "id", "left_anti")
-        .localCheckpoint(eager=True)  # lineage reads the appended path
     )
+    # empty-store fast path (the first accepted batch / a fresh gate):
+    # nothing to anti-join against — same one-stat shortcut as
+    # near_dups_against_phash_store
+    from ..sinks.fsutil import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
+    if fs.exists(hpath(_hashes_path(path))):
+        fresh = fresh.join(
+            read_phash_store(spark, path).select("id"), "id", "left_anti"
+        )
+    fresh = fresh.localCheckpoint(eager=True)  # lineage reads the append
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(_hashes_path(path))
