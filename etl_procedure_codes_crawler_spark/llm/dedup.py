@@ -162,31 +162,17 @@ def shingle_rows(
 # exact n-gram Jaccard pairs (baseline)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _shared_shingle_counts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    threshold: float = 0.05,
-    max_doc_freq: int | None = None,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold.
-
-    Shared-shingle join: pairs are generated only for docs that share
-    at least one shingle — quadratic *within a shingle's posting list*,
-    not globally. At 100 TB this is the verify stage after LSH, not
-    the candidate generator (use minhash_lsh_candidate_pairs there).
-
-    ``max_doc_freq`` drops "stop shingles" whose document frequency
-    exceeds it BEFORE the join: a shingle shared by m docs emits m²
-    candidate rows, so one boilerplate header shingled into every
-    document is a quadratic bomb in a single posting list. Dropped
-    shingles leave both the intersection and the union (sizes are
-    computed after the filter), i.e. the result is exact Jaccard over
-    the stop-shingle-filtered sets — at sane thresholds true near-dup
-    pairs still share plenty of low-df shingles and survive (see
-    tests/test_llm_dedup.py adversarial cases).
-    """
+    """(doc_a, doc_b, shared, na, nb) for every doc pair sharing at
+    least one (df-cap-surviving) shingle — the common core of the
+    Jaccard and containment pair miners. See :func:`ngram_jaccard_pairs`
+    for the shuffle/df-cap rationale; the shapes are identical."""
     sh = shingle_rows(df, text_col, id_col, k)
     # Explicit partition count on the join key: the posting-list
     # self-join's OUTPUT is quadratic per shingle while its INPUT is
@@ -225,9 +211,36 @@ def ngram_jaccard_pairs(
     # driver at real scale. AQE still auto-broadcasts it when it is
     # genuinely small; otherwise this is a plain shuffled join on the
     # (already much smaller) pair relation.
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.05,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Shared-shingle join: pairs are generated only for docs that share
+    at least one shingle — quadratic *within a shingle's posting list*,
+    not globally. At 100 TB this is the verify stage after LSH, not
+    the candidate generator (use minhash_lsh_candidate_pairs there).
+
+    ``max_doc_freq`` drops "stop shingles" whose document frequency
+    exceeds it BEFORE the join: a shingle shared by m docs emits m²
+    candidate rows, so one boilerplate header shingled into every
+    document is a quadratic bomb in a single posting list. Dropped
+    shingles leave both the intersection and the union (sizes are
+    computed after the filter), i.e. the result is exact Jaccard over
+    the stop-shingle-filtered sets — at sane thresholds true near-dup
+    pairs still share plenty of low-df shingles and survive (see
+    tests/test_llm_dedup.py adversarial cases).
+    """
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shared_shingle_counts(df, text_col, id_col, k, max_doc_freq)
         .select(
             "doc_a",
             "doc_b",
@@ -237,6 +250,46 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Doc pairs where either document's shingle set is >= threshold
+    CONTAINED in the other: C(A→B) = |A∩B| / |A| (Broder 1997's
+    asymmetric companion to Jaccard's resemblance).
+
+    Jaccard misses inclusion: a 50-token quote embedded in a
+    5000-token article shares all its shingles, yet J = |∩|/|∪| ≈ 1% —
+    invisible at any sane Jaccard threshold, while C(quote→article)
+    ≈ 1.0. For training corpora that is exactly the "press release
+    swallowed by an aggregator page" / "doc A is a subsection of
+    doc B" duplication mode, and the direction says WHICH side is the
+    fragment (drop the contained copy, keep the superset).
+
+    Same skew-safe shared-shingle shape as :func:`ngram_jaccard_pairs`
+    (df-capped posting-list join, sizes computed after the cap); only
+    the final ratio differs. One row per unordered pair carrying BOTH
+    directed containments; kept when the larger clears ``threshold``.
+    """
+    pairs = _shared_shingle_counts(df, text_col, id_col, k, max_doc_freq)
+    c_ab = F.col("shared").cast("double") / F.col("na")
+    c_ba = F.col("shared").cast("double") / F.col("nb")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("shared").alias("n_shared"),
+        c_ab.alias("containment_a_in_b"),
+        c_ba.alias("containment_b_in_a"),
+    ).filter(
+        F.greatest(F.col("containment_a_in_b"), F.col("containment_b_in_a"))
+        >= threshold
     )
 
 

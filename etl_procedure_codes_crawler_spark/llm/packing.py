@@ -705,6 +705,107 @@ def budget_select(
     )
 
 
+def pps_systematic_sample(
+    df: DataFrame,
+    tokens_col: str,
+    n_picks: int = 50,
+    id_col: str = "doc_id",
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay every
+    document's tokens end to end on an integer line in ``id_col``
+    order, drop ``n_picks`` equally spaced pins, and keep each document
+    once per pin it contains — the classic survey-statistics PPS
+    design (Madow 1949), the zero-randomness way to draw "documents
+    weighted by token count" for corpus QA panels and eval slices.
+    Inclusion probability is exactly proportional to size, and unlike
+    rand()-weighted draws the selection is a pure function of the
+    data: identical across runs, engines, partitions, and retries
+    (the same property ``deterministic_sample_documents`` pins for
+    uniform sampling).
+
+    Pin p_i sits at position ⌊i·W/n⌋ (integer arithmetic only — the
+    hit count per doc is ⌊cum·n/W⌋ − ⌊(cum−w)·n/W⌋, never a float, so
+    the relation hash-matches the DuckDB oracle bit-for-bit). Docs
+    spanning several pins return n_hits > 1 — PPS multiplicity, which
+    downstream weighting must honor.
+
+    Scale shape: the global running sum uses the same two-phase trick
+    as :func:`budget_select` (bin by broadcast quantile edges on the
+    order key, LOCAL window cumsum per bin in parallel, metadata-sized
+    per-bin totals collected once and added back as offsets) — never a
+    single global-ORDER-BY window task. ``cum·n_picks`` stays within
+    int64 for any corpus where total_tokens·n_picks < 2^63 (~10^14
+    tokens at n=100k — beyond a 100 TB text corpus).
+
+    NULL/zero-weight rows get zero pins and drop out of the output (a
+    NULL weight contributes nothing to the line, matching the oracle's
+    COALESCE-to-0 contract).
+    """
+    spark = df.sparkSession
+    w = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0)).alias("_n"),
+    ).localCheckpoint(eager=True)
+    if num_bins is None:
+        num_bins = max(spark.sparkContext.defaultParallelism, 16)
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    edge_row = w.select(
+        F.percentile_approx(
+            F.col(id_col).cast("double"),
+            F.array(*[F.lit(f) for f in fracs]),
+            F.lit(10_000),
+        ).alias("edges")
+    ).first()
+    edges = sorted(set(edge_row["edges"] or []))
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + (F.col(id_col).cast("double") > F.lit(float(e))).cast("int")
+    binned = w.withColumn("_bin", bin_col)
+    win = (
+        Window.partitionBy("_bin")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = binned.withColumn("_local_cum", F.sum("_n").over(win))
+    totals = sorted(
+        (r["_bin"], r["tot"])
+        for r in binned.groupBy("_bin").agg(F.sum("_n").alias("tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, t in totals:
+        offsets[b] = acc
+        acc += t
+    total = acc
+    if total <= 0:
+        return local.filter(F.lit(False)).select(
+            id_col,
+            F.col("_n").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_hits"),
+        )
+    offset_map = F.create_map(
+        *[
+            x
+            for b, off in offsets.items()
+            for x in (F.lit(b), F.lit(off).cast("bigint"))
+        ]
+    )
+    cum = (F.element_at(offset_map, F.col("_bin")) + F.col("_local_cum")).cast(
+        "bigint"
+    )
+    hits = F.expr(
+        f"CAST((_cum * {int(n_picks)}) DIV {int(total)} AS BIGINT)"
+    ) - F.expr(
+        f"CAST(((_cum - _n) * {int(n_picks)}) DIV {int(total)} AS BIGINT)"
+    )
+    return (
+        local.withColumn("_cum", cum)
+        .withColumn("n_hits", hits)
+        .filter(F.col("n_hits") > 0)
+        .select(id_col, F.col("_n").alias("n_tokens"), "n_hits")
+    )
+
+
 def curriculum_manifest(
     df: DataFrame,
     score_col: str,

@@ -18,6 +18,7 @@ from ..plans.relational import ORACLES, load, register
 from . import dedup as D
 from . import dsir as DS
 from . import fingerprint as FP
+from . import kmv as KV
 from . import multimodal as M
 from . import lm as LM
 from . import mixture as MX
@@ -4883,7 +4884,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bloom_prefilter_documents",
-    oracle="""
+    oracle=r"""
     WITH fp AS (
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
@@ -5759,6 +5760,302 @@ def neardup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-9 session-2 families: containment, ratio-margin mining,
+# deterministic PPS sampling, CCNet bucketing, oracled KMV sketches
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared,
+           CAST(c AS DOUBLE) / x.n AS containment_a_in_b,
+           CAST(c AS DOUBLE) / y.n AS containment_b_in_a
+    FROM shared
+      JOIN sizes x ON x.doc_id = doc_a
+      JOIN sizes y ON y.doc_id = doc_b
+    WHERE GREATEST(CAST(c AS DOUBLE) / x.n, CAST(c AS DOUBLE) / y.n) >= 0.3
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (|A∩B|/|A|) — catches the
+    fragment-inside-superset duplication Jaccard is blind to, and its
+    direction says which doc is the copy (llm/dedup.py)."""
+    documents = load(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(documents, threshold=0.3, max_doc_freq=50)
+
+
+@register(
+    "embedding_margin_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id IS NOT NULL),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])
+               / (sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, len(a.v))]))
+                  * sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, len(b.v))])))
+                   AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    cf AS (SELECT * FROM cand WHERE cos >= 0.30),
+    directed AS (
+        SELECT vec_a AS id, vec_b AS nb, cos FROM cf
+        UNION ALL
+        SELECT vec_b AS id, vec_a AS nb, cos FROM cf
+    ),
+    ranked AS (
+        SELECT id, cos,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rk
+        FROM directed
+    ),
+    knn AS (
+        -- fixed-order fold over the rank-sorted top-k, matching the
+        -- Spark side's aggregate(array_sort(collect_list)) exactly:
+        -- float addition is not associative, so SUM()'s unspecified
+        -- order would not be cross-engine-reproducible
+        SELECT id,
+               list_reduce(list(cos ORDER BY rk), (a, b) -> a + b) / 4.0
+                   AS mean_top
+        FROM ranked WHERE rk <= 4 GROUP BY id HAVING COUNT(*) = 4
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine,
+           ROUND(cos / ((x.mean_top + y.mean_top) / 2.0), 4) AS margin
+    FROM cf JOIN knn x ON x.id = vec_a JOIN knn y ON y.id = vec_b
+    WHERE cos / ((x.mean_top + y.mean_top) / 2.0) >= 1.1
+    """,
+)
+def embedding_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin pair mining (Artetxe & Schwenk 2019): pairs scored
+    against their endpoints' neighborhood means, killing hub vectors
+    that drown absolute-cosine thresholds (llm/similarity.py)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    return S.margin_pairs_bruteforce(
+        embeddings, floor=0.30, k=4, margin_threshold=1.1
+    )
+
+
+@register(
+    "pps_systematic_sample_documents",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               COALESCE(CAST(len({_TOKS}) AS BIGINT), 0) AS n
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n,
+               SUM(n) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(n) OVER () AS total
+        FROM w
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST((cw * 50) // total - ((cw - n) * 50) // total AS BIGINT)
+               AS n_hits
+    FROM cum
+    WHERE (cw * 50) // total - ((cw - n) * 50) // total > 0
+    """,
+)
+def pps_systematic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample: 50
+    equally spaced pins on the corpus token line — integer-exact,
+    engine-independent, multiplicity-aware (llm/packing.py)."""
+    documents = load(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id", T.token_count("text").alias("_tc")
+    )
+    return PK.pps_systematic_sample(docs, tokens_col="_tc", n_picks=50)
+
+
+@register(
+    "ccnet_bucket_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, lang, unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]
+        )) AS bigram
+        FROM t
+    ),
+    corpus AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+    typ AS (
+        SELECT bg.doc_id, bg.lang,
+               CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS typicality
+        FROM bg JOIN corpus USING (bigram)
+        GROUP BY bg.doc_id, bg.lang
+    )
+    SELECT doc_id, lang, typicality,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY typicality DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM typ
+    """,
+)
+def ccnet_bucket_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles per language
+    (Wenzek et al. 2020): rank docs by LM score within each language
+    and cut into thirds — the standard pre-mixing quality
+    stratification. The LM score here is the integer-exact bigram
+    typicality (`doc_bigram_typicality`'s rationale: raw corpus
+    frequencies, not log-probs, so the double ordering key is a
+    single IEEE-exact division and the bucket assignment hash-matches
+    cross-engine; real-perplexity ordering is available rows-only via
+    lm_perplexity_documents). NTILE ties are broken by doc_id, so the
+    cut is fully deterministic. Scale shape: one bigram explode reused
+    by both the corpus-count agg and the per-doc agg, then a
+    per-language window over doc-level rows."""
+    documents = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = T.spread_small_input(documents).select(
+        "doc_id", "lang", F.explode(bigrams).alias("bigram")
+    )
+    corpus = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    typ = (
+        bg.join(corpus, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "typicality"
+            )
+        )
+    )
+    w = SparkWindow.partitionBy("lang").orderBy(
+        F.desc("typicality"), F.asc("doc_id")
+    )
+    nt = F.ntile(3).over(w)
+    return typ.select(
+        "doc_id",
+        "lang",
+        "typicality",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+#: the KMV oracle's sketch CTE — shared by both kmv queries (60-bit
+#: md5 hash = the cross-engine hash; see llm/kmv.py)
+_KMV_SKETCH = f"""
+    tok AS (SELECT source, doc_id, {_TOKS} AS t FROM documents
+            WHERE source IS NOT NULL),
+    sh AS (
+        SELECT DISTINCT source,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM tok
+    ),
+    hashed AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+        FROM sh
+    ),
+    minima AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM hashed
+        QUALIFY rk <= 64
+    )
+"""
+
+
+@register(
+    "kmv_distinct_shingles_by_source",
+    oracle=f"""
+    WITH {_KMV_SKETCH}
+    SELECT source AS "group",
+           CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / MAX(h) END, 4)
+               AS est_distinct
+    FROM minima GROUP BY source
+    """,
+)
+def kmv_distinct_shingles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV bottom-k distinct-shingle estimate per source — unlike the
+    HLL twin (`source_cardinality_hll`) this sketch is HASH-ORACLED:
+    md5 exists in both engines, so the estimate is a reproducible
+    function of the data, not an engine-internal sketch state
+    (llm/kmv.py)."""
+    documents = load(spark, sf_dir, "documents")
+    return KV.kmv_distinct_by_group(documents, k=64)
+
+
+@register(
+    "kmv_source_overlap_pairs",
+    oracle=f"""
+    WITH {_KMV_SKETCH},
+    groups AS (SELECT DISTINCT source FROM minima),
+    members AS (
+        SELECT ga.source AS group_a, gb.source AS group_b, m.h,
+               MAX(CASE WHEN m.source = ga.source THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN m.source = gb.source THEN 1 ELSE 0 END) AS in_b
+        FROM groups ga
+          JOIN groups gb ON ga.source < gb.source
+          JOIN minima m ON m.source IN (ga.source, gb.source)
+        GROUP BY 1, 2, 3
+    ),
+    us AS (
+        SELECT group_a, group_b, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY group_a, group_b
+                                  ORDER BY h) AS rk
+        FROM members
+        QUALIFY rk <= 64
+    ),
+    agg AS (
+        SELECT group_a, group_b, MAX(h) AS hk, COUNT(*) AS n,
+               SUM(in_a * in_b) AS n_both
+        FROM us GROUP BY group_a, group_b
+    )
+    SELECT group_a, group_b,
+           ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS est_union,
+           ROUND(CAST(n_both AS DOUBLE) / n, 4) AS est_jaccard,
+           ROUND((CAST(n_both AS DOUBLE) / n) *
+                 (CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / hk END), 4)
+               AS est_intersection
+    FROM agg
+    """,
+)
+def kmv_source_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap ESTIMATES from merged KMV sketches —
+    |A∪B|, Jaccard, and the |A∩B| HLL fundamentally cannot estimate
+    (no intersection closure). Hash-oracled; accuracy floored against
+    source_overlap_exact in tests/test_kmv.py (llm/kmv.py)."""
+    documents = load(spark, sf_dir, "documents")
+    return KV.kmv_overlap_pairs(documents, k=64)
 
 
 #: queries intentionally registered WITHOUT an oracle (rows-only check);

@@ -89,15 +89,16 @@ def cosine_topk_bruteforce(
     )
 
 
-def similar_pairs_bruteforce(
+def _pairs_above(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """All corpus pairs with cosine >= threshold (embedding-cosine
-    near-dup detection). Exact baseline — use the LSH variant to
-    pre-filter at scale."""
+    """(vec_a, vec_b, cosine) with UNROUNDED cosine for every unordered
+    pair at cosine >= threshold — shared by the pair miner and the
+    margin scorer (which must derive neighbor statistics from the raw
+    values, not display-rounded ones)."""
     v = with_norm(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
     )
@@ -117,7 +118,103 @@ def similar_pairs_bruteforce(
             ),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def similar_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus pairs with cosine >= threshold (embedding-cosine
+    near-dup detection). Exact baseline — use the LSH variant to
+    pre-filter at scale."""
+    return _pairs_above(df, threshold, vec_col, id_col).select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def margin_pairs_bruteforce(
+    df: DataFrame,
+    floor: float = 0.30,
+    k: int = 4,
+    margin_threshold: float = 1.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ratio-margin neighbor mining (Artetxe & Schwenk 2019, "Margin-
+    based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"): a pair counts as a true match not when its cosine is
+    globally high but when it is high RELATIVE to what each endpoint's
+    neighborhood scores — margin(x, y) = cos(x, y) / ((mean_k(x) +
+    mean_k(y)) / 2), where mean_k(v) is the mean cosine of v's k
+    nearest candidates. This kills hub vectors (high cosine with
+    EVERYTHING — their margins hover near 1) that drown absolute-
+    threshold mining, and is the standard bitext/near-dup pair scorer
+    at corpus scale.
+
+    Neighborhoods are defined over the candidate relation itself
+    (pairs at cosine >= ``floor``); endpoints with fewer than ``k``
+    candidate neighbors are dropped — a margin against an undersized
+    neighborhood overstates the pair.  At 100 TB the same scoring runs
+    off the LSH/IVF candidate stream instead of the O(n²) scan; the
+    margin math is identical (it only consumes the pair relation).
+
+    Determinism contract (the reason this is hash-oracle-able): the
+    mean is a FIXED-ORDER fold over the rank-sorted top-k cosines —
+    float addition is not associative, so a groupBy SUM's partition-
+    dependent order would not reproduce across engines, but
+    ``aggregate(array_sort(collect_list(struct(rank, cos))))`` folds
+    in rank order everywhere.
+    """
+    pairs = _pairs_above(df, floor, vec_col, id_col)
+    directed = pairs.select(
+        F.col("vec_a").alias("id"), F.col("vec_b").alias("nb"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("id"), F.col("vec_a").alias("nb"), "cosine"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nb"))
+    ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    knn = (
+        ranked.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "cosine"))
+            ).alias("_top"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == k)
+        .select(
+            "id",
+            (
+                F.aggregate(
+                    F.col("_top"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["cosine"],
+                )
+                / F.lit(float(k))
+            ).alias("mean_top"),
+        )
+    )
+    ka = knn.select(F.col("id").alias("vec_a"), F.col("mean_top").alias("ma"))
+    kb = knn.select(F.col("id").alias("vec_b"), F.col("mean_top").alias("mb"))
+    margin = F.col("cosine") / ((F.col("ma") + F.col("mb")) / F.lit(2.0))
+    return (
+        pairs.join(ka, "vec_a")
+        .join(kb, "vec_b")
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= margin_threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round("cosine", 4).alias("cosine"),
+            F.round("margin", 4).alias("margin"),
+        )
     )
 
 

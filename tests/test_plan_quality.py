@@ -19,6 +19,13 @@ NESTED_LOOP_EXEMPT = {
     # documented O(n²) exact baselines (scale path = their LSH variants)
     "embedding_similar_pairs": "brute-force pair baseline (vec_a < vec_b)",
     "ann_cosine_topk": "brute-force top-k baseline (broadcast query side)",
+    # margin scoring consumes only the pair relation; the brute-force
+    # candidate generator is the documented exact baseline (at scale
+    # the same margin math rides the LSH/IVF candidate stream)
+    "embedding_margin_pairs": "brute-force candidate baseline (vec_a < vec_b)",
+    # group-count-sized sketch-pair expansion: k rows per group crossed
+    # with the (bounded) group list — metadata-sized by construction
+    "kmv_source_overlap_pairs": "group-count-sized sketch pair expansion",
     # small distinct domain crossed deliberately after shrinking
     "levenshtein_similar_sources": "distinct-shrunk fuzzy domain pairing",
     # pairwise sketch comparison over the GROUP-sized signature table

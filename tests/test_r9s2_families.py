@@ -1,0 +1,270 @@
+"""Round-9 session-2 families: asymmetric containment, ratio-margin
+pair mining, systematic PPS sampling, CCNet bucketing, and the oracled
+KMV sketch — planted-case behavior plus accuracy floors the parity
+replica cannot express (the oracle proves cross-engine equality, not
+that the estimate is any GOOD; these tests pin the latter)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_procedure_codes_crawler_spark.llm import dedup as D
+from etl_procedure_codes_crawler_spark.llm import kmv as KV
+from etl_procedure_codes_crawler_spark.llm import overlap as OV
+from etl_procedure_codes_crawler_spark.llm import packing as PK
+from etl_procedure_codes_crawler_spark.llm import queries  # noqa: F401 — registers
+from etl_procedure_codes_crawler_spark.llm import similarity as S
+from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+
+def _text(idx: list[int]) -> str:
+    # distinct synthetic words — planted containment must not be
+    # polluted by accidental shingle collisions from a tiny vocabulary
+    return " ".join(f"w{i}" for i in idx)
+
+
+class TestContainmentPairs:
+    def test_fragment_inside_superset_found_where_jaccard_blind(self, spark):
+        # doc 1 = a 12-token fragment; doc 2 = a 120-token article that
+        # embeds it verbatim. Jaccard ~ 12/120 = 0.1 (invisible at 0.3);
+        # containment(fragment -> article) = 1.0.
+        frag = _text(list(range(12)))
+        article = (
+            _text(list(range(100, 160)))
+            + " " + frag + " "
+            + _text(list(range(200, 248)))
+        )
+        other = _text(list(range(300, 340)))
+        df = spark.createDataFrame(
+            [(1, frag), (2, article), (3, other)], ["doc_id", "text"]
+        )
+        rows = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in D.ngram_containment_pairs(
+                df, threshold=0.9, max_doc_freq=None
+            ).collect()
+        }
+        assert (1, 2) in rows
+        assert rows[(1, 2)]["containment_a_in_b"] == pytest.approx(1.0)
+        # the reverse direction is small: the article is NOT inside the quote
+        assert rows[(1, 2)]["containment_b_in_a"] < 0.35
+        # jaccard at the same threshold would never have fired
+        jac = D.ngram_jaccard_pairs(df, threshold=0.3).collect()
+        assert not any(
+            (r["doc_a"], r["doc_b"]) == (1, 2) for r in jac
+        )
+
+    def test_direction_identifies_the_fragment(self, spark):
+        # symmetric near-dups contain each other; a fragment contains
+        # one-way only
+        a = _text(list(range(30)))
+        df = spark.createDataFrame(
+            [(1, a), (2, a + " zulu yankee xray whiskey victor")],
+            ["doc_id", "text"],
+        )
+        (row,) = D.ngram_containment_pairs(df, threshold=0.5).collect()
+        assert row["containment_a_in_b"] > row["containment_b_in_a"]
+
+
+class TestMarginPairs:
+    def test_hub_vector_suppressed_isolated_pair_kept(self, spark):
+        # hub h correlates ~equally with everything (margin ~= 1);
+        # pair (a, b) is a tight match in an otherwise-cold neighborhood
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        dim = 16
+        hub = np.ones(dim)
+        a = rng.randn(dim); a /= np.linalg.norm(a)
+        b = a + 0.05 * rng.randn(dim)
+        rows = [(0, [float(x) for x in hub])]
+        rows.append((1, [float(x) for x in a]))
+        rows.append((2, [float(x) for x in b]))
+        # background: mild positive alignment with the hub so candidate
+        # floor keeps hub pairs in the neighborhood stats
+        for i in range(3, 11):
+            v = hub / np.linalg.norm(hub) + 0.8 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = S.margin_pairs_bruteforce(
+            df, floor=0.1, k=3, margin_threshold=1.25
+        ).collect()
+        kept = {(r["vec_a"], r["vec_b"]) for r in out}
+        assert (1, 2) in kept
+        # no hub pair survives the margin bar
+        assert not any(0 in p for p in kept)
+
+    def test_matches_oracle_style_replica(self, spark, sf_dir):
+        # independent numpy replica of the full pipeline on real data
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        got = {
+            (r["vec_a"], r["vec_b"]): (r["cosine"], r["margin"])
+            for r in S.margin_pairs_bruteforce(
+                emb, floor=0.30, k=4, margin_threshold=1.1
+            ).collect()
+        }
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = Xn @ Xn.T
+        n = len(ids)
+        cand = {}
+        neigh = {i: [] for i in range(n)}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if C[i, j] >= 0.30:
+                    cand[(i, j)] = C[i, j]
+                    neigh[i].append((C[i, j], ids[j]))
+                    neigh[j].append((C[i, j], ids[i]))
+        mean_top = {}
+        for i, lst in neigh.items():
+            lst.sort(key=lambda t: (-t[0], t[1]))
+            if len(lst) >= 4:
+                mean_top[i] = sum(c for c, _ in lst[:4]) / 4.0
+        want = {}
+        for (i, j), c in cand.items():
+            if i in mean_top and j in mean_top:
+                m = c / ((mean_top[i] + mean_top[j]) / 2.0)
+                if m >= 1.1:
+                    want[(ids[i], ids[j])] = (round(c, 4), round(m, 4))
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k][0] == pytest.approx(want[k][0], abs=1e-9)
+            assert got[k][1] == pytest.approx(want[k][1], abs=1e-9)
+
+
+class TestPpsSystematicSample:
+    def test_total_hits_equals_n_picks_and_probability_proportional(self, spark):
+        # heavy docs first (a contiguous 10000-token block): with pins
+        # every 545 tokens, the block must catch ~18 of the 20 pins.
+        # (Interleaving heavy/light periodically would alias against
+        # the stride — the documented systematic-sampling caveat.)
+        df = spark.createDataFrame(
+            [(i, 1000 if i < 10 else 10) for i in range(100)],
+            ["doc_id", "w"],
+        )
+        out = PK.pps_systematic_sample(df, tokens_col="w", n_picks=20)
+        rows = out.collect()
+        assert sum(r["n_hits"] for r in rows) == 20
+        heavy = [r for r in rows if r["n_tokens"] == 1000]
+        assert sum(r["n_hits"] for r in heavy) >= 18
+        assert all(r["n_hits"] >= 1 for r in rows)
+
+    def test_deterministic_and_multiplicity(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, 95)], ["doc_id", "w"]
+        )
+        out = sorted(
+            PK.pps_systematic_sample(df, tokens_col="w", n_picks=10).collect()
+        )
+        out2 = sorted(
+            PK.pps_systematic_sample(df, tokens_col="w", n_picks=10).collect()
+        )
+        assert out == out2
+        hits = {r["doc_id"]: r["n_hits"] for r in out}
+        # doc 2 holds 95% of the line -> 9 or 10 of the 10 pins
+        assert hits[2] >= 9
+        assert sum(hits.values()) == 10
+
+    def test_null_and_zero_weights_drop_out(self, spark):
+        df = spark.createDataFrame(
+            [(1, 50), (2, None), (3, 0), (4, 50)],
+            "doc_id bigint, w bigint",
+        )
+        rows = PK.pps_systematic_sample(df, tokens_col="w", n_picks=4).collect()
+        picked = {r["doc_id"] for r in rows}
+        assert picked == {1, 4}
+        assert sum(r["n_hits"] for r in rows) == 4
+
+
+class TestKmvSketch:
+    def test_distinct_estimate_within_theory_bound(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        est = {
+            r["group"]: r["est_distinct"]
+            for r in KV.kmv_distinct_by_group(docs, k=64).collect()
+        }
+        exact = {
+            r["grp"]: r["n"]
+            for r in OV._group_shingles(docs, "source", "text", 3)
+            .groupBy("grp")
+            .agg(F.countDistinct("shingle").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for g, e in est.items():
+            # SE ~ 1/sqrt(k-2) ~ 12.7%; 4 sigma with a floor for tiny sets
+            if exact[g] < 64:
+                assert e == exact[g]  # exact mode
+            else:
+                assert abs(e - exact[g]) / exact[g] < 0.5, (g, e, exact[g])
+
+    def test_overlap_estimates_track_exact_overlap(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        est = {
+            (r["group_a"], r["group_b"]): r
+            for r in KV.kmv_overlap_pairs(docs, k=64).collect()
+        }
+        exact = {
+            (r["group_a"], r["group_b"]): r
+            for r in OV.group_shingle_overlap(docs).collect()
+        }
+        # mean absolute jaccard error over pairs that exist in both
+        common = set(est) & set(exact)
+        assert common
+        errs = [
+            abs(est[p]["est_jaccard"] - exact[p]["jaccard"]) for p in common
+        ]
+        assert sum(errs) / len(errs) < 0.15
+        for p in common:
+            union = exact[p]["n_a"] + exact[p]["n_b"] - exact[p]["n_shared"]
+            if union >= 64:
+                assert abs(est[p]["est_union"] - union) / union < 0.6, (
+                    p, est[p]["est_union"], union,
+                )
+
+    def test_union_sketch_exact_mode_for_tiny_sets(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e", "s1"),
+                (2, "c d e f g", "s2"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        (row,) = KV.kmv_overlap_pairs(df, k=64).collect()
+        # 3 shingles each, sharing exactly one ("c d e"): union 5,
+        # intersection 1 — below k the sketch IS the set, so exact
+        assert row["est_union"] == 5.0
+        assert row["est_intersection"] == pytest.approx(1.0)
+        assert row["est_jaccard"] == pytest.approx(0.2)
+
+
+class TestCcnetBuckets:
+    def test_buckets_partition_each_lang_into_thirds(self, spark, sf_dir):
+        out = QUERIES["ccnet_bucket_documents"](spark, sf_dir)
+        counts = {
+            (r["lang"], r["bucket"]): r["n"]
+            for r in out.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        langs = {l for l, _ in counts}
+        for lang in langs:
+            sizes = [counts.get((lang, b), 0) for b in ("head", "middle", "tail")]
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+    def test_head_has_higher_typicality_than_tail(self, spark, sf_dir):
+        out = QUERIES["ccnet_bucket_documents"](spark, sf_dir)
+        agg = {
+            (r["lang"], r["bucket"]): r["m"]
+            for r in out.groupBy("lang", "bucket")
+            .agg(F.min("typicality").alias("m"))
+            .collect()
+        }
+        for (lang, bucket), m in agg.items():
+            if bucket == "head":
+                assert m >= agg[(lang, "tail")]
