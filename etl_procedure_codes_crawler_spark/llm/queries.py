@@ -6058,6 +6058,51 @@ def kmv_source_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KV.kmv_overlap_pairs(documents, k=64)
 
 
+@register("quality_tier_classifier_gd")  # rows-only (libm exp in softmax)
+def quality_tier_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative in-engine training: a 3-class softmax classifier fit
+    by 30 distributed full-batch gradient steps (llm/classifier.py),
+    distilling the corpus quality-margin TERCILES (low/mid/high tier)
+    into the four cheap quality features — the multiclass sibling of
+    quality_model_distilled's closed-form ridge, exercising the
+    capability ridge cannot (no closed form for softmax). The target
+    is linearly separable by construction (terciles of a linear score
+    are two parallel hyperplanes), so convergence is verifiable:
+    tests/test_classifier.py pins weights against an independent numpy
+    replica and requires >= 95% tier agreement here. Returns
+    (doc_id, tier, pred_tier, agree). The global ntile(3) label window
+    is gate-scale; at corpus scale the label comes from the two-phase
+    binned rank (budget_select's shape)."""
+    from . import classifier as CL
+    from . import quality as Q
+
+    documents = load(spark, sf_dir, "documents")
+    feats = Q.quality_features("text")
+    margin = Q.linear_margin()
+    base = (
+        documents.filter(T.token_count("text") >= 1)
+        .select(
+            "doc_id",
+            *[c.alias(name) for name, c in feats.items()],
+            margin.alias("_margin"),
+        )
+    )
+    w = SparkWindow.orderBy(F.asc("_margin"), F.asc("doc_id"))
+    labeled = base.withColumn(
+        "tier", (F.ntile(3).over(w) - 1).cast("int")
+    ).localCheckpoint(eager=True)
+    feature_cols = list(feats)
+    model = CL.softmax_train(labeled, feature_cols, "tier", n_classes=3)
+    return CL.softmax_predict(
+        labeled, model, feature_cols, pred_col="pred_tier"
+    ).select(
+        "doc_id",
+        "tier",
+        "pred_tier",
+        (F.col("tier") == F.col("pred_tier")).alias("agree"),
+    )
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
@@ -6103,4 +6148,7 @@ ROWS_ONLY = {
     # round-9: DoReMi excess-loss reweighting — ln() is libm;
     # python-replica-pinned instead
     "doremi_domain_weights",
+    # round-9 session 2: softmax training/inference runs libm exp();
+    # weights numpy-replica-pinned + agreement floor instead
+    "quality_tier_classifier_gd",
 }
