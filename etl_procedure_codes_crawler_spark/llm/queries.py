@@ -6058,6 +6058,16 @@ def kmv_source_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KV.kmv_overlap_pairs(documents, k=64)
 
 
+@register("embedding_margin_pairs_ann")  # rows-only (approximate by design)
+def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding_margin_pairs: identical margin scoring
+    over the IVF k-NN graph (llm/similarity.py — threshold-LSH is the
+    wrong candidate source at low floors; see margin_pairs_ann).
+    Recall vs the exact twin floored in tests/test_r9s2_families.py."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    return S.margin_pairs_ann(embeddings, floor=0.30, k=4, margin_threshold=1.1)
+
+
 @register("quality_tier_classifier_gd")  # rows-only (libm exp in softmax)
 def quality_tier_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative in-engine training: a 3-class softmax classifier fit
@@ -6151,4 +6161,7 @@ ROWS_ONLY = {
     # round-9 session 2: softmax training/inference runs libm exp();
     # weights numpy-replica-pinned + agreement floor instead
     "quality_tier_classifier_gd",
+    # round-9 session 2: IVF k-NN candidate graph (trained centroids,
+    # recall < 1 by design); recall floored vs the oracled exact twin
+    "embedding_margin_pairs_ann",
 }

@@ -169,6 +169,16 @@ def margin_pairs_bruteforce(
     in rank order everywhere.
     """
     pairs = _pairs_above(df, floor, vec_col, id_col)
+    return margin_score_pairs(pairs, k=k, margin_threshold=margin_threshold)
+
+
+def margin_score_pairs(
+    pairs: DataFrame, k: int = 4, margin_threshold: float = 1.1
+) -> DataFrame:
+    """Margin scoring over any (vec_a, vec_b, cosine) candidate
+    relation — the part of the miner that is candidate-source-agnostic
+    (brute force here, LSH/IVF at scale). ``cosine`` must be
+    full-precision; output rounds for display."""
     directed = pairs.select(
         F.col("vec_a").alias("id"), F.col("vec_b").alias("nb"), "cosine"
     ).unionAll(
@@ -285,6 +295,67 @@ def similar_pairs_lsh(
         .agg(F.max("cosine").alias("cosine"))
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def margin_pairs_ann(
+    df: DataFrame,
+    floor: float = 0.30,
+    k: int = 4,
+    margin_threshold: float = 1.1,
+    knn: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """The scale path for :func:`margin_pairs_bruteforce`: identical
+    margin scoring over an IVF k-NN GRAPH instead of the O(n²) scan —
+    the production shape (Artetxe & Schwenk mine margins over FAISS
+    neighborhoods, not exact search). Threshold-LSH is the wrong
+    candidate source here: at a low candidate floor like 0.30 the
+    hyperplane collision probability per table is a few percent, and
+    the margin statistic COMPOUNDS misses (a lost candidate both drops
+    a pair and biases both endpoints' neighborhood means), measured
+    <20% pair recall — while the k-NN graph recovers each vector's
+    strongest ``knn`` neighbors at the IVF recall floor regardless of
+    how weak "strong" is. Candidate edges are top-``knn`` IVF
+    neighbors at cosine >= floor, symmetrized; unrounded cosines are
+    re-derived pair-wise (the fold must not consume display-rounded
+    values); scoring is :func:`margin_score_pairs`, shared with the
+    exact twin. Recall floored against the exact variant in
+    tests/test_r9s2_families.py."""
+    edges = (
+        cosine_topk_ivf(
+            df, df, k=knn, vec_col=vec_col, id_col=id_col,
+            num_centroids=num_centroids, nprobe=nprobe, seed=seed,
+        )
+        .filter(F.col("cosine") >= floor)
+        .select(
+            F.least("query_id", "neighbor_id").alias("vec_a"),
+            F.greatest("query_id", "neighbor_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    v = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    a = v.select(F.col("id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("_norm").alias("na"))
+    b = v.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("_norm").alias("nb"))
+    raw = (
+        edges.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return margin_score_pairs(raw, k=k, margin_threshold=margin_threshold)
 
 
 def _train_vectors(

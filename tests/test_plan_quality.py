@@ -65,6 +65,7 @@ SKIP = {
     "ann_cosine_topk_pq",  # plan depends on trained codebook
     "ann_cosine_topk_ivfpq",  # plan depends on trained cells + codebook
     "quality_tier_classifier_gd",  # iterative GD loop; plan = learned weights
+    "embedding_margin_pairs_ann",  # plan depends on trained IVF centroids
 }
 
 

@@ -136,6 +136,25 @@ class TestMarginPairs:
             assert got[k][0] == pytest.approx(want[k][0], abs=1e-9)
             assert got[k][1] == pytest.approx(want[k][1], abs=1e-9)
 
+    def test_ann_variant_recall_floor(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.margin_pairs_bruteforce(
+                emb, floor=0.30, k=4, margin_threshold=1.1
+            ).collect()
+        }
+        approx = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.margin_pairs_ann(
+                emb, floor=0.30, k=4, margin_threshold=1.1
+            ).collect()
+        }
+        assert approx  # non-degenerate at this SF
+        if exact:
+            recall = len(exact & approx) / len(exact)
+            assert recall >= 0.6, (recall, len(exact), len(approx))
+
 
 class TestPpsSystematicSample:
     def test_total_hits_equals_n_picks_and_probability_proportional(self, spark):
