@@ -113,6 +113,135 @@ def kmv_distinct_by_group(
     )
 
 
+# ---------------------------------------------------------------------------
+# persisted KMV sketch store: incremental distinct counting
+# ---------------------------------------------------------------------------
+#
+# The store keeps each group's k smallest hashes as plain parquet rows
+# (grp, h) — k·8 bytes per group. A new ingest batch appends ITS
+# k-minima as a new segment; the read path merges segments with
+# distinct + per-group bottom-k, which is EXACT: the k minima of a
+# union are always among the operands' k minima, and min-k over a hash
+# SET is idempotent, commutative, and associative. Three properties
+# fall out for free, each pinned in tests/test_r9s2_families.py:
+#
+# - incremental == batch: a store built on part of the corpus and
+#   appended with the rest estimates BIT-IDENTICALLY to one sketch of
+#   the whole corpus (so the lifecycle query is hash-ORACLED against
+#   the whole-corpus DuckDB sketch — rare for a store lifecycle);
+# - replay-safe with NO bookkeeping: re-appending a crashed batch
+#   re-offers hashes that distinct collapses — unlike the passage-
+#   frequency store (counts inflate; needs batch keys) or the bloom
+#   store (bits are lossy), sketch replay cannot corrupt anything;
+# - compaction == no-op semantically: rewriting all segments as the
+#   merged bottom-k changes no estimate, only file counts.
+
+import json as _json
+
+
+def _kmv_meta_path(path: str) -> str:
+    return path.rstrip("/") + "/meta"
+
+
+def _kmv_minima_path(path: str) -> str:
+    return path.rstrip("/") + "/minima"
+
+
+def _kmv_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [StructField("grp", StringType()), StructField("h", LongType())]
+    )
+
+
+def create_kmv_store(
+    spark: SparkSession, path: str, k: int = 64, shingle_k: int = 3
+) -> dict:
+    """Initialize an empty store; k and shingle_k ride in meta so a
+    batch sketched with different parameters cannot silently merge
+    (bottom-64 of bottom-32 segments would under-estimate)."""
+    meta = {"k": int(k), "shingle_k": int(shingle_k), "version": 1}
+    spark.createDataFrame([(_json.dumps(meta),)], "meta string").repartition(
+        1
+    ).write.mode("overwrite").parquet(_kmv_meta_path(path))
+    return meta
+
+
+def load_kmv_meta(spark: SparkSession, path: str) -> dict:
+    return _json.loads(
+        spark.read.parquet(_kmv_meta_path(path)).first()["meta"]
+    )
+
+
+def read_kmv_store(spark: SparkSession, path: str) -> DataFrame:
+    """Merged per-group bottom-k over every persisted segment —
+    the exact merge (distinct, then k smallest per group)."""
+    from ..sources.parquet import read_table_or_empty
+
+    meta = load_kmv_meta(spark, path)
+    rows = read_table_or_empty(spark, _kmv_minima_path(path), _kmv_schema())
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        rows.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(meta["k"]))
+    )
+
+
+def append_to_kmv_store(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Sketch the batch with the store's parameters and append its
+    per-group minima as a new segment. Idempotent under replay by
+    construction (see module notes) — no batch keys, no anti-join."""
+    meta = load_kmv_meta(spark, path)
+    minima = group_kmv_minima(
+        docs, group_col, text_col, int(meta["k"]), int(meta["shingle_k"])
+    )
+    minima.select("grp", "h").write.mode("append").parquet(
+        _kmv_minima_path(path)
+    )
+
+
+def compact_kmv_store(spark: SparkSession, path: str) -> None:
+    """Rewrite all segments as the merged bottom-k (one small file) —
+    semantically a no-op, physically a file-count reset. The merged
+    relation is materialized driver-side first (it is ≤ k rows per
+    group) so the overwrite never reads its own input."""
+    merged = read_kmv_store(spark, path).select("grp", "h")
+    rows = merged.collect()
+    spark.createDataFrame(rows, _kmv_schema()).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(_kmv_minima_path(path))
+
+
+def kmv_store_estimates(spark: SparkSession, path: str) -> DataFrame:
+    """(group, n_in_sketch, est_distinct) served off the persisted
+    minima — no corpus rescan, ever."""
+    meta = load_kmv_meta(spark, path)
+    k = int(meta["k"])
+    return (
+        read_kmv_store(spark, path)
+        .groupBy("grp")
+        .agg(
+            F.max("h").alias("_hk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        )
+        .select(
+            F.col("grp").alias("group"),
+            "n_in_sketch",
+            F.round(_estimate("_hk", "n_in_sketch", k), 4).alias(
+                "est_distinct"
+            ),
+        )
+    )
+
+
 def kmv_overlap_pairs(
     df: DataFrame,
     group_col: str = "source",

@@ -6058,6 +6058,49 @@ def kmv_source_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KV.kmv_overlap_pairs(documents, k=64)
 
 
+@register(
+    "kmv_store_incremental_estimate",
+    oracle=f"""
+    WITH {_KMV_SKETCH}
+    SELECT source AS "group",
+           CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / MAX(h) END, 4)
+               AS est_distinct
+    FROM minima GROUP BY source
+    """,
+)
+def kmv_store_incremental_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted-KMV-store lifecycle: create, ingest EVEN doc_ids,
+    ingest ODD doc_ids as a second batch, replay the second batch (a
+    simulated crash-recovery re-offer), compact, then serve estimates
+    off the stored minima. Hash-ORACLED against the one-shot DuckDB
+    sketch of the WHOLE corpus — bottom-k merge is exact, so
+    incremental == batch bit-for-bit and replay cannot corrupt the
+    sketch (llm/kmv.py module notes); a store lifecycle the driver can
+    hash is the strongest incremental-correctness pin this engine has
+    for sketches."""
+    import shutil
+    import tempfile
+
+    documents = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="kmvstore_")
+    try:
+        KV.create_kmv_store(spark, root, k=64, shingle_k=3)
+        even = documents.filter(F.col("doc_id") % 2 == 0)
+        odd = documents.filter(F.col("doc_id") % 2 == 1)
+        KV.append_to_kmv_store(spark, root, even)
+        KV.append_to_kmv_store(spark, root, odd)
+        KV.append_to_kmv_store(spark, root, odd)  # crash replay
+        KV.compact_kmv_store(spark, root)
+        out = KV.kmv_store_estimates(spark, root).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register("embedding_margin_pairs_ann")  # rows-only (approximate by design)
 def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding_margin_pairs: identical margin scoring

@@ -57,6 +57,7 @@ SKIP = {
     "bpe_bucketed_batches",  # trains + driver-collected bin edges
     "forget_documents_roundtrip",  # multi-artifact side-effecting lifecycle
     "dataset_versioning_roundtrip",  # fs-lifecycle plan (manifest commits)
+    "kmv_store_incremental_estimate",  # fs-lifecycle (store appends/compact)
     "streaming_hourly_event_counts",
     "streaming_sliding_value_averages",
     "streaming_session_windows",

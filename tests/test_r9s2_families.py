@@ -246,6 +246,41 @@ class TestKmvSketch:
                     p, est[p]["est_union"], union,
                 )
 
+    def test_store_incremental_equals_batch(self, spark, sf_dir, tmp_path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        root = str(tmp_path / "kmv")
+        KV.create_kmv_store(spark, root, k=64, shingle_k=3)
+        KV.append_to_kmv_store(spark, root, docs.filter(F.col("doc_id") % 2 == 0))
+        KV.append_to_kmv_store(spark, root, docs.filter(F.col("doc_id") % 2 == 1))
+        inc = sorted(map(tuple, KV.kmv_store_estimates(spark, root).collect()))
+        batch = sorted(map(tuple, KV.kmv_distinct_by_group(docs, k=64).collect()))
+        assert inc == batch
+
+    def test_store_replay_and_compaction_change_nothing(
+        self, spark, sf_dir, tmp_path
+    ):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        root = str(tmp_path / "kmv")
+        KV.create_kmv_store(spark, root, k=64, shingle_k=3)
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        KV.append_to_kmv_store(spark, root, half)
+        before = sorted(map(tuple, KV.kmv_store_estimates(spark, root).collect()))
+        KV.append_to_kmv_store(spark, root, half)  # crash replay
+        after_replay = sorted(
+            map(tuple, KV.kmv_store_estimates(spark, root).collect())
+        )
+        assert before == after_replay
+        KV.compact_kmv_store(spark, root)
+        after_compact = sorted(
+            map(tuple, KV.kmv_store_estimates(spark, root).collect())
+        )
+        assert before == after_compact
+        # compaction actually shrank the segment file count
+        import glob
+
+        files = glob.glob(f"{root}/minima/*.parquet")
+        assert len(files) == 1
+
     def test_union_sketch_exact_mode_for_tiny_sets(self, spark):
         df = spark.createDataFrame(
             [
