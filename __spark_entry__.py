@@ -59,7 +59,12 @@ _GATE_PRIORITY = [
     "streaming_hourly_event_counts",
     # TPC-H completions — never driver-sampled before r5
     "q2_min_cost_supplier",
-    "q21_last_to_ship_suppliers",
+    # round-9 session 2: the hash-ORACLED store lifecycle takes the
+    # long-green q21 slot (q21 stays oracled in registry + parity
+    # replica): one sampled row now proves create/ingest/replay/
+    # compact/serve of the persisted KMV sketch store equals the
+    # one-shot batch sketch bit-for-bit
+    "kmv_store_incremental_estimate",
     # round-9 lifecycle conversions take two long-green TPC-H slots
     # (q13/q18 stay oracled in registry + parity replica): the
     # takedown and time-travel roundtrips now emit deterministic
@@ -81,7 +86,11 @@ _GATE_PRIORITY = [
     "asof_last_view_before_purchase",
     "range_join_purchases_within_hour_of_signup",
     "funnel_signup_to_purchase",
-    "customer_spend_deciles",
+    # round-9 session 2: CCNet per-lang terciles take the deciles slot
+    # (deciles stays oracled in registry + parity replica) — the
+    # sampled row proves the same windowed-distribution machinery PLUS
+    # the bigram-typicality ordering and NTILE tie contract
+    "ccnet_bucket_documents",
     # round-9: the composed bloom-gate decision (no-false-negative +
     # exact-check-catches-FPs, now enforced by hash) takes the
     # date-spine slot
@@ -111,14 +120,22 @@ _GATE_PRIORITY = [
     "dedup_exact_documents",
     "dedup_incremental_documents",
     "streaming_incremental_dedup_documents",
-    "ngram_jaccard_pairs_dfcap",
+    # round-9 session 2: containment takes the jaccard-dfcap slot
+    # (jaccard stays oracled in registry + parity replica) — the
+    # containment row runs the IDENTICAL df-capped posting-list core
+    # plus both directed ratios, so the swap strictly widens coverage
+    "ngram_containment_pairs",
     "contamination_overlap",
     "pii_scan_documents",
     # ANN / embeddings (oracled members). semantic_dedup_exact runs
     # the embedding_similar_pairs computation internally and clusters
     # on top, so the swap strictly widens what the sampled slot proves;
     # embedding_similar_pairs itself stays oracled in the full registry
-    "ann_cosine_topk",
+    # round-9 session 2: margin mining takes the brute-topk slot
+    # (ann_cosine_topk stays oracled in registry + parity replica) —
+    # the margin row exercises the same pairwise cosine math PLUS the
+    # rank-ordered fold and neighborhood-mean contract
+    "embedding_margin_pairs",
     "semantic_dedup_exact",
     # multimodal (BMP/PNG stay oracled in the full registry; the
     # round-7 real-codec JPEG path takes the sampled slot)
@@ -133,7 +150,11 @@ _GATE_PRIORITY = [
     # best-fit packer (recursive-CTE replay oracle) take the v2/stats
     # slots
     "streaming_boilerplate_strip_ingest",
-    "tfidf_top_terms",
+    # round-9 session 2: the oracled KMV pair estimates take the tfidf
+    # slot (tfidf stays oracled in registry + parity replica) — the
+    # sampled row hashes a SKETCH's set-operation estimates, which no
+    # other sampled slot can (HLL rows are engine-specific)
+    "kmv_source_overlap_pairs",
     "sequence_packing_bestfit",
 ]
 

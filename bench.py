@@ -223,6 +223,20 @@ HEADLINE = [
     "doremi_domain_weights",
     # round-9: tokenizer fertility — train + encode + one integer agg
     "bpe_fertility_by_source",
+    # round-9 session 2: asymmetric containment (same df-capped
+    # posting-list core as the jaccard twin, both directed ratios)
+    "ngram_containment_pairs",
+    # round-9 session 2: pairwise KMV set-operation estimates — one
+    # distinct-hash shuffle, then metadata-sized sketch expansion
+    "kmv_source_overlap_pairs",
+    # round-9 session 2: the KMV store LIFECYCLE (create, two sketch
+    # ingests, a deliberate crash replay, compact, serve) — unlike the
+    # neardup-store rows this cost IS the operator (three bottom-k
+    # ingest passes), not scaffolding
+    "kmv_store_incremental_estimate",
+    # round-9 session 2: CCNet terciles — one bigram explode shared by
+    # corpus counts and per-doc aggs, then a per-lang window
+    "ccnet_bucket_documents",
 ]
 
 

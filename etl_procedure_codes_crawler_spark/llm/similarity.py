@@ -168,7 +168,12 @@ def margin_pairs_bruteforce(
     ``aggregate(array_sort(collect_list(struct(rank, cos))))`` folds
     in rank order everywhere.
     """
-    pairs = _pairs_above(df, floor, vec_col, id_col)
+    # checkpoint: the O(n²) candidate scan would otherwise re-execute
+    # once per scorer consumer (no exchange under the NLJ to reuse);
+    # surfaced pairs are floor-pruned and small
+    pairs = _pairs_above(df, floor, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
     return margin_score_pairs(pairs, k=k, margin_threshold=margin_threshold)
 
 
@@ -177,8 +182,15 @@ def margin_score_pairs(
 ) -> DataFrame:
     """Margin scoring over any (vec_a, vec_b, cosine) candidate
     relation — the part of the miner that is candidate-source-agnostic
-    (brute force here, LSH/IVF at scale). ``cosine`` must be
-    full-precision; output rounds for display."""
+    (brute force here, ANN at scale). ``cosine`` must be
+    full-precision; output rounds for display.
+
+    The candidate relation feeds THREE consumers (both directed legs
+    and the final pair join); whether to materialize it first depends
+    on the producer — the brute-force caller checkpoints (its NLJ scan
+    has no reusable exchange), the ANN caller does not (its candidate
+    join reuses the broadcast/exchange across consumers, and forcing a
+    checkpoint was measured SLOWER at sf0.1)."""
     directed = pairs.select(
         F.col("vec_a").alias("id"), F.col("vec_b").alias("nb"), "cosine"
     ).unionAll(

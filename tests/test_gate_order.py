@@ -67,14 +67,21 @@ def test_family_coverage_in_gate_sample(entry):
         "tpch": {"q1_pricing_summary", "q2_min_cost_supplier", "q21_last_to_ship_suppliers"},
         "temporal_join": {"asof_last_view_before_purchase", "range_join_purchases_within_hour_of_signup"},
         "funnel": {"funnel_signup_to_purchase"},
-        "distribution": {"customer_spend_deciles"},
+        # round-9 session 2: CCNet terciles hold the sampled
+        # windowed-distribution row (deciles stays in the registry)
+        "distribution": {"customer_spend_deciles", "ccnet_bucket_documents"},
         "extraction": {"extract_procedure_pages_fixture", "udtf_extract_modifiers_fixture"},
         "streaming": {"streaming_hourly_event_counts", "streaming_incremental_dedup_documents"},
         "text": {"token_count_bpe_documents", "lang_id_documents", "text_quality_documents"},
         "dedup": {"dedup_exact_documents", "dedup_incremental_documents"},
-        "jaccard": {"ngram_jaccard_pairs_dfcap"},
+        # round-9 session 2: containment runs the identical df-capped
+        # posting-list core plus both directed ratios
+        "jaccard": {"ngram_jaccard_pairs_dfcap", "ngram_containment_pairs"},
         "safety": {"contamination_overlap", "pii_scan_documents"},
-        "ann": {"ann_cosine_topk", "embedding_similar_pairs"},
+        # round-9 session 2: margin mining covers the pairwise cosine
+        # math plus the neighborhood-mean fold
+        "ann": {"ann_cosine_topk", "embedding_similar_pairs",
+                "embedding_margin_pairs"},
         # round-9 rotation: the MP4 box-walk family holds the sampled
         # multimodal rows (payload/PNG/JPEG stats stay in the registry)
         "multimodal": {"multimodal_mp4_stats", "multimodal_mp4_keyframe_manifest"},
