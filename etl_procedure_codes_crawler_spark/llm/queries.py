@@ -6101,6 +6101,77 @@ def kmv_store_incremental_estimate(
     return out
 
 
+@register(
+    "streaming_kmv_source_cardinality",
+    oracle=f"""
+    WITH {_KMV_SKETCH}
+    SELECT source AS "group",
+           CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / MAX(h) END, 4)
+               AS est_distinct
+    FROM minima GROUP BY source
+    """,
+)
+def streaming_kmv_source_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING twin of the KMV store lifecycle
+    (streaming/incremental.stream_ingest_with_kmv): the corpus arrives
+    through the ingest gate, each batch folds its per-source bottom-k
+    into the persisted sketch store inside the batch commit, and the
+    estimates are served off the store. Exact bottom-k merge means the
+    stored sketch equals the one-shot corpus sketch bit-for-bit, so
+    the streaming result shares the batch DuckDB oracle — and replay
+    safety needs NO bookkeeping (idempotent minima; multi-batch and
+    crash-replay interleavings pinned in
+    tests/test_streaming_incremental.py::TestKmvIngest). Staged source
+    files are process-shared scaffolding; the gate itself (store
+    create, stream round-trip, sketch + warehouse appends, serve) runs
+    every invocation."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_ingest_with_kmv
+
+    documents = load(spark, sf_dir, "documents")
+
+    def build(memo_root: str) -> None:
+        import glob as _glob
+
+        src = _os.path.join(memo_root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(memo_root, "staging")
+        documents.repartition(
+            max(spark.sparkContext.defaultParallelism, 4)
+        ).write.mode("overwrite").parquet(staging)
+        for i, part in enumerate(
+            _glob.glob(_os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(part, _os.path.join(src, f"b{i}.parquet"))
+
+    src = _os.path.join(
+        _memo_scaffold(f"docstage:{sf_dir}", build), "incoming"
+    )
+    root = tempfile.mkdtemp(prefix="kmv_gate_")
+    try:
+        store = _os.path.join(root, "store")
+        KV.create_kmv_store(spark, store, k=64, shingle_k=3)
+        q = stream_ingest_with_kmv(
+            spark,
+            src,
+            documents.schema,
+            _os.path.join(root, "wh"),
+            store,
+            _os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        return KV.kmv_store_estimates(spark, store).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("embedding_margin_pairs_ann")  # rows-only (approximate by design)
 def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding_margin_pairs: identical margin scoring

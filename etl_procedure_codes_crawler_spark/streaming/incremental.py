@@ -1221,3 +1221,80 @@ def compact_budget_stats(
     from ..sinks.parquet import compact_dataset
 
     return compact_dataset(spark, stats_path, target_file_mb)
+
+
+def stream_ingest_with_kmv(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Cardinality-tracking ingest: every admitted batch folds its
+    per-group KMV bottom-k into the persisted sketch store
+    (:mod:`..llm.kmv`) inside the batch commit, so per-source
+    distinct-content estimates are SERVED off k rows per group at any
+    moment of the stream's life — never by rescanning the warehouse.
+
+    This gate is deliberately the simplest of the family, because the
+    sketch erases the usual crash-replay machinery: bottom-k over a
+    hash set is idempotent under re-offer (llm/kmv.py module notes),
+    so unlike the budget gate (transactional stats artifact), the
+    passage gate (batch-keyed segments + read-side dedup), or the
+    media gate (id anti-join), a replayed KMV append needs NO
+    bookkeeping — the store converges to the same k minima in every
+    crash interleaving. The warehouse append keeps the standard
+    exactly-once anti-join; the store append keeps nothing.
+
+    Offered as one availableNow batch, the stored sketch equals the
+    one-shot corpus sketch BIT-FOR-BIT (exact merge), which is what
+    lets the streaming query share the batch DuckDB oracle. Across
+    many batches the estimates are exact-merge cumulative — unlike the
+    boilerplate gate there is no monotone approximation to document:
+    the sketch after batch N is exactly the sketch of batches 1..N.
+    """
+    from ..llm import kmv as KV
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.filter(F.col(id_col).isNotNull())
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # sketched + appended
+        )
+        from ..sinks.fsutil import hadoop_fs
+
+        fs, hpath = hadoop_fs(spark, warehouse_path)
+        if fs.exists(hpath(warehouse_path)):
+            existing_ids = spark.read.parquet(warehouse_path).select(id_col)
+            fresh = rows.join(
+                existing_ids, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            fresh = rows
+        if fresh.isEmpty():
+            return
+        # sketch BEFORE warehouse: a crash between the two re-offers
+        # the batch, the replayed sketch append is a semantic no-op
+        # (idempotent minima), and the warehouse anti-join drops the
+        # duplicate rows — both artifacts converge in every order.
+        KV.append_to_kmv_store(spark, store_path, fresh, group_col, text_col)
+        fresh.write.mode("append").option("compression", "snappy").parquet(
+            warehouse_path
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -58,6 +58,7 @@ SKIP = {
     "forget_documents_roundtrip",  # multi-artifact side-effecting lifecycle
     "dataset_versioning_roundtrip",  # fs-lifecycle plan (manifest commits)
     "kmv_store_incremental_estimate",  # fs-lifecycle (store appends/compact)
+    "streaming_kmv_source_cardinality",  # stream round-trip lifecycle
     "streaming_hourly_event_counts",
     "streaming_sliding_value_averages",
     "streaming_session_windows",

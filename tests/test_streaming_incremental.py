@@ -714,3 +714,112 @@ class TestBoilerplateIngest:
             )
             == before_freqs
         )
+
+
+class TestKmvIngest:
+    """Cardinality-tracking ingest gate (stream_ingest_with_kmv):
+    per-batch bottom-k folds into the persisted sketch store with ZERO
+    replay bookkeeping — idempotent minima make every crash
+    interleaving converge (llm/kmv.py module notes)."""
+
+    DOC_SCHEMA = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+
+    def _drop_docs(self, spark, source_dir, name, rows):
+        import glob
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        spark.createDataFrame(rows, self.DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(source_dir, f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _run(self, spark, dirs, store):
+        from etl_procedure_codes_crawler_spark.streaming.incremental import (
+            stream_ingest_with_kmv,
+        )
+
+        q = stream_ingest_with_kmv(
+            spark,
+            dirs["source"],
+            self.DOC_SCHEMA,
+            dirs["warehouse"],
+            store,
+            dirs["checkpoint"],
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    ROWS_A = [
+        (1, "alpha beta gamma delta epsilon zeta", "s1"),
+        (2, "eta theta iota kappa lambda mu", "s2"),
+    ]
+    ROWS_B = [
+        (3, "nu xi omicron pi rho sigma", "s1"),
+        (4, "tau upsilon phi chi psi omega", "s2"),
+    ]
+
+    def test_multi_batch_equals_one_shot_sketch(self, spark, dirs, tmp_path):
+        from etl_procedure_codes_crawler_spark.llm import kmv as KV
+
+        store = str(tmp_path / "kmv")
+        KV.create_kmv_store(spark, store, k=64, shingle_k=3)
+        self._drop_docs(spark, dirs["source"], "b1", self.ROWS_A)
+        self._run(spark, dirs, store)
+        self._drop_docs(spark, dirs["source"], "b2", self.ROWS_B)
+        self._run(spark, dirs, store)
+        got = sorted(
+            map(tuple, KV.kmv_store_estimates(spark, store).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                KV.kmv_distinct_by_group(
+                    spark.createDataFrame(
+                        self.ROWS_A + self.ROWS_B, self.DOC_SCHEMA
+                    ),
+                    k=64,
+                ).collect(),
+            )
+        )
+        assert got == want
+        # warehouse holds every doc exactly once
+        ids = sorted(
+            r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()
+        )
+        assert ids == [1, 2, 3, 4]
+
+    def test_lost_checkpoint_replay_corrupts_nothing(
+        self, spark, dirs, tmp_path
+    ):
+        import shutil
+
+        from etl_procedure_codes_crawler_spark.llm import kmv as KV
+
+        store = str(tmp_path / "kmv")
+        KV.create_kmv_store(spark, store, k=64, shingle_k=3)
+        self._drop_docs(spark, dirs["source"], "b1", self.ROWS_A)
+        self._run(spark, dirs, store)
+        before = sorted(
+            map(tuple, KV.kmv_store_estimates(spark, store).collect())
+        )
+        # lose the checkpoint -> the whole source re-offers on restart
+        shutil.rmtree(dirs["checkpoint"], ignore_errors=True)
+        self._run(spark, dirs, store)
+        after = sorted(
+            map(tuple, KV.kmv_store_estimates(spark, store).collect())
+        )
+        assert before == after  # idempotent minima, no bookkeeping
+        ids = sorted(
+            r.doc_id for r in spark.read.parquet(dirs["warehouse"]).collect()
+        )
+        assert ids == [1, 2]  # warehouse anti-join kept exactly-once
