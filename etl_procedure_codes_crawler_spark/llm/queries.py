@@ -6172,6 +6172,71 @@ def streaming_kmv_source_cardinality(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bootstrap_oracle() -> str:
+    from .bootstrap import POISSON1_CUM
+
+    w_expr = " + ".join(
+        f"(CASE WHEN u > {t!r} THEN 1 ELSE 0 END)" for t in POISSON1_CUM
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n
+               FROM documents WHERE source IS NOT NULL),
+    rep AS (
+        SELECT d.*, b,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                        CAST(b AS VARCHAR)), 1, 15))
+                    AS BIGINT) / 1152921504606846976.0 AS u
+        FROM d, LATERAL unnest(generate_series(0, 31)) AS t(b)
+    ),
+    w AS (SELECT source, b, n, {w_expr} AS w FROM rep),
+    means AS (
+        SELECT source, b,
+               CAST(SUM(w * n) AS DOUBLE) / SUM(w) AS m
+        FROM w GROUP BY source, b
+        HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT source AS src, m,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, b) AS rk
+        FROM means
+    ),
+    base AS (
+        SELECT source, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_value
+        FROM d GROUP BY source
+    )
+    SELECT source AS "group", ROUND(mean_value, 4) AS mean_value,
+           ROUND(MAX(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo,
+           ROUND(MAX(CASE WHEN rk = 31 THEN m END), 4) AS ci_hi
+    FROM base JOIN ranked ON src = source
+    GROUP BY source, mean_value
+    """
+
+
+@register("bootstrap_ci_tokens_by_source", oracle=_bootstrap_oracle())
+def bootstrap_ci_tokens_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each source's mean
+    token count (llm/bootstrap.py — the Chamandy et al. 2012
+    map-reduce bootstrap): 32 resample multiplicities per row from
+    md5-derived uniforms through literal Poisson(1) CDF thresholds,
+    replicate means as single integer/integer IEEE divisions, ranks
+    2/31 as the ≈93.75% order-statistic interval. Fully hash-oracled —
+    a BOOTSTRAP the driver gate can hash, because no RNG and no libm
+    run at query time in either engine. Coverage behavior pinned in
+    tests/test_r9s2_families.py (interval brackets the mean; width
+    shrinks with group size)."""
+    documents = load(spark, sf_dir, "documents")
+    from . import bootstrap as BS
+
+    docs = documents.select(
+        "doc_id", "source", T.token_count("text").alias("_tc")
+    )
+    return BS.bootstrap_ci_by_group(
+        docs, group_col="source", value_col="_tc", n_replicates=32
+    )
+
+
 @register("embedding_margin_pairs_ann")  # rows-only (approximate by design)
 def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding_margin_pairs: identical margin scoring

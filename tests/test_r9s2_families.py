@@ -297,6 +297,65 @@ class TestKmvSketch:
         assert row["est_jaccard"] == pytest.approx(0.2)
 
 
+class TestPoissonBootstrap:
+    def test_interval_brackets_mean_and_tracks_spread(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import bootstrap as BS
+
+        # a tight group (constant values) and a dispersed one
+        rows = [(i, "tight", 50) for i in range(40)] + [
+            (100 + i, "wide", (i % 10) * 20) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "v"])
+        out = {
+            r["group"]: r
+            for r in BS.bootstrap_ci_by_group(
+                df, "source", "v", n_replicates=32
+            ).collect()
+        }
+        for g, r in out.items():
+            assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        # a constant group's bootstrap interval is degenerate at the mean
+        assert out["tight"]["ci_lo"] == out["tight"]["ci_hi"] == 50.0
+        # the dispersed group has genuine width
+        assert out["wide"]["ci_hi"] - out["wide"]["ci_lo"] > 1.0
+
+    def test_width_shrinks_with_group_size(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import bootstrap as BS
+
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        small = [(i, "small", int(rng.randint(10, 200))) for i in range(20)]
+        big = [
+            (1000 + i, "big", int(rng.randint(10, 200))) for i in range(500)
+        ]
+        df = spark.createDataFrame(small + big, ["doc_id", "source", "v"])
+        out = {
+            r["group"]: r["ci_hi"] - r["ci_lo"]
+            for r in BS.bootstrap_ci_by_group(
+                df, "source", "v", n_replicates=32
+            ).collect()
+        }
+        assert out["big"] < out["small"]
+
+    def test_weights_are_poisson1_like(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import bootstrap as BS
+        from pyspark.sql import functions as F
+
+        df = spark.range(4000).select(
+            F.col("id").cast("string").alias("k")
+        )
+        w = df.select(
+            BS.poisson1_weight(BS.u60(F.col("k"))).alias("w")
+        )
+        stats = w.agg(
+            F.avg("w").alias("mean"), F.variance("w").alias("var")
+        ).first()
+        # Poisson(1): mean = var = 1 (tolerances for n=4000)
+        assert abs(stats["mean"] - 1.0) < 0.08
+        assert abs(stats["var"] - 1.0) < 0.15
+
+
 class TestCcnetBuckets:
     def test_buckets_partition_each_lang_into_thirds(self, spark, sf_dir):
         out = QUERIES["ccnet_bucket_documents"](spark, sf_dir)
