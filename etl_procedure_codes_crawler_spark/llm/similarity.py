@@ -317,9 +317,10 @@ def margin_pairs_ann(
     knn: int = 32,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     nprobe: int = 6,
     seed: int = 42,
+    cell_target: int = 256,
 ) -> DataFrame:
     """The scale path for :func:`margin_pairs_bruteforce`: identical
     margin scoring over an IVF k-NN GRAPH instead of the O(n²) scan —
@@ -336,7 +337,18 @@ def margin_pairs_ann(
     re-derived pair-wise (the fold must not consume display-rounded
     values); scoring is :func:`margin_score_pairs`, shared with the
     exact twin. Recall floored against the exact variant in
-    tests/test_r9s2_families.py."""
+    tests/test_r9s2_families.py.
+
+    Cell count TRACKS the corpus unless pinned: with every vector a
+    query, fixed cells make the candidate join quadratic (each query
+    scans nprobe/ncells of the corpus — measured 31.9x wall for 4x
+    vectors at 16 cells on the 10x sweep). ncells = n/cell_target
+    keeps ~cell_target·nprobe candidates per query, so total candidate
+    volume grows LINEARLY in n — the FAISS sizing rule applied to the
+    kNN-graph case. The one extra count() job prices that decision."""
+    if num_centroids is None:
+        n = df.count()
+        num_centroids = max(16, min(4096, n // int(cell_target)))
     edges = (
         cosine_topk_ivf(
             df, df, k=knn, vec_col=vec_col, id_col=id_col,
@@ -366,6 +378,11 @@ def margin_pairs_ann(
                 "cosine"
             ),
         )
+        # checkpoint: the IVF candidate join + top-knn window would
+        # otherwise re-execute once per scorer consumer — negligible at
+        # sf0.1 (broadcast reuse hides it) but 3x the dominant stage on
+        # the 10x corpus; the floor-pruned edge relation itself is tiny
+        .localCheckpoint(eager=True)
     )
     return margin_score_pairs(raw, k=k, margin_threshold=margin_threshold)
 
