@@ -25,17 +25,26 @@ results are small aggregates so collection cost is negligible).
 A warmup run of the first query is excluded so JVM/codegen startup
 doesn't pollute per-query numbers.
 
-INTERFERENCE FIREBREAK (round 9): before each query's timed passes the
-harness clears the SQL cache, forces a JVM + Python GC, and settles
-briefly ($SPARK_GRAFT_BENCH_SETTLE sec, default 0.3, untimed), so a
+INTERFERENCE FIREBREAK (round 9): before each timed unit the harness
+clears the SQL cache, forces a JVM + Python GC twice with a drain gap
+(System.gc() triggers Spark's ContextCleaner, whose async file
+deletion must not land in the next timed window), and settles
+($SPARK_GRAFT_BENCH_SETTLE sec total, default 0.3, untimed), so a
 query is not billed for the GC debt / leaked cache of whichever
 lifecycle query ran before it (round 8's driver run recorded 2-3x
 phantom tails this way — dsir_importance_topk 9.06 s in-suite vs
 3.1 s isolated — which box_factor, a HOST-speed yardstick, cannot
-normalize). After the suite, the single most expensive query is rerun
-under the same isolation conditions and both numbers land in
-"isolation_recheck" {query, in_suite, isolated, ratio}: a ratio near 1
-certifies the recorded per-query values as isolation-grade.
+normalize). Passes additionally run as FULL SWEEPS (A B ... A B), not
+back-to-back per query: positional process-state tails hit adjacent
+passes identically, so only sweep-separated sampling lets best-of-N
+escape them (round-9 session-2 measurement: the multimodal capstone's
+two adjacent passes both read ~26 s at one suite position while the
+same query cost 6.9 s at suite end). After the suite, the three most
+expensive in-suite queries are rerun under isolation conditions and
+land in "isolation_recheck" [{query, in_suite, isolated, ratio}...]:
+ratios near 1 certify the recorded values as isolation-grade; a high
+ratio flags that row's suite value, and the isolated number is the
+regression floor for it.
 
 SPARK_GRAFT_BENCH_RUNS (default 2) controls timed passes per query.
 With N>1 passes, "queries"/"value" carry the BEST pass per query —
@@ -310,17 +319,25 @@ def main() -> None:
         it corrects host speed, not intra-suite neighbor effects).
         Clearing the SQL cache, forcing a full JVM+Python collection,
         and settling briefly puts every query on the same start line
-        an isolation run would give it."""
+        an isolation run would give it.
+
+        GC runs TWICE with a drain gap: System.gc() is what triggers
+        Spark's ContextCleaner, whose asynchronous shuffle/broadcast
+        file deletion would otherwise land inside the NEXT query's
+        timed window — the first collection queues the cleanup, the
+        gap lets the cleaner thread drain it, the second collection
+        sweeps what the finalizers freed."""
         import gc
 
-        try:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — a yardstick, never a crash
-            pass
-        gc.collect()
-        if settle_s > 0:
-            time.sleep(settle_s)
+        for _ in range(2):
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — a yardstick, never a crash
+                pass
+            gc.collect()
+            if settle_s > 0:
+                time.sleep(settle_s / 2)
 
     def timed_pass(name: str) -> float | None:
         start = time.perf_counter()
@@ -336,9 +353,22 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
-        settle()
-        for pass_no in range(runs):
+    # Passes run as FULL SWEEPS (A B ... A B), not back-to-back per
+    # query: positional interference (whatever process state the
+    # preceding ~80 queries left — measured 3-4x tails on the heavy
+    # capstones that the GC firebreak does NOT clear, while the same
+    # query at suite end runs at isolation cost) hits both adjacent
+    # passes identically, so a per-query best-of-2 could not escape
+    # it. Sweep-separated passes sample two different process states;
+    # the min is then a genuine floor. Sweep 1 is still "cold"
+    # (per-plan compile + scaffold builds land there), identical to
+    # the old semantics.
+    failed: set[str] = set()
+    for pass_no in range(runs):
+        for name in names:
+            if name in failed:
+                continue
+            settle()
             elapsed = timed_pass(name)
             if elapsed is None:
                 # a query that failed on ANY pass must not also report
@@ -347,34 +377,38 @@ def main() -> None:
                 # comparison
                 cold.pop(name, None)
                 warm.pop(name, None)
-                break
+                failed.add(name)
+                continue
             if pass_no == 0:
                 cold[name] = elapsed
             # best pass = steady-state floor; == cold when runs=1
             warm[name] = min(warm.get(name, elapsed), elapsed)
 
-    # Self-check that the firebreak actually worked: rerun the single
-    # most expensive in-suite query under isolation conditions (fresh
-    # settle, best of `runs`) and record both numbers. A ratio well
-    # above 1 means the suite numbers still carry neighbor effects and
-    # should be re-measured before being read as regressions.
-    recheck: dict | None = None
+    # Self-check that the firebreak + sweep separation actually
+    # worked: rerun the THREE most expensive in-suite queries under
+    # isolation conditions (fresh settle, best of `runs`) and record
+    # both numbers for each. A ratio well above 1 flags that row's
+    # suite value as still carrying neighbor effects — the isolated
+    # number is the regression floor in that case.
+    recheck: list[dict] | None = None
     if warm:
-        worst = max(warm, key=warm.get)
-        settle()
-        iso = None
-        for _ in range(runs):
-            t = timed_pass(worst)
-            if t is None:
-                break
-            iso = t if iso is None else min(iso, t)
-        if iso is not None:
-            recheck = {
-                "query": worst,
-                "in_suite": warm[worst],
-                "isolated": iso,
-                "ratio": round(warm[worst] / iso, 3) if iso > 0 else None,
-            }
+        recheck = []
+        for worst in sorted(warm, key=warm.get, reverse=True)[:3]:
+            settle()
+            iso = None
+            for _ in range(runs):
+                t = timed_pass(worst)
+                if t is None:
+                    break
+                iso = t if iso is None else min(iso, t)
+            if iso is not None:
+                recheck.append({
+                    "query": worst,
+                    "in_suite": warm[worst],
+                    "isolated": iso,
+                    "ratio": round(warm[worst] / iso, 3) if iso > 0 else None,
+                })
+        recheck = recheck or None
 
     result = {
         "metric": "headline-suite wall time, local[%s]"
