@@ -246,6 +246,10 @@ HEADLINE = [
     # round-9 session 2: CCNet terciles — one bigram explode shared by
     # corpus counts and per-doc aggs, then a per-lang window
     "ccnet_bucket_documents",
+    # round-9 session 2: the unigram-LM tokenizer twin of the BPE
+    # fertility row — EM train (Arrow E-steps over the distinct-word
+    # table) + Viterbi encode + one integer aggregation
+    "unigram_fertility_by_source",
 ]
 
 

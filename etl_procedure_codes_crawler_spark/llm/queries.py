@@ -6247,6 +6247,64 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.margin_pairs_ann(embeddings, floor=0.30, k=4, margin_threshold=1.1)
 
 
+@register("unigram_train_pieces")  # rows-only (trained-model plan, libm log)
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND tokenizer family: a SentencePiece-style unigram LM
+    (Kudo 2018) trained by hard EM — seed every substring, segment the
+    distinct-word table by Viterbi under current scores (one Arrow
+    pass per E-step), renormalize, prune lowest-count multi-char
+    pieces, repeat to the target vocabulary (llm/unigram.py; BPE grows
+    bottom-up, this prunes top-down — pipelines benchmark both).
+    Returns (rank, piece, piece_len) ordered by final count then
+    piece. Rows-only: scores are libm logs; determinism, closure,
+    round-trip and the learns-the-repeated-piece case are pinned in
+    tests/test_unigram.py."""
+    from . import unigram as UG
+
+    documents = load(spark, sf_dir, "documents")
+    scores = UG.train_unigram(documents, vocab_size=192)
+    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    data = [
+        (i + 1, p, len(p)) for i, (p, _s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "rank int, piece string, piece_len int"
+    )
+
+
+@register("unigram_fertility_by_source")  # rows-only (trained-model plan)
+def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_fertility_by_source's unigram twin: train the unigram LM on
+    even doc_ids, Viterbi-encode everything, and report subword
+    tokens / whitespace words per source in exact micro-units — the
+    cross-tokenizer conversion table a mixture planner compares before
+    committing a corpus run (same integer aggregation as the BPE
+    report; only the segmenter differs)."""
+    from . import unigram as UG
+
+    documents = load(spark, sf_dir, "documents")
+    scores = UG.train_unigram(
+        documents.filter(F.col("doc_id") % 2 == 0), vocab_size=192
+    )
+    enc = UG.unigram_encode(documents, scores).select(
+        F.col("id").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_subwords"),
+    )
+    per_doc = documents.select(
+        "doc_id", "source", T.token_count("text").alias("n_words")
+    ).join(enc, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subwords").cast("bigint").alias("subword_tokens"),
+        F.sum("n_words").cast("bigint").alias("word_tokens"),
+        F.floor(
+            F.sum("n_subwords").cast("double")
+            * F.lit(1000000.0)
+            / F.sum("n_words").cast("double")
+        ).cast("bigint").alias("fertility_micro"),
+    )
+
+
 @register("quality_tier_classifier_gd")  # rows-only (libm exp in softmax)
 def quality_tier_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative in-engine training: a 3-class softmax classifier fit
@@ -6340,6 +6398,10 @@ ROWS_ONLY = {
     # round-9 session 2: softmax training/inference runs libm exp();
     # weights numpy-replica-pinned + agreement floor instead
     "quality_tier_classifier_gd",
+    # round-9 session 2: unigram-LM tokenizer — trained-model plans
+    # (libm log scores); determinism/closure/round-trip pinned instead
+    "unigram_train_pieces",
+    "unigram_fertility_by_source",
     # round-9 session 2: IVF k-NN candidate graph (trained centroids,
     # recall < 1 by design); recall floored vs the oracled exact twin
     "embedding_margin_pairs_ann",

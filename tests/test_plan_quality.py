@@ -68,6 +68,8 @@ SKIP = {
     "ann_cosine_topk_ivfpq",  # plan depends on trained cells + codebook
     "quality_tier_classifier_gd",  # iterative GD loop; plan = learned weights
     "embedding_margin_pairs_ann",  # plan depends on trained IVF centroids
+    "unigram_train_pieces",  # iterative EM loop; result is a trained table
+    "unigram_fertility_by_source",  # trains first — plan rides learned pieces
 }
 
 
