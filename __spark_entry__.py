@@ -42,17 +42,20 @@ _GATE_PRIORITY = [
     # 1/|cluster| weighting in one sampled row
     "soft_dedup_weights",
     "explode_token_counts",
-    # round-8 capstone takes the long-green intersect slot (stays
-    # oracled in registry + parity replica): v4 hash-proves the
-    # boilerplate strip, the rebuilt-text token counts, and the
-    # soft-dedup-weighted yield in one sampled row
-    "llm_corpus_prep_v4",
+    # round-8 capstone's intersect-slot position now carries v5 (see
+    # the session-2 comment below; v4 stays oracled in registry +
+    # parity replica — v5 strictly contains its axes)
     # round-9 rotation (the documented precedent: ceded slots stay
     # oracled in the full registry + the parity replica run in
     # pytest). The three-modality capstone takes llm_corpus_prep_v2's
     # slot — it hash-proves the v4 text funnel PLUS both perceptual
     # content-verify gates in one sampled row
     "llm_corpus_prep_multimodal",
+    # round-9 session 2: v5 takes v4's slot (v4 stays oracled in
+    # registry + parity replica; v5 CONTAINS v4's strip/weights/yield
+    # axes and adds containment fragments, the KMV diversity estimate,
+    # and the bootstrap CI — one sampled row, five families hashed)
+    "llm_corpus_prep_v5",
     "events_hourly_windows",
     "sessionize_user_events",
     "scalar_extract_functions",

@@ -250,6 +250,10 @@ HEADLINE = [
     # fertility row — EM train (Arrow E-steps over the distinct-word
     # table) + Viterbi encode + one integer aggregation
     "unigram_fertility_by_source",
+    # round-9 session-2 capstone: the v4 funnel + containment
+    # fragments + KMV diversity + bootstrap CI in ONE per-source
+    # report (one shared posting join feeds both pair consumers)
+    "llm_corpus_prep_v5",
 ]
 
 

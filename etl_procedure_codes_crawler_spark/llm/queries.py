@@ -6247,6 +6247,226 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.margin_pairs_ann(embeddings, floor=0.30, k=4, margin_threshold=1.1)
 
 
+def _v5_oracle() -> str:
+    from .bootstrap import POISSON1_CUM
+
+    w_expr = " + ".join(
+        f"(CASE WHEN u > {t!r} THEN 1 ELSE 0 END)" for t in POISSON1_CUM
+    )
+    return f"""
+    WITH RECURSIVE
+{_V4_FUNNEL_CTES},
+    -- containment fragments: >=0.5 of a doc's df-capped shingle set
+    -- inside another doc (reuses the funnel's shared/sizes relations)
+    frag AS (
+        SELECT DISTINCT f.doc_id
+        FROM (
+            SELECT doc_a AS doc_id
+            FROM shared JOIN sizes x ON x.doc_id = doc_a
+            WHERE CAST(c AS DOUBLE) / x.n >= 0.5
+            UNION ALL
+            SELECT doc_b AS doc_id
+            FROM shared JOIN sizes y ON y.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / y.n >= 0.5
+        ) f
+    ),
+    -- KMV distinct-shingle estimate per source (prefixed names: the
+    -- funnel already owns tok/sh)
+    ksh AS (
+        SELECT DISTINCT source,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM tok WHERE source IS NOT NULL
+    ),
+    khashed AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+        FROM ksh
+    ),
+    kminima AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM khashed
+        QUALIFY rk <= 64
+    ),
+    kest AS (
+        SELECT source,
+               ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / MAX(h) END, 4)
+                   AS est_distinct_shingles
+        FROM kminima GROUP BY source
+    ),
+    -- Poisson-bootstrap CI of mean raw tokens per source
+    btok AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n
+             FROM tok WHERE source IS NOT NULL),
+    brep AS (
+        SELECT btok.*, b,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                        CAST(b AS VARCHAR)), 1, 15))
+                    AS BIGINT) / 1152921504606846976.0 AS u
+        FROM btok, LATERAL unnest(generate_series(0, 31)) AS t2(b)
+    ),
+    bw AS (SELECT source, b, n, {w_expr} AS w FROM brep),
+    bmeans AS (
+        SELECT source, b, CAST(SUM(w * n) AS DOUBLE) / SUM(w) AS m
+        FROM bw GROUP BY source, b HAVING SUM(w) > 0
+    ),
+    branked AS (
+        SELECT source AS bsrc, m,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, b) AS rk
+        FROM bmeans
+    ),
+    bci AS (
+        SELECT bsrc AS source,
+               ROUND(MAX(CASE WHEN rk = 2 THEN m END), 4) AS tokens_ci_lo,
+               ROUND(MAX(CASE WHEN rk = 31 THEN m END), 4) AS tokens_ci_hi
+        FROM branked GROUP BY bsrc
+    ),
+    report AS (
+        SELECT p2.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(p2.n_tok_clean) AS BIGINT) AS tokens_clean,
+               CAST(SUM(CAST(FLOOR(p2.n_tok_clean * 1000000.0
+                                   / p2.cluster_size) AS BIGINT))
+                    AS BIGINT) AS eff_tokens_micro
+        FROM per_doc p2 GROUP BY p2.source
+    ),
+    fragcnt AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_fragment_docs
+        FROM documents d JOIN frag USING (doc_id)
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.tokens_clean, r.eff_tokens_micro,
+           COALESCE(f.n_fragment_docs, 0) AS n_fragment_docs,
+           k.est_distinct_shingles,
+           c.tokens_ci_lo, c.tokens_ci_hi
+    FROM report r
+      LEFT JOIN fragcnt f ON f.source = r.source
+      JOIN kest k ON k.source = r.source
+      JOIN bci c ON c.source = r.source
+    """
+
+
+@register("llm_corpus_prep_v5", oracle=_v5_oracle())
+def llm_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-2 capstone: the v4 yield funnel (boilerplate strip
+    + soft-dedup-weighted effective tokens) EXTENDED with the three
+    session-2 axes a planner reads next to yield — per source:
+
+    - ``n_fragment_docs``: docs >= 0.5-CONTAINED in another doc (the
+      asymmetric-duplication axis Jaccard clustering undercounts —
+      a source that mostly republishes fragments shows it here);
+    - ``est_distinct_shingles``: KMV bottom-k content-diversity
+      estimate (two sources with equal yield but 10x different
+      distinct content are not equal);
+    - ``tokens_ci_lo/hi``: the Poisson-bootstrap interval on mean doc
+      tokens (is this source's budget estimate statistically stable,
+      or driven by a handful of huge docs?).
+
+    Every axis is integer-exact or md5-deterministic, so the ENTIRE
+    five-family report hash-matches one DuckDB oracle — one sampled
+    gate row now proves boilerplate strip, cluster weighting,
+    containment, the KMV estimator, and the bootstrap in combination.
+    Corpus exchanges on top of v4's trio: one distinct-hash shuffle
+    (KMV) and the x32 narrow bootstrap explode; the fragment flags
+    reuse the funnel's posting-join relations."""
+    from . import bootstrap as BS
+    from . import cluster as CL
+
+    documents = load(spark, sf_dir, "documents")
+    cleaned = D.remove_boilerplate_passages(
+        documents, min_doc_freq=5, block=3
+    ).select(F.col("id").alias("doc_id"), "n_removed", "text_clean")
+    # ONE df-capped posting join feeds both pair consumers (the
+    # jaccard cluster edges AND the containment fragment flags) —
+    # checkpointed because the two consumers would otherwise each
+    # re-run the shingle explode + self-join
+    base_pairs = D._shared_shingle_counts(
+        documents, "text", "doc_id", 3, 50
+    ).localCheckpoint(eager=True)
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    pairs = base_pairs.filter(jac >= 0.05).select("doc_a", "doc_b")
+    weights = CL.soft_dedup_weights(
+        CL.duplicate_clusters(pairs, all_ids=documents)
+    )
+    n_tok_clean = F.when(
+        F.col("text_clean").isNull() | (F.col("text_clean") == ""), F.lit(0)
+    ).otherwise(F.size(T.tokens("text_clean"))).cast("bigint")
+    report = (
+        documents.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .join(weights, "doc_id")
+        .select(
+            "source",
+            n_tok_clean.alias("n_tok_clean"),
+            "cluster_size",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok_clean").cast("bigint").alias("tokens_clean"),
+            F.sum(
+                F.floor(
+                    F.col("n_tok_clean") * F.lit(1000000.0)
+                    / F.col("cluster_size").cast("double")
+                ).cast("bigint")
+            ).cast("bigint").alias("eff_tokens_micro"),
+        )
+    )
+    c_ab = F.col("shared").cast("double") / F.col("na")
+    c_ba = F.col("shared").cast("double") / F.col("nb")
+    frag_ids = (
+        base_pairs.filter(c_ab >= 0.5)
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionAll(
+            base_pairs.filter(c_ba >= 0.5)
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    fragcnt = (
+        documents.select("doc_id", "source")
+        .join(frag_ids, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fragment_docs"))
+    )
+    kest = KV.kmv_distinct_by_group(documents, k=64).select(
+        F.col("group").alias("source"),
+        F.col("est_distinct").alias("est_distinct_shingles"),
+    )
+    bci = BS.bootstrap_ci_by_group(
+        documents.select(
+            "doc_id", "source", T.token_count("text").alias("_tc")
+        ),
+        group_col="source",
+        value_col="_tc",
+        n_replicates=32,
+    ).select(
+        F.col("group").alias("source"),
+        F.col("ci_lo").alias("tokens_ci_lo"),
+        F.col("ci_hi").alias("tokens_ci_hi"),
+    )
+    return (
+        report.join(fragcnt, "source", "left")
+        .join(kest, "source")
+        .join(bci, "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens_clean",
+            "eff_tokens_micro",
+            F.coalesce("n_fragment_docs", F.lit(0)).alias("n_fragment_docs"),
+            "est_distinct_shingles",
+            "tokens_ci_lo",
+            "tokens_ci_hi",
+        )
+    )
+
+
 @register("unigram_train_pieces")  # rows-only (trained-model plan, libm log)
 def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SECOND tokenizer family: a SentencePiece-style unigram LM

@@ -95,6 +95,9 @@ def test_family_coverage_in_gate_sample(entry):
         # v3 hash-proves gopher rules + quality margin + intra-doc
         # block dedup + cluster quality survivors in one slot
         "round7_funnel": {"llm_corpus_prep_v3"},
+        # v5 contains v4's strip/weights/yield axes plus containment,
+        # KMV diversity, and the bootstrap CI
+        "round8_funnel": {"llm_corpus_prep_v4", "llm_corpus_prep_v5"},
         # round-8: components + 1/|cluster| soft-dedup weighting
         "soft_dedup": {"soft_dedup_weights"},
     }
