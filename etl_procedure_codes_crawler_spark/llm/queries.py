@@ -6247,6 +6247,67 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.margin_pairs_ann(embeddings, floor=0.30, k=4, margin_threshold=1.1)
 
 
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    scaled AS (SELECT source, n_tokens, sqrt(n_tokens) AS s
+               FROM per_source),
+    -- normalization via a FIXED-ORDER fold (source order): a plain
+    -- SUM over doubles has partition/engine-dependent addition order
+    z AS (
+        SELECT list_reduce(list(s ORDER BY source), (a, b) -> a + b) AS z
+        FROM scaled
+    )
+    SELECT source, n_tokens,
+           ROUND(s / z, 6) AS temp_weight,
+           CAST(FLOOR(s * 1000000.0 / z) AS BIGINT) AS budget_ppm
+    FROM scaled, z
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights at τ = 2 (Conneau &
+    Lample's multilingual recipe, XLM/XLM-R: p_s ∝ n_s^(1/τ) — flatten
+    the natural distribution toward low-resource sources without
+    going fully uniform). τ = 2 is the hash-oracle-able temperature:
+    x^(1/2) is IEEE-correctly-rounded sqrt (unlike pow/exp, which is
+    what keeps UniMax's general-τ twin rows-only), and the
+    normalization constant folds the 20 per-source sqrts in FIXED
+    source order — aggregate(array_sort(collect_list)) here,
+    list_reduce(list(... ORDER BY source)) in the oracle — so weight
+    and ppm budget hash-match cross-engine. The per-source relation is
+    metadata-sized; one corpus scan."""
+    documents = load(spark, sf_dir, "documents")
+    per_source = (
+        documents.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_tokens"))
+    )
+    scaled = per_source.withColumn("s", F.sqrt(F.col("n_tokens")))
+    z = scaled.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("z")
+    ).withColumn("_k", F.lit(1))
+    return (
+        scaled.withColumn("_k", F.lit(1))
+        .join(F.broadcast(z), "_k")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("s") / F.col("z"), 6).alias("temp_weight"),
+            F.floor(F.col("s") * F.lit(1000000.0) / F.col("z"))
+            .cast("bigint")
+            .alias("budget_ppm"),
+        )
+    )
+
+
 def _v5_oracle() -> str:
     from .bootstrap import POISSON1_CUM
 

@@ -381,3 +381,22 @@ class TestCcnetBuckets:
         for (lang, bucket), m in agg.items():
             if bucket == "head":
                 assert m >= agg[(lang, "tail")]
+
+
+class TestTemperatureMixture:
+    def test_weights_flatten_toward_small_sources(self, spark, sf_dir):
+        rows = QUERIES["temperature_mixture_weights"](spark, sf_dir).collect()
+        assert rows
+        total_tokens = sum(r["n_tokens"] for r in rows)
+        w_sum = sum(r["temp_weight"] for r in rows)
+        assert abs(w_sum - 1.0) < 1e-3
+        for r in rows:
+            natural = r["n_tokens"] / total_tokens
+            # tau=2 flattening: below-average sources gain weight,
+            # above-average sources lose it
+            if natural < 1 / len(rows):
+                assert r["temp_weight"] > natural
+            elif natural > 1 / len(rows):
+                assert r["temp_weight"] < natural
+        ppm = sum(r["budget_ppm"] for r in rows)
+        assert 1_000_000 - len(rows) <= ppm <= 1_000_000  # floor rounding
