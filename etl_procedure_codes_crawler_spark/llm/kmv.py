@@ -220,6 +220,30 @@ def compact_kmv_store(spark: SparkSession, path: str) -> None:
     ).parquet(_kmv_minima_path(path))
 
 
+def rebuild_kmv_store(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Re-sketch the store from an authoritative corpus snapshot —
+    the right-to-be-forgotten path: a bottom-k sketch cannot FORGET
+    (minima are aggregates; removing one document's contribution is
+    information-theoretically impossible from the sketch alone), so
+    deletion consistency for this artifact is re-derivation from the
+    post-deletion warehouse, same as the Bloom store's heal. One
+    sketch pass; the store's parameters are preserved from meta."""
+    meta = load_kmv_meta(spark, path)
+    minima = group_kmv_minima(
+        docs, group_col, text_col, int(meta["k"]), int(meta["shingle_k"])
+    )
+    rows = minima.select("grp", "h").collect()
+    spark.createDataFrame(rows, _kmv_schema()).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(_kmv_minima_path(path))
+
+
 def kmv_store_estimates(spark: SparkSession, path: str) -> DataFrame:
     """(group, n_in_sketch, est_distinct) served off the persisted
     minima — no corpus rescan, ever."""

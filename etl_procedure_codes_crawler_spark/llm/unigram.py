@@ -225,11 +225,14 @@ def unigram_encode(
     max_piece_len: int = 8,
 ) -> DataFrame:
     """(id, tokens) — Viterbi-tokenize the corpus with a trained
-    piece table. Same distinct-word economics as bpe_encode: the UDF
-    segments each word once per occurrence; for billion-token corpora
-    wrap with a distinct-word segment table exactly like the BPE
-    path (kept simple here — the encode UDF IS the trainer's E-step
-    segmenter, so segmentations match training bit-for-bit)."""
+    piece table. Same distinct-word economics as bpe_encode: the
+    lattice runs ONCE PER DISTINCT WORD (a corpus is billions of
+    occurrences of millions of words — segmenting per occurrence
+    would multiply the Python lattice work by the repetition factor),
+    and the occurrence relation joins the vocabulary-sized segment
+    table on the word string (AQE broadcasts it when it fits). The
+    segmenter is the trainer's own E-step Viterbi, so encode matches
+    training bit-for-bit."""
     sc = dict(scores)
 
     @pandas_udf("array<string>")
@@ -242,8 +245,13 @@ def unigram_encode(
         F.col(id_col).alias("id"),
         F.posexplode(bpe_pretokens(text_col)).alias("pos", "word"),
     ).where(F.length("word") > 0)
+    segment_table = (
+        words.select("word")
+        .distinct()
+        .select("word", seg(F.col("word")).alias("tokens"))
+    )
     grouped = (
-        words.select("id", "pos", seg(F.col("word")).alias("tokens"))
+        words.join(segment_table, "word")
         .groupBy("id")
         .agg(
             F.flatten(

@@ -400,3 +400,33 @@ class TestTemperatureMixture:
                 assert r["temp_weight"] < natural
         ppm = sum(r["budget_ppm"] for r in rows)
         assert 1_000_000 - len(rows) <= ppm <= 1_000_000  # floor rounding
+
+
+class TestKmvStoreForget:
+    def test_rebuild_is_the_deletion_path(self, spark, tmp_path):
+        rows = [
+            (1, "alpha beta gamma delta epsilon", "s1"),
+            (2, "zeta eta theta iota kappa", "s1"),
+            (3, "lambda mu nu xi omicron", "s2"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        root = str(tmp_path / "kmv")
+        KV.create_kmv_store(spark, root, k=64, shingle_k=3)
+        KV.append_to_kmv_store(spark, root, df)
+        # forget doc 2: rebuild from the post-deletion snapshot must
+        # equal a fresh sketch of the remaining corpus exactly
+        remaining = df.filter(F.col("doc_id") != 2)
+        KV.rebuild_kmv_store(spark, root, remaining)
+        got = sorted(map(tuple, KV.kmv_store_estimates(spark, root).collect()))
+        want = sorted(
+            map(tuple, KV.kmv_distinct_by_group(remaining, k=64).collect())
+        )
+        assert got == want
+        # and the forgotten doc's contribution is actually gone:
+        # s1's sketch shrank
+        before = {
+            r["group"]: r["n_in_sketch"]
+            for r in KV.kmv_distinct_by_group(df, k=64).collect()
+        }
+        after = dict((g, n) for g, n, _e in got)
+        assert after["s1"] < before["s1"]
