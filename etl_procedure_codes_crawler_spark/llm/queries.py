@@ -6248,6 +6248,53 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "blocklist_scan_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tri AS (
+        SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS p,
+               COUNT(*) AS c
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS s(i)
+        WHERE len(toks) >= 3
+        GROUP BY p
+    ),
+    top AS (SELECT p FROM tri ORDER BY c DESC, p LIMIT 8),
+    hits AS (
+        SELECT d.doc_id, top.p,
+               len([i for i in generate_series(
+                        1, len(d.text) - len(top.p) + 1)
+                    if substr(d.text, i, len(top.p)) = top.p]) AS n
+        FROM documents d, top
+    )
+    SELECT doc_id,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_phrases_hit
+    FROM hits GROUP BY doc_id
+    """,
+)
+def blocklist_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist scan via one Aho–Corasick automaton
+    pass per document (llm/blocklist.py) — the safety-filter stage a
+    10k-phrase banned list needs, where regex alternation and
+    per-pattern contains() both collapse. The phrase list here is the
+    corpus's own top-8 word trigrams (deterministic: count desc,
+    phrase asc — a self-contained stand-in for an external list), so
+    the whole query is hash-oracled: DuckDB replays the same phrases
+    POSITIONALLY (overlapping-match semantics, the automaton's native
+    contract). Counts include overlaps; NULL text scans as zero.
+    Plan: one metadata-sized phrase derivation, then a single
+    shuffle-free Arrow pass with the automaton in the UDF closure."""
+    from . import blocklist as BL
+
+    documents = load(spark, sf_dir, "documents")
+    phrases = BL.top_trigram_phrases(documents, n=8)
+    return BL.scan_blocklist(documents, phrases).select(
+        F.col("id").alias("doc_id"), "n_hits", "n_phrases_hit"
+    )
+
+
+@register(
     "temperature_mixture_weights",
     oracle=f"""
     WITH per_source AS (

@@ -430,3 +430,54 @@ class TestKmvStoreForget:
         }
         after = dict((g, n) for g, n, _e in got)
         assert after["s1"] < before["s1"]
+
+
+class TestBlocklist:
+    def test_automaton_counts_overlaps_and_classic_cases(self):
+        from etl_procedure_codes_crawler_spark.llm.blocklist import (
+            build_automaton,
+            scan_text,
+        )
+
+        a = build_automaton(["aa", "ab", "aab", "b"])
+        assert scan_text("aaab", a) == [2, 1, 1, 1]
+        a2 = build_automaton(["he", "she", "his", "hers"])
+        assert scan_text("ushers", a2) == [1, 1, 0, 1]
+        assert scan_text("aaaaa", build_automaton(["aaa"])) == [3]
+
+    def test_scan_matches_per_pattern_python_count(self, spark):
+        from etl_procedure_codes_crawler_spark.llm import blocklist as BL
+
+        texts = [
+            (1, "spam ham spam spam eggs"),
+            (2, "ham ham ham"),
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(texts, "doc_id bigint, text string")
+        phrases = ["spam", "ham ham", "eggs"]
+        got = {
+            r["id"]: (r["n_hits"], r["n_phrases_hit"])
+            for r in BL.scan_blocklist(df, phrases).collect()
+        }
+
+        def count_overlap(t, p):
+            return sum(
+                1 for i in range(len(t) - len(p) + 1) if t[i:i + len(p)] == p
+            )
+
+        for doc_id, text in texts:
+            t = text or ""
+            counts = [count_overlap(t, p) for p in phrases]
+            assert got[doc_id] == (
+                sum(counts),
+                sum(1 for c in counts if c > 0),
+            ), (doc_id, counts)
+        # "ham ham ham" contains "ham ham" twice (overlapping)
+        assert got[2] == (2, 1)
+
+    def test_phrase_list_is_deterministic(self, spark, sf_dir):
+        from etl_procedure_codes_crawler_spark.llm import blocklist as BL
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert BL.top_trigram_phrases(docs, 8) == BL.top_trigram_phrases(docs, 8)
