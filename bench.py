@@ -254,6 +254,9 @@ HEADLINE = [
     # fragments + KMV diversity + bootstrap CI in ONE per-source
     # report (one shared posting join feeds both pair consumers)
     "llm_corpus_prep_v5",
+    # round-9 session 2: Aho-Corasick blocklist scan — the
+    # shuffle-free single-pass Python-automaton Arrow shape
+    "blocklist_scan_documents",
 ]
 
 
