@@ -6248,6 +6248,93 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chi_square_source_drift",
+    oracle=f"""
+    WITH halves AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN len({_TOKS})
+                        ELSE 0 END) AS BIGINT) AS o_ref,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN len({_TOKS})
+                        ELSE 0 END) AS BIGINT) AS o_cur
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(o_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(o_cur) AS BIGINT) AS n_cur
+        FROM halves
+    )
+    SELECT source, o_ref, o_cur,
+           ROUND(
+               (o_ref - CAST(n_ref AS DOUBLE) * (o_ref + o_cur)
+                        / (n_ref + n_cur))
+               * (o_ref - CAST(n_ref AS DOUBLE) * (o_ref + o_cur)
+                          / (n_ref + n_cur))
+               / (CAST(n_ref AS DOUBLE) * (o_ref + o_cur)
+                  / (n_ref + n_cur))
+               +
+               (o_cur - CAST(n_cur AS DOUBLE) * (o_ref + o_cur)
+                        / (n_ref + n_cur))
+               * (o_cur - CAST(n_cur AS DOUBLE) * (o_ref + o_cur)
+                          / (n_ref + n_cur))
+               / (CAST(n_cur AS DOUBLE) * (o_ref + o_cur)
+                  / (n_ref + n_cur)),
+           6) AS chi2_contrib
+    FROM halves, tot
+    """,
+)
+def chi_square_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson two-sample χ² per source between the even-id half
+    (reference snapshot) and the odd-id half (current snapshot) of the
+    corpus token mass — the inferential companion to the exact-TV
+    drift report (token_drift_by_source measures the SIZE of the
+    shift; the χ² contribution measures how IMPROBABLE it is under
+    no-drift, which is what an alerting threshold wants). Each
+    contribution is (o−e)²/e summed over the two snapshots with
+    e = n_snapshot·rowtotal/N — integer observed counts, each expected
+    value one IEEE multiply-divide, each contribution a fixed-order
+    expression — so the statistic hash-matches the oracle with no
+    tolerance games. One corpus scan (conditional sums), metadata-
+    sized contingency math."""
+    documents = load(spark, sf_dir, "documents")
+    halves = (
+        documents.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") % 2 == 0, T.token_count("text"))
+                .otherwise(0)
+            ).cast("bigint").alias("o_ref"),
+            F.sum(
+                F.when(F.col("doc_id") % 2 == 1, T.token_count("text"))
+                .otherwise(0)
+            ).cast("bigint").alias("o_cur"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("o_ref").cast("bigint").alias("n_ref"),
+        F.sum("o_cur").cast("bigint").alias("n_cur"),
+    ).withColumn("_k", F.lit(1))
+    row_tot = F.col("o_ref") + F.col("o_cur")
+    n = F.col("n_ref") + F.col("n_cur")
+    e_ref = F.col("n_ref").cast("double") * row_tot / n
+    e_cur = F.col("n_cur").cast("double") * row_tot / n
+    chi2 = (F.col("o_ref") - e_ref) * (F.col("o_ref") - e_ref) / e_ref + (
+        F.col("o_cur") - e_cur
+    ) * (F.col("o_cur") - e_cur) / e_cur
+    return (
+        halves.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "source",
+            "o_ref",
+            "o_cur",
+            F.round(chi2, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+@register(
     "blocklist_scan_documents",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -42,6 +42,7 @@ NESTED_LOOP_EXEMPT = {
     "q11_important_part_value": "1-row grand-total threshold broadcast",
     "source_mixing_weights": "1-row corpus-total broadcast onto sources",
     "temperature_mixture_weights": "1-row normalization-constant broadcast",
+    "chi_square_source_drift": "1-row contingency-margins broadcast",
     # the two 1-row corpus-total aggregates (target + raw) attach to
     # the bucket spine as scalar cross joins — deliberate, documented
     # in PLANS.md; the spine itself stays a broadcast HASH join

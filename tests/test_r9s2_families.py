@@ -481,3 +481,51 @@ class TestBlocklist:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         assert BL.top_trigram_phrases(docs, 8) == BL.top_trigram_phrases(docs, 8)
+
+
+class TestChiSquareDrift:
+    def _run(self, spark, rows):
+        from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+        import tempfile, shutil, os
+
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        tmp = tempfile.mkdtemp()
+        try:
+            df.write.mode("overwrite").parquet(
+                os.path.join(tmp, "documents.parquet")
+            )
+            return {
+                r["source"]: r
+                for r in QUERIES["chi_square_source_drift"](
+                    spark, tmp
+                ).collect()
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_zero_when_all_sources_proportional(self, spark):
+        rows = [
+            (0, " ".join(["a"] * 10), "s1"),
+            (1, " ".join(["a"] * 10), "s1"),
+            (2, " ".join(["a"] * 20), "s2"),
+            (3, " ".join(["a"] * 20), "s2"),
+        ]
+        out = self._run(spark, rows)
+        for r in out.values():
+            assert r["chi2_contrib"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_shifted_source_dominates_the_statistic(self, spark):
+        rows = [
+            (0, " ".join(["a"] * 10), "s1"),
+            (1, " ".join(["a"] * 10), "s1"),
+            (2, " ".join(["a"] * 20), "s2"),
+            (3, " ".join(["a"] * 20), "s2"),
+            (4, " ".join(["a"] * 30), "s3"),  # even half only
+        ]
+        out = self._run(spark, rows)
+        assert all(r["chi2_contrib"] >= 0 for r in out.values())
+        # the genuinely shifted source carries the largest contribution
+        assert out["s3"]["chi2_contrib"] == max(
+            r["chi2_contrib"] for r in out.values()
+        )
+        assert out["s3"]["chi2_contrib"] > 1.0
