@@ -1317,6 +1317,41 @@ def parse_mp4(payload: bytes) -> dict:
                     out["tracks"].append(parse_trak(b2, e2))
     if out["brand"] is None or out["timescale"] is None:
         raise ValueError("not an ISO BMFF movie (missing ftyp/moov)")
+    # Sample-table / payload consistency (ISO 14496-12 §8.5-8.7): a
+    # container truncated exactly on the mdat box boundary walks
+    # cleanly (every surviving box is well-formed) yet leaves a moov
+    # whose sample table declares bytes the file no longer carries —
+    # keyframe-manifest offsets would then point past EOF. Require
+    # that declared sample bytes fit inside mdat, that keyframe
+    # numbers exist, and that every chunk offset (plus, for the
+    # single-chunk layout, its samples' bytes) lands inside the file.
+    declared_total = 0
+    for track in out["tracks"]:
+        declared = sum(track["sample_sizes"])
+        declared_total += declared
+        n = max(track["n_samples_stts"], len(track["sample_sizes"]))
+        for kf in track["keyframes"]:
+            if not 1 <= kf <= n:
+                raise ValueError(
+                    f"stss keyframe {kf} outside sample table (n={n})"
+                )
+        for o in track["chunk_offsets"]:
+            if o > len(data):
+                raise ValueError(
+                    f"chunk offset {o} beyond file end {len(data)}"
+                )
+        if len(track["chunk_offsets"]) == 1 and declared:
+            o = track["chunk_offsets"][0]
+            if o + declared > len(data):
+                raise ValueError(
+                    f"chunk at {o} declares {declared} sample bytes "
+                    f"but file ends at {len(data)}"
+                )
+    if declared_total > out["mdat_bytes"]:
+        raise ValueError(
+            f"sample tables declare {declared_total} bytes but mdat "
+            f"carries {out['mdat_bytes']}"
+        )
     return out
 
 
