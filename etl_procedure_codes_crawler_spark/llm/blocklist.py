@@ -36,7 +36,23 @@ from pyspark.sql.functions import pandas_udf
 def build_automaton(phrases: list[str]) -> dict:
     """Aho–Corasick automaton as plain dicts (picklable for the UDF
     closure): states are ints, ``goto[state][char] -> state``,
-    ``fail[state] -> state``, ``out[state] -> [phrase indices]``."""
+    ``fail[state] -> state``, ``out[state] -> [phrase indices]``.
+
+    Degenerate inputs are handled up front: duplicate phrases are
+    collapsed to their first occurrence (separate indices for the same
+    string would double-count ``n_phrases_hit``) and an empty-string
+    phrase is rejected (it has no trie path, so it would match only
+    when the scan re-enters the root mid-text — inconsistent
+    semantics)."""
+    seen: set[str] = set()
+    deduped: list[str] = []
+    for p in phrases:
+        if not p:
+            raise ValueError("empty blocklist phrase")
+        if p not in seen:
+            seen.add(p)
+            deduped.append(p)
+    phrases = deduped
     goto: list[dict[str, int]] = [{}]
     out: list[list[int]] = [[]]
     for idx, p in enumerate(phrases):

@@ -90,7 +90,11 @@ def bootstrap_ci_by_group(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("_id"),
         F.col(value_col).cast("bigint").alias("_n"),
-    ).where(F.col(group_col).isNotNull())
+    ).where(F.col(group_col).isNotNull() & F.col(id_col).isNotNull())
+    # the id filter pins the NULL contract cross-engine: Spark's
+    # concat_ws SKIPS a NULL argument (a NULL id would still draw a
+    # real uniform) while SQL '||' propagates NULL (weight 0) — so
+    # NULL ids are excluded on both sides instead
     rep = d.select(
         "grp",
         "_id",

@@ -29,7 +29,7 @@ the driver's DuckDB gate re-derives the same sketch and the same
 estimate bit-for-bit (integer minima; the only floats are IEEE-exact
 divisions of those integers). Accuracy (SE ≈ 1/√k per Beyer et al.)
 is additionally floored against the exact overlap relation in
-tests/test_kmv.py.
+tests/test_r9s2_families.py and tests/test_r9s2_property.py.
 
 Scale shape: the expensive stage is one distinct-(group, hash)
 shuffle — the same exchange the exact-overlap path pays, but carrying
@@ -41,7 +41,7 @@ k-row sketches, never corpus data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .overlap import _group_shingles

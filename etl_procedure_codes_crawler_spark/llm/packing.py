@@ -741,7 +741,23 @@ def pps_systematic_sample(
     NULL/zero-weight rows get zero pins and drop out of the output (a
     NULL weight contributes nothing to the line, matching the oracle's
     COALESCE-to-0 contract).
+
+    ``id_col`` must be numeric: the bin edges come from the column
+    cast to double while the within-bin window orders by the raw
+    column — for a string id the cast is NULL (every edge NULL, the
+    binning silently collapsing to the single global-window task this
+    function exists to avoid) and for numeric-string ids numeric bin
+    order would disagree with lexicographic window order, corrupting
+    the cumulative sums.
     """
+    from pyspark.sql.types import NumericType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"pps_systematic_sample requires a numeric id_col; "
+            f"{id_col!r} is {id_type.simpleString()}"
+        )
     spark = df.sparkSession
     w = df.select(
         F.col(id_col),

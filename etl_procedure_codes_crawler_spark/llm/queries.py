@@ -6053,7 +6053,7 @@ def kmv_source_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap ESTIMATES from merged KMV sketches —
     |A∪B|, Jaccard, and the |A∩B| HLL fundamentally cannot estimate
     (no intersection closure). Hash-oracled; accuracy floored against
-    source_overlap_exact in tests/test_kmv.py (llm/kmv.py)."""
+    source_overlap_exact in tests/test_r9s2_families.py (llm/kmv.py)."""
     documents = load(spark, sf_dir, "documents")
     return KV.kmv_overlap_pairs(documents, k=64)
 
@@ -6180,7 +6180,8 @@ def _bootstrap_oracle() -> str:
     )
     return f"""
     WITH d AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n
-               FROM documents WHERE source IS NOT NULL),
+               FROM documents
+               WHERE source IS NOT NULL AND doc_id IS NOT NULL),
     rep AS (
         SELECT d.*, b,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
