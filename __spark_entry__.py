@@ -103,9 +103,14 @@ _GATE_PRIORITY = [
     # §2.7 extraction goldens
     "extract_procedure_pages_fixture",
     "udtf_extract_modifiers_fixture",
-    # round-9: the MP4 keyframe manifest takes the distinct-event-types
-    # slot (streaming keeps four other sampled rows)
-    "multimodal_mp4_keyframe_manifest",
+    # round-9: the MP4 keyframe manifest took the distinct-event-types
+    # slot; round-10: real keyframe DECODE takes the manifest's slot
+    # (manifest stays oracled in registry + parity replica) — the
+    # decode row CONSUMES the manifest arithmetic (a wrong offset
+    # feeds garbage to the JPEG decoder and the hash breaks), so one
+    # sampled row now proves container parse + manifest seek + real
+    # codec decode end to end
+    "video_keyframe_decode_stats",
     # round-5 training-layout + PII-enforcement families
     "training_shuffle_manifest",
     "corpus_holdout_split",

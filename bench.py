@@ -257,6 +257,15 @@ HEADLINE = [
     # round-9 session 2: Aho-Corasick blocklist scan — the
     # shuffle-free single-pass Python-automaton Arrow shape
     "blocklist_scan_documents",
+    # round-10: real video keyframe decode, manifest-driven (MJPEG
+    # synth + container parse + per-keyframe JPEG decode in one Arrow
+    # pass) — isolated best-of-2 at sf0.1: 3.6 s
+    "video_keyframe_decode_stats",
+    # round-10: video near-dup end to end (decode+hash pass + twins +
+    # 4-band hamming join + per-clip score) — isolated 7.7 s; the
+    # synthesis (8 JPEG encodes/doc) dominates, the pair machinery is
+    # the shared star-capped band join
+    "video_keyframe_neardup_pairs",
 ]
 
 

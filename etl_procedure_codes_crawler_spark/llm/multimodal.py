@@ -1377,10 +1377,46 @@ def build_mp4(
     ``keyframe_every``-th sample, sample sizes the even split of the
     payload (see _mp4_sample_sizes). Pure stdlib struct packing —
     the geometry is what parse_mp4 + the oracles verify."""
-    import struct
-
     n_samples = max(1, len(text_bytes.decode("utf-8", "replace").split()))
     sizes = _mp4_sample_sizes(len(text_bytes), n_samples)
+    chunks, off = [], 0
+    for sz in sizes:
+        chunks.append(text_bytes[off : off + sz])
+        off += sz
+    return build_mp4_samples(
+        chunks,
+        timescale=timescale,
+        sample_dur=sample_dur,
+        keyframe_every=keyframe_every,
+        width=width,
+        height=height,
+    )
+
+
+def build_mp4_samples(
+    samples: list[bytes],
+    timescale: int = MP4_TIMESCALE,
+    sample_dur: int = MP4_SAMPLE_DUR,
+    keyframe_every: int = MP4_KEYFRAME_EVERY,
+    width: int = 320,
+    height: int = 240,
+    codec: bytes = b"mp4v",
+) -> bytes:
+    """The general form of :func:`build_mp4`: the caller supplies the
+    per-sample byte blobs (e.g. real JPEG frames for MJPEG-in-MP4 —
+    'jpeg' is the registered motion-JPEG VisualSampleEntry type), the
+    mdat is their concatenation and stsz carries their true lengths.
+    Same box grammar, one chunk, keyframe every
+    ``keyframe_every``-th sample."""
+    import struct
+
+    if not samples:
+        raise ValueError("build_mp4_samples needs at least one sample")
+    if len(codec) != 4:
+        raise ValueError(f"codec must be a 4CC, got {codec!r}")
+    n_samples = len(samples)
+    sizes = [len(s) for s in samples]
+    text_bytes = b"".join(samples)
     keyframes = list(range(1, n_samples + 1, keyframe_every))
     duration = n_samples * sample_dur
 
@@ -1448,7 +1484,7 @@ def build_mp4(
         stsd = full(
             b"stsd", 0, 0,
             struct.pack(">I", 1),
-            struct.pack(">I", len(entry) + 8) + b"mp4v" + entry,
+            struct.pack(">I", len(entry) + 8) + codec + entry,
         )
         stts = full(
             b"stts", 0, 0,

@@ -1,0 +1,338 @@
+"""MJPEG-in-MP4: the video modality closed end to end with real parts.
+
+Round 9 landed the CONTAINER half (ISO/IEC 14496-12 box walk —
+multimodal.parse_mp4) while codec decode stayed stubbed. This module
+closes the loop without any new codec: the corpus synthesizes
+motion-JPEG videos — real baseline JPEG frames (llm/jpeg.py, a full
+SOF0 decoder/encoder) carried as video samples inside a valid ISO
+BMFF container with a ``'jpeg'`` VisualSampleEntry — and the decode
+stage is DRIVEN BY THE SAMPLE TABLE: parse the container, take the
+keyframe manifest (sample number, byte offset, byte length — the
+exact rows multimodal.mp4_keyframe_manifest ships to a decode fleet),
+seek into the mdat, decode each keyframe with the real JPEG decoder,
+and perceptual-hash the pixels into the SAME hamming band-join
+machinery text SimHash and image dHash ride (dedup.hamming_band_pairs
+via multimodal.dhash64).
+
+The reference crawler (Johnatanogueira/etl-procedure-codes-crawler)
+has no video path; this implements the task brief's multimodal
+requirement. All formats are public: ISO/IEC 14496-12 (container),
+ITU-T T.81 baseline JPEG (frames), the pHash project's dHash
+(signatures).
+
+Scale shape: video bytes NEVER shuffle. Synthesis and
+decode+hash each run in one Arrow pass over the payload column; the
+only relations that cross an exchange are (media_id, sample_no,
+phash) integer rows and the band-join pair output. At 100 TB the
+decode stage reads each payload once, touches only keyframe byte
+ranges (the manifest's point), and ships hashes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .multimodal import (
+    MEDIA_SCHEMA,
+    MP4_KEYFRAME_EVERY,
+    _mp4_sample_sizes,
+    _PHASH_METHODS,
+    build_mp4_samples,
+    parse_mp4,
+)
+
+#: synthesis geometry shared with the SQL oracle: 16-px-wide grayscale
+#: frames, at most 8 frames per clip (token-count-capped), a keyframe
+#: every 5th frame (MP4_KEYFRAME_EVERY), every 50th doc truncated
+#: mid-container (the parse-error path, same schedule as
+#: documents_as_mp4) and every 37th doc's FIRST keyframe overwritten
+#: with same-length garbage (the decode-error path: container valid,
+#: sample undecodable)
+VIDEO_FRAME_WIDTH = 16
+VIDEO_MAX_FRAMES = 8
+VIDEO_CORRUPT_CONTAINER_EVERY = 50
+VIDEO_CORRUPT_SAMPLE_EVERY = 37
+
+
+def _frame_chunks(data: bytes, n_frames: int) -> list[bytes]:
+    """Even byte split of the payload into frame chunks — the same
+    closed form as the container sample table (_mp4_sample_sizes), so
+    the SQL oracle can reproduce every frame's byte length."""
+    sizes = _mp4_sample_sizes(len(data), n_frames)
+    chunks, off = [], 0
+    for sz in sizes:
+        chunks.append(data[off : off + sz])
+        off += sz
+    return chunks
+
+
+def encode_frame_jpeg(chunk: bytes, width: int = VIDEO_FRAME_WIDTH) -> bytes:
+    """One text chunk -> one real grayscale baseline JPEG frame:
+    height = ceil(bytes/width) (min 1), zero-padded — the
+    documents_as_jpeg geometry, per frame."""
+    from .jpeg import encode_jpeg
+
+    height = max(1, -(-len(chunk) // width))
+    pix = chunk.ljust(width * height, b"\x00")
+    return encode_jpeg(pix, width, height, channels=1)
+
+
+def documents_as_mjpeg_mp4(
+    documents: DataFrame,
+    width: int = VIDEO_FRAME_WIDTH,
+    max_frames: int = VIDEO_MAX_FRAMES,
+    corrupt_container_every: int = VIDEO_CORRUPT_CONTAINER_EVERY,
+    corrupt_sample_every: int = VIDEO_CORRUPT_SAMPLE_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #6: each document
+    becomes a motion-JPEG video — n_frames = min(max_frames, max(1,
+    whitespace tokens)), frame i the i-th even byte chunk of the
+    utf-8 text encoded as a real grayscale JPEG, all frames packed as
+    samples of a valid single-track ISO BMFF container ('jpeg' sample
+    entry). Two planted corruption schedules: every
+    ``corrupt_container_every``-th doc is truncated mid-container
+    (parse error) and every ``corrupt_sample_every``-th doc's first
+    keyframe is overwritten with same-length zeros (container parses,
+    that sample alone fails to decode). Identical text => identical
+    payload bytes, so planted twin documents become byte-identical
+    duplicate clips."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8")
+                n_frames = min(
+                    max_frames, max(1, len((text or "").split()))
+                )
+                frames = [
+                    encode_frame_jpeg(c, width)
+                    for c in _frame_chunks(data, n_frames)
+                ]
+                if (
+                    corrupt_sample_every
+                    and doc_id % corrupt_sample_every == 0
+                    and not (
+                        corrupt_container_every
+                        and doc_id % corrupt_container_every == 0
+                    )
+                ):
+                    # same length => identical sample table/offsets,
+                    # but no SOI marker => decode_jpeg raises
+                    frames[0] = b"\x00" * len(frames[0])
+                payload = build_mp4_samples(
+                    frames, width=width, height=width, codec=b"jpeg"
+                )
+                if (
+                    corrupt_container_every
+                    and doc_id % corrupt_container_every == 0
+                ):
+                    payload = payload[: max(12, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("video/mp4")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+VIDEO_KF_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_no", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("phash", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def video_keyframe_hashes(
+    media: DataFrame, method: str = "dhash"
+) -> DataFrame:
+    """(media_id, sample_no, width, height, phash, decode_error) for
+    every KEYFRAME of every parseable container: parse the sample
+    table, compute the keyframe manifest rows (offset = stsz prefix
+    sum anchored at the stco chunk offset — the same arithmetic
+    mp4_keyframe_manifest ships), slice the JPEG bytes out of the
+    mdat, decode them with the real decoder (llm/jpeg.py) and
+    dHash/aHash the pixels — all in ONE Arrow pass, so video bytes
+    never re-enter the plan. Undecodable samples flow as error rows
+    (NULL phash + decode_error); unparseable containers contribute no
+    rows (their error is mp4_container_stats' job, the manifest
+    contract)."""
+    if method not in _PHASH_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
+        )
+    hasher = _PHASH_METHODS[method]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for batch in batches:
+            out = {k.name: [] for k in VIDEO_KF_HASH_SCHEMA.fields}
+            for media_id, payload in zip(
+                batch["media_id"], batch["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    info = parse_mp4(data)
+                except Exception:  # noqa: BLE001 — stats query reports it
+                    continue
+                for t in info["tracks"]:
+                    sizes = t.get("sample_sizes") or []
+                    offsets = t.get("chunk_offsets") or []
+                    if not offsets:
+                        continue
+                    base = offsets[0]
+                    prefix = [0]
+                    for s in sizes:
+                        prefix.append(prefix[-1] + s)
+                    for kf in t.get("keyframes") or []:
+                        if not 1 <= kf <= len(sizes):
+                            continue
+                        lo = base + prefix[kf - 1]
+                        blob = data[lo : lo + sizes[kf - 1]]
+                        w = h = phash = None
+                        error = None
+                        try:
+                            fw, fh, fc, pix = decode_jpeg(blob)
+                            w, h = fw, fh
+                            phash = hasher(pix, fw, fh, fc)
+                        except NotImplementedError:
+                            raise  # missing codec: loud, not a data error
+                        except Exception as exc:  # noqa: BLE001
+                            error = repr(exc)
+                        out["media_id"].append(media_id)
+                        out["sample_no"].append(kf)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["phash"].append(phash)
+                        out["decode_error"].append(error)
+            for name in ("media_id", "sample_no", "width", "height",
+                         "phash"):
+                # nullable Int64, NOT object: one error row would
+                # otherwise coerce the column through float64 on the
+                # Arrow hop and hashes above 2**53 lose low bits (the
+                # round-8 phash hazard)
+                out[name] = pd.array(out[name], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_KF_HASH_SCHEMA
+    )
+
+
+#: frame-key packing for the band join: key = media_id * 64 +
+#: sample_no. sample_no <= VIDEO_MAX_FRAMES << 64, and distinct
+#: media always dominate the comparison, so doc_a < doc_b in key
+#: space implies video_a <= video_b — pair direction stays canonical.
+_FRAME_KEY_STRIDE = 64
+
+
+def video_near_dup_pairs(
+    kf_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_match_frac: float = 1.0,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """(video_a, video_b, n_matched, n_kf_a, n_kf_b, score): video
+    near-duplicates from keyframe perceptual hashes. Frame-level
+    candidate pairs come from the SAME 4-band hamming join text
+    SimHash and image dHash use (exact for max_hamming <= 3 by
+    pigeonhole), on a packed (media_id, sample_no) key; a video pair
+    scores matched keyframes (distinct on each side, the smaller
+    count wins — one frame matching twice cannot inflate it) against
+    the smaller clip's decodable-keyframe count. ``min_match_frac=1``
+    keeps full-clip duplicates: byte-identical planted twins land at
+    hamming 0 on every keyframe. Decode-error rows (NULL phash) are
+    excluded — an undecodable frame has no perceptual identity.
+
+    Scale shape: input is the integer hash relation (never pixels);
+    the band join is the existing star-capped machinery; the score
+    join runs on the (already tiny) pair relation plus a
+    keyframe-count aggregate."""
+    from .dedup import hamming_band_pairs
+
+    ok = kf_hashes.filter(F.col("phash").isNotNull()).select(
+        (
+            F.col("media_id").cast("bigint") * _FRAME_KEY_STRIDE
+            + F.col("sample_no").cast("bigint")
+        ).alias("frame_key"),
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "sample_no",
+        "phash",
+    )
+    counts = ok.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_kf"))
+    frame_pairs = hamming_band_pairs(
+        ok.select("frame_key", "phash"),
+        "phash",
+        "frame_key",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        bands=4,
+    )
+    vp = (
+        frame_pairs.select(
+            # integer DIV, not float division: float64 would round
+            # keys above 2**53 before the truncating cast
+            F.expr(f"doc_a DIV {_FRAME_KEY_STRIDE}").alias("video_a"),
+            F.pmod(F.col("doc_a"), F.lit(_FRAME_KEY_STRIDE)).alias("kf_a"),
+            F.expr(f"doc_b DIV {_FRAME_KEY_STRIDE}").alias("video_b"),
+            F.pmod(F.col("doc_b"), F.lit(_FRAME_KEY_STRIDE)).alias("kf_b"),
+        )
+        .filter(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(
+            F.least(
+                F.countDistinct("kf_a"), F.countDistinct("kf_b")
+            ).alias("n_matched")
+        )
+    )
+    ca = counts.select(
+        F.col("media_id").alias("video_a"), F.col("n_kf").alias("n_kf_a")
+    )
+    cb = counts.select(
+        F.col("media_id").alias("video_b"), F.col("n_kf").alias("n_kf_b")
+    )
+    # no broadcast hint on counts: one row per corpus VIDEO — AQE
+    # auto-broadcasts when genuinely small (same call as dedup's
+    # verified-jaccard join)
+    return (
+        vp.join(ca, "video_a")
+        .join(cb, "video_b")
+        .select(
+            "video_a",
+            "video_b",
+            "n_matched",
+            "n_kf_a",
+            "n_kf_b",
+            (
+                F.col("n_matched").cast("double")
+                / F.least("n_kf_a", "n_kf_b")
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= min_match_frac)
+    )

@@ -83,8 +83,10 @@ def test_family_coverage_in_gate_sample(entry):
         "ann": {"ann_cosine_topk", "embedding_similar_pairs",
                 "embedding_margin_pairs"},
         # round-9 rotation: the MP4 box-walk family holds the sampled
-        # multimodal rows (payload/PNG/JPEG stats stay in the registry)
-        "multimodal": {"multimodal_mp4_stats", "multimodal_mp4_keyframe_manifest"},
+        # multimodal rows (payload/PNG/JPEG stats stay in the registry);
+        # round-10: keyframe DECODE takes the manifest slot (it consumes
+        # the manifest arithmetic, so the slot proves strictly more)
+        "multimodal": {"multimodal_mp4_stats", "video_keyframe_decode_stats"},
         "trends": {"user_value_trends"},
         "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms",
                         "llm_corpus_prep_multimodal"},
