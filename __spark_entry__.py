@@ -126,7 +126,12 @@ _GATE_PRIORITY = [
 
     # LLM dedup family
     "dedup_exact_documents",
-    "dedup_incremental_documents",
+    # round-10: the md5-mode MinHash-LSH pipeline takes the
+    # incremental-dedup slot (dedup keeps exact + streaming sampled;
+    # incremental stays oracled in registry + parity replica) — the
+    # first sampled row to hash-prove LSH end to end: md5-60
+    # signatures, band buckets, candidate join, exact-Jaccard verify
+    "minhash_near_dup_pairs",
     "streaming_incremental_dedup_documents",
     # round-9 session 2: containment takes the jaccard-dfcap slot
     # (jaccard stays oracled in registry + parity replica) — the

@@ -266,6 +266,14 @@ HEADLINE = [
     # synthesis (8 JPEG encodes/doc) dominates, the pair machinery is
     # the shared star-capped band join
     "video_keyframe_neardup_pairs",
+    # round-10: the md5-mode MinHash-LSH pipeline (now hash-oracled
+    # and gate-sampled) — signatures, band join, exact-Jaccard verify
+    "minhash_near_dup_pairs",
+    # round-10 streaming twins: blocklist scan at admission and the
+    # chi-square drift statistic streamed — both share their batch
+    # oracles (two micro-batches each; scaffolding memoized)
+    "streaming_blocklist_scan",
+    "streaming_chi_square_drift",
 ]
 
 
@@ -454,8 +462,15 @@ def main() -> None:
             fl = floors.get(name)
             if fl and v / norm > 1.5 * fl:
                 flagged.add(name)
-        # bound the recheck cost: worst offenders first, 15 rows max
-        ordered = sorted(flagged, key=warm.get, reverse=True)[:15]
+        # bound the recheck cost, most SUSPICIOUS rows first (largest
+        # normalized excess over floor — a stressed box breaches
+        # everything, and certifying by raw cost would spend the cap
+        # on heavy rows that are near their floors anyway)
+        ordered = sorted(
+            flagged,
+            key=lambda n: warm[n] / norm / floors.get(n, warm[n]),
+            reverse=True,
+        )[:15]
         recheck = []
         for worst in ordered:
             settle()

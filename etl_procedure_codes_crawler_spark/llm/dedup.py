@@ -590,22 +590,44 @@ def remove_duplicate_spans(
 # MinHash + LSH (scale path)
 # ---------------------------------------------------------------------------
 
+def _minhash_member(i: int, shingle, hash_fn: str):
+    """Hash-family member i over a shingle: ``xx`` = xxhash64(seed_i,
+    shingle) (fastest, JVM-only); ``md5`` = the 60-bit md5 prefix of
+    "i:shingle" (the llm/kmv.py cross-engine trick — DuckDB computes
+    the identical integer, which is what makes the minhash family
+    HASH-ORACLED in md5 mode)."""
+    if hash_fn == "xx":
+        return F.xxhash64(F.lit(i), shingle)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), shingle)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown minhash hash_fn {hash_fn!r} (xx|md5)")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """k-shingle → ``num_hashes`` minhashes in ONE aggregation.
 
-    Each hash family member is xxhash64(seed_i, shingle); min per doc
-    approximates the permutation minimum. One shuffle of (id, shingle)
-    rows, all hashes computed map-side.
+    Each hash family member is :func:`_minhash_member` (seeded
+    xxhash64 by default; md5-60 for cross-engine determinism); min
+    per doc approximates the permutation minimum. One shuffle of
+    (id, shingle) rows, all hashes computed map-side. md5 costs a few
+    times more per call than xxhash64 — at 100 TB keep ``xx`` unless
+    the run needs engine-reproducible signatures (audits, the DuckDB
+    correctness gate, cross-system handoffs).
     """
     sh = shingle_rows(df, text_col, id_col, k)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(_minhash_member(i, F.col("shingle"), hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -707,15 +729,30 @@ def minhash_buckets(
     k: int = 3,
     bands: int = 8,
     rows_per_band: int = 4,
+    hash_fn: str = "xx",
 ) -> DataFrame:
-    """(id, band, bucket) LSH band-bucket assignment."""
-    sig = minhash_signatures(df, text_col, id_col, k, bands * rows_per_band)
+    """(id, band, bucket) LSH band-bucket assignment. In ``md5`` mode
+    the bucket key is the md5-60 of the band's colon-joined minhash
+    values (longs render identically as decimal strings in Spark and
+    DuckDB), so bucket membership is engine-deterministic too."""
+    sig = minhash_signatures(
+        df, text_col, id_col, k, bands * rows_per_band, hash_fn
+    )
+
+    def bucket_of(band: int):
+        cols = [
+            F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        if hash_fn == "md5":
+            return F.conv(
+                F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
+            ).cast("long")
+        return F.xxhash64(*cols)
+
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
+            bucket_of(band).alias("bucket"),
         )
         for band in range(bands)
     ]
@@ -732,6 +769,7 @@ def minhash_lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int = 5000,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band are
     candidates. Pair generation is a self-join per (band, bucket) —
@@ -740,7 +778,9 @@ def minhash_lsh_candidate_pairs(
     :func:`_capped_bucket_pairs`; :func:`lsh_bucket_stats` reports
     what got capped).
     """
-    buckets = minhash_buckets(df, text_col, id_col, k, bands, rows_per_band)
+    buckets = minhash_buckets(
+        df, text_col, id_col, k, bands, rows_per_band, hash_fn
+    )
     return _capped_bucket_pairs(buckets, max_bucket_size)
 
 
@@ -752,6 +792,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact-Jaccard
     verification → threshold filter. Verification joins shingle sets
@@ -768,7 +809,7 @@ def minhash_near_dup_pairs(
     scan pipelines map-side into each consumer's own single shuffle.
     """
     candidates = minhash_lsh_candidate_pairs(
-        df, text_col, id_col, k, bands, rows_per_band
+        df, text_col, id_col, k, bands, rows_per_band, hash_fn=hash_fn
     )
     sh = shingle_rows(df, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))

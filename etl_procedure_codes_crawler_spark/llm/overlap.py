@@ -102,13 +102,20 @@ def group_minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """(group, sig) — the group's ``num_hashes``-slot MinHash sketch,
     computed in ONE partially-aggregated pass (slot-wise min merges
-    map-side; only per-group sketches shuffle)."""
+    map-side; only per-group sketches shuffle). ``hash_fn="md5"``
+    derives each slot from the 60-bit md5 prefix of "i:shingle"
+    (llm/dedup._minhash_member) — DuckDB reproduces the sketch
+    bit-for-bit, which makes the overlap ESTIMATE hash-oracle-able;
+    xxhash64 stays the default for raw 100 TB throughput."""
+    from .dedup import _minhash_member
+
     sh = _group_shingles(df, group_col, text_col, k)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(_minhash_member(i, F.col("shingle"), hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
@@ -125,12 +132,15 @@ def group_overlap_minhash(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """(group_a, group_b, est_jaccard) for EVERY group pair — the
     sketch twin of :func:`group_shingle_overlap` (which omits pairs
     sharing nothing; here disjoint pairs estimate ~0 and appear). The
     estimate is the matching-slot fraction of the two sketches."""
-    sig = group_minhash_signatures(df, group_col, text_col, k, num_hashes)
+    sig = group_minhash_signatures(
+        df, group_col, text_col, k, num_hashes, hash_fn
+    )
     a = sig.select(
         F.col("group").alias("group_a"), F.col("sig").alias("sig_a")
     )

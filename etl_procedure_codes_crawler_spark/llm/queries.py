@@ -1989,10 +1989,104 @@ def unimax_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MX.unimax_manifest(documents, budgets, seed=7)
 
 
-@register("minhash_near_dup_pairs")  # LSH: rows-only (probabilistic recall)
+def _minhash_oracle_ctes(
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """The md5-mode MinHash-LSH pipeline as DuckDB CTEs ending in
+    ``p(doc_a, doc_b, jaccard)`` — signature slots are 60-bit md5
+    prefixes of "i:shingle" (the llm/kmv.py cross-engine hash), band
+    buckets md5 the colon-joined slot values (longs render as the
+    same decimal strings in both engines), candidates share any
+    (band, bucket), and verification is the exact shingle Jaccard —
+    the identical construction dedup.minhash_near_dup_pairs(
+    hash_fn="md5") runs. The star-cap (max_bucket_size=5000) never
+    fires at oracle SFs (largest corpus: 5000 docs), matching the
+    df-cap family's corpus-relative contract."""
+
+    def h60(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    sig_cols = ",\n               ".join(
+        "MIN(" + h60(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h60(
+            " || ':' || ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sh GROUP BY doc_id
+    ),
+    buckets AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT doc_a, doc_b,
+               CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+        FROM shared
+        JOIN sizes x ON x.doc_id = doc_a
+        JOIN sizes y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {threshold}
+    )"""
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_minhash_oracle_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM p
+    """,
+)
 def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, HASH-ORACLED (round 10): signature
+    slots are md5-60 of "i:shingle" and band buckets md5-60 of the
+    joined slots (dedup._minhash_member — the llm/kmv.py trick that
+    made sketches engine-deterministic), so DuckDB re-derives the
+    SAME candidate set, and the exact-Jaccard verification is one
+    IEEE division. The family's candidate recall stops being
+    "probabilistic by design" and becomes a pinned function of the
+    data. The xxhash64 mode remains the library default for raw
+    100 TB throughput; pair-set equality between the two modes on a
+    planted corpus is pinned in tests/test_dedup_md5.py."""
     documents = load(spark, sf_dir, "documents")
-    return D.minhash_near_dup_pairs(documents, threshold=0.5)
+    return D.minhash_near_dup_pairs(documents, threshold=0.5, hash_fn="md5")
 
 
 @register("simhash_near_dup_pairs")  # rows-only (xxhash64 not in DuckDB)
@@ -2001,16 +2095,36 @@ def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return D.simhash_near_dup_pairs(documents, max_hamming=3)
 
 
-@register("near_dup_clusters")  # rows-only (iterative label propagation)
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_oracle_ctes()},
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM p
+        UNION ALL
+        SELECT doc_b AS x, doc_a AS y FROM p
+    ),
+    reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT eg.y, r.label FROM reach r JOIN edges eg ON r.v = eg.x
+    )
+    SELECT v AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+    """,
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash pairs → connected components → (doc_id, cluster_id)
-    partition of the corpus; survivors are doc_id == cluster_id. The
-    genuinely iterative operator (driver-controlled fixpoint loop) the
-    SQL oracle can't express."""
+    partition of the corpus; survivors are doc_id == cluster_id.
+    HASH-ORACLED (round 10): with md5-mode signatures the pair set is
+    engine-deterministic, and the driver-controlled label-propagation
+    fixpoint equals the recursive-CTE min-label closure (the
+    cluster_aware_holdout precedent) — the full LSH-to-components
+    dedup pipeline now hashes end to end."""
     from .cluster import duplicate_clusters
 
     documents = load(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dup_pairs(documents, threshold=0.5)
+    pairs = D.minhash_near_dup_pairs(documents, threshold=0.5, hash_fn="md5")
     return duplicate_clusters(pairs, documents, id_col="doc_id")
 
 
@@ -2214,15 +2328,53 @@ def source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OV.group_shingle_overlap(documents)
 
 
-@register("source_overlap_minhash")  # rows-only (sketch estimate)
+def _source_minhash_oracle(num_hashes: int = 64) -> str:
+    def h60(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    sig_cols = ",\n               ".join(
+        "MIN(" + h60(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    match_terms = "\n                + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents
+                  WHERE source IS NOT NULL),
+    sh AS (
+        SELECT DISTINCT source,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    sig AS (
+        SELECT source,
+               {sig_cols}
+        FROM sh GROUP BY source
+    )
+    SELECT a.source AS group_a, b.source AS group_b,
+           CAST({match_terms} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@register("source_overlap_minhash", oracle=_source_minhash_oracle())
 def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch twin: per-source 64-slot MinHash signatures merged
     map-side (min is associative — the shingle multiset never
     shuffles; 64 longs per source do), pairwise matching-slot
     fraction as the Jaccard estimate. Error floored vs the exact
-    path in tests/test_overlap.py."""
+    path in tests/test_overlap.py. HASH-ORACLED (round 10): md5-mode
+    slots (overlap.group_minhash_signatures(hash_fn="md5")) make the
+    per-source sketch — and therefore the ESTIMATE itself — a
+    deterministic cross-engine function of the data; the matching
+    fraction is one integer sum and one IEEE division."""
     documents = load(spark, sf_dir, "documents")
-    return OV.group_overlap_minhash(documents)
+    return OV.group_overlap_minhash(documents, hash_fn="md5")
 
 
 @register("source_cardinality_hll")  # rows-only (HLL sketch estimate)
@@ -6248,9 +6400,10 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.margin_pairs_ann(embeddings, floor=0.30, k=4, margin_threshold=1.1)
 
 
-@register(
-    "chi_square_source_drift",
-    oracle=f"""
+#: the Pearson chi-square contingency oracle — shared verbatim by the
+#: batch query and its streaming twin (the streamed statistic must
+#: hash-match the one-shot recomputation)
+_CHI2_ORACLE = f"""
     WITH halves AS (
         SELECT source,
                CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN len({_TOKS})
@@ -6282,8 +6435,10 @@ def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (n_ref + n_cur)),
            6) AS chi2_contrib
     FROM halves, tot
-    """,
-)
+    """
+
+
+@register("chi_square_source_drift", oracle=_CHI2_ORACLE)
 def chi_square_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson two-sample χ² per source between the even-id half
     (reference snapshot) and the odd-id half (current snapshot) of the
@@ -6335,9 +6490,10 @@ def chi_square_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "blocklist_scan_documents",
-    oracle=f"""
+#: the blocklist scan oracle — shared verbatim by the batch query and
+#: its streaming twin (per-doc scan rows accumulated across batches
+#: must equal the one-shot scan bit-for-bit)
+_BLOCKLIST_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     tri AS (
         SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS p,
@@ -6359,8 +6515,10 @@ def chi_square_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_phrases_hit
     FROM hits GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("blocklist_scan_documents", oracle=_BLOCKLIST_ORACLE)
 def blocklist_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pattern blocklist scan via one Aho–Corasick automaton
     pass per document (llm/blocklist.py) — the safety-filter stage a
@@ -6880,11 +7038,146 @@ def video_keyframe_neardup_pairs(
     return V.video_near_dup_pairs(kf, max_hamming=3)
 
 
+@register("streaming_blocklist_scan", oracle=_BLOCKLIST_ORACLE)
+def streaming_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist scan AT ADMISSION (streaming/scan.py): the
+    automaton's phrase list is fixed up front (the corpus's top-8
+    trigrams — the same deliberate, visible input discipline as the
+    drift monitor's reference), the corpus arrives as multiple
+    micro-batches (maxFilesPerTrigger=1), and each batch's per-doc
+    scan rows land under its run-id partition (crash replay REPLACES,
+    never double-reports). The accumulated relation must hash-match
+    the one-shot batch scan — the oracle is shared verbatim with
+    blocklist_scan_documents."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from . import blocklist as BL
+    from ..streaming.scan import stream_blocklist_scan
+
+    documents = load(spark, sf_dir, "documents")
+    # the FIXED phrase list is gate input (like the drift reference),
+    # derived once per corpus — scaffolding, not the timed operator
+    memo_key = f"blphrases:{sf_dir}"
+    if memo_key not in _SCAFFOLD_MEMO:
+        _SCAFFOLD_MEMO[memo_key] = BL.top_trigram_phrases(documents, n=8)
+    phrases = _SCAFFOLD_MEMO[memo_key]
+
+    def build(memo_root: str) -> None:
+        import glob as _glob
+
+        src = _os.path.join(memo_root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(memo_root, "staging")
+        documents.repartition(
+            max(spark.sparkContext.defaultParallelism, 4)
+        ).write.mode("overwrite").parquet(staging)
+        for i, part in enumerate(
+            _glob.glob(_os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(part, _os.path.join(src, f"b{i}.parquet"))
+
+    src = _os.path.join(
+        _memo_scaffold(f"docstage:{sf_dir}", build), "incoming"
+    )
+    root = tempfile.mkdtemp(prefix="blscan_gate_")
+    try:
+        # TWO micro-batches regardless of staging width: enough to
+        # prove cross-batch accumulation (not a single-batch echo)
+        # without paying the ~3 s fixed stream cost per extra batch
+        n_files = len(
+            [f for f in _os.listdir(src) if f.endswith(".parquet")]
+        )
+        q = stream_blocklist_scan(
+            spark,
+            src,
+            documents.schema,
+            phrases,
+            _os.path.join(root, "results"),
+            _os.path.join(root, "ckpt"),
+            max_files_per_trigger=max(1, -(-n_files // 2)),
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(_os.path.join(root, "results"))
+            .select("doc_id", "n_hits", "n_phrases_hit")
+            .localCheckpoint(eager=True)  # outlives the temp dir
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("streaming_chi_square_drift", oracle=_CHI2_ORACLE)
+def streaming_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square drift statistic STREAMED (streaming/drift.py):
+    the reference is the even-id half's per-source token totals
+    (persisted up front, the re-baseline discipline), the odd-id half
+    arrives as multiple micro-batches whose per-source counts land
+    under run-id partitions (integer sums — replay replaces, no other
+    bookkeeping), and the serve path reproduces the batch query's
+    fixed-order contingency expression over the summed counts. The
+    streamed statistic must hash-match the one-shot oracle, shared
+    verbatim with chi_square_source_drift."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.drift import (
+        build_source_token_reference,
+        chi_square_report,
+        stream_chi_square_counts,
+    )
+
+    documents = load(spark, sf_dir, "documents")
+    odd = documents.where(F.col("doc_id") % 2 == 1)
+
+    def build(memo_root: str) -> None:
+        import glob as _glob
+
+        src = _os.path.join(memo_root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(memo_root, "staging")
+        odd.repartition(2).write.mode("overwrite").parquet(staging)
+        for i, part in enumerate(
+            _glob.glob(_os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(part, _os.path.join(src, f"b{i}.parquet"))
+        # the persisted reference is gate INPUT (the re-baseline
+        # discipline) — built once per corpus with the staging
+        build_source_token_reference(
+            documents.where(F.col("doc_id") % 2 == 0),
+            _os.path.join(memo_root, "reference"),
+        )
+
+    memo_root = _memo_scaffold(f"chi2stage:{sf_dir}", build)
+    src = _os.path.join(memo_root, "incoming")
+    root = tempfile.mkdtemp(prefix="chi2_gate_")
+    try:
+        ref = _os.path.join(memo_root, "reference")
+        q = stream_chi_square_counts(
+            spark,
+            src,
+            odd.schema,
+            _os.path.join(root, "counts"),
+            _os.path.join(root, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        return chi_square_report(
+            spark, ref, _os.path.join(root, "counts")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
 ROWS_ONLY = {
-    "minhash_near_dup_pairs",
+    # round-10: minhash_near_dup_pairs, near_dup_clusters, and
+    # source_overlap_minhash left this set — md5-mode signatures
+    # (dedup._minhash_member) made the LSH family hash-oracled
     "simhash_near_dup_pairs",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
@@ -6899,11 +7192,9 @@ ROWS_ONLY = {
     "bpe_bucketed_batches",
     "neardup_incremental_documents",
     "embedding_similar_pairs_lsh",
-    "near_dup_clusters",
     "semantic_dedup_cells",
     "lm_perplexity_documents",
     "embedding_pca_whiten_stats",
-    "source_overlap_minhash",
     "dsir_resample_documents",
     "source_cardinality_hll",
     "duplicate_spans_lsh_scoped",

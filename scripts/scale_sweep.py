@@ -53,6 +53,13 @@ def main() -> None:
         "dsir_importance_topk",
         "llm_corpus_prep_v4",
     ]
+    # round-10: target list override for the 100x sweep (the r9 judge's
+    # suspects: v5, the KMV store, containment, margin-ANN, streaming
+    # gates, unigram EM, blocklist) — comma-separated query names
+    env_names = os.environ.get("SPARK_GRAFT_SWEEP_QUERIES", "")
+    if env_names:
+        names = [n for n in env_names.split(",") if n]
+    small_dir = os.environ.get("SPARK_GRAFT_SWEEP_SMALL", small_dir)
 
     import gc
 

@@ -73,7 +73,9 @@ def test_family_coverage_in_gate_sample(entry):
         "extraction": {"extract_procedure_pages_fixture", "udtf_extract_modifiers_fixture"},
         "streaming": {"streaming_hourly_event_counts", "streaming_incremental_dedup_documents"},
         "text": {"token_count_bpe_documents", "lang_id_documents", "text_quality_documents"},
-        "dedup": {"dedup_exact_documents", "dedup_incremental_documents"},
+        # round-10: md5-mode MinHash LSH holds a sampled dedup row
+        # (incremental stays in the registry + parity replica)
+        "dedup": {"dedup_exact_documents", "minhash_near_dup_pairs"},
         # round-9 session 2: containment runs the identical df-capped
         # posting-list core plus both directed ratios
         "jaccard": {"ngram_jaccard_pairs_dfcap", "ngram_containment_pairs"},
