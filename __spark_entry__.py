@@ -161,8 +161,13 @@ _GATE_PRIORITY = [
     # round-9: the streaming boilerplate gate (store lifecycle +
     # strip-at-admission, bit-identical to the batch oracle) and the
     # best-fit packer (recursive-CTE replay oracle) take the v2/stats
-    # slots
-    "streaming_boilerplate_strip_ingest",
+    # slots. round-10: the UNIFIED five-gate admission capstone takes
+    # the boilerplate gate's slot (which it strictly contains —
+    # strip-at-admission + batch-keyed count append is its gate 3,
+    # composed with exact dedup, media content-verify, budgets, and
+    # KMV folding in one commit protocol; boilerplate ingest stays
+    # oracled in registry + parity replica)
+    "streaming_unified_admission",
     # round-9 session 2: the oracled KMV pair estimates take the tfidf
     # slot (tfidf stays oracled in registry + parity replica) — the
     # sampled row hashes a SKETCH's set-operation estimates, which no

@@ -274,6 +274,11 @@ HEADLINE = [
     # oracles (two micro-batches each; scaffolding memoized)
     "streaming_blocklist_scan",
     "streaming_chi_square_drift",
+    # round-10 capstone: ALL FIVE ingest gates in one admission
+    # decision + attrition accounting — deliberately the heaviest
+    # streaming row (one full stream round trip through exact dedup,
+    # media content-verify, strip-at-admission, budgets, KMV fold)
+    "streaming_unified_admission",
 ]
 
 

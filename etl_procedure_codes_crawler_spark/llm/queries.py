@@ -7171,6 +7171,197 @@ def streaming_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: the round-10 streaming capstone oracle: the five-gate admission
+#: funnel replayed in SQL — exact dedup (min id per normalized text),
+#: media near-dup (min id per 8-token-prefix content class; every
+#: 50th doc is corrupt media and admits), boilerplate strip (block=3,
+#: df>5 over the media survivors), per-source budgets (cumsum of
+#: CLEAN tokens in id order, 800 for src0-2), and the md5 KMV
+#: bottom-64 estimate over admitted clean text
+_UNIFIED_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_TOKS} AS t
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    ex AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            ORDER BY doc_id) AS xr
+        FROM base
+    ),
+    exact_keep AS (SELECT doc_id, source, text, t FROM ex WHERE xr = 1),
+    md AS (
+        SELECT *, CASE WHEN doc_id % 50 = 0 THEN NULL
+             ELSE array_to_string(t[1:8], ' ') END AS mkey
+        FROM exact_keep
+    ),
+    mr AS (
+        SELECT *, CASE WHEN mkey IS NULL THEN 1 ELSE
+            ROW_NUMBER() OVER (PARTITION BY mkey ORDER BY doc_id) END AS mrk
+        FROM md
+    ),
+    media_keep AS (SELECT doc_id, source, t FROM mr WHERE mrk = 1),
+    chunks AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, (i - 1) * 3 + 1, i * 3), ' ')
+                   AS passage
+        FROM media_keep,
+             LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS s(i)
+    ),
+    freq AS (
+        SELECT passage, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY passage
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(CASE WHEN df <= 5 THEN passage END,
+                                   ' ' ORDER BY i), '') AS text_clean
+        FROM chunks c JOIN freq USING (passage)
+        GROUP BY doc_id
+    ),
+    stripped AS (
+        SELECT m.doc_id, m.source,
+               COALESCE(p.n_removed, 0) AS n_removed,
+               COALESCE(p.text_clean, '') AS text_clean
+        FROM media_keep m LEFT JOIN per_doc p USING (doc_id)
+    ),
+    bt AS (
+        SELECT *,
+               len(string_split_regex(trim(text_clean), '\\s+')) AS n_tok
+        FROM stripped
+    ),
+    bc AS (
+        SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bt
+    ),
+    admitted AS (
+        SELECT * FROM bc
+        WHERE source NOT IN ('src0', 'src1', 'src2') OR cum <= 800
+    ),
+    ksh AS (
+        SELECT DISTINCT source,
+            UNNEST(CASE WHEN len(ct) >= 3 THEN
+                list_distinct([ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2]
+                               for i in generate_series(1, len(ct)-2)])
+                ELSE [array_to_string(ct, ' ')] END) AS shingle
+        FROM (SELECT source,
+                     string_split_regex(trim(text_clean), '\\s+') AS ct
+              FROM admitted)
+    ),
+    khash AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+        FROM ksh
+    ),
+    kmin AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM khash QUALIFY rk <= 64
+    ),
+    kest AS (
+        SELECT source,
+               ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / MAX(h) END, 4)
+                   AS est_distinct_shingles
+        FROM kmin GROUP BY source
+    ),
+    arr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_arrived
+            FROM base GROUP BY source),
+    exs AS (SELECT source, COUNT(*) AS n_ex FROM exact_keep GROUP BY source),
+    mds AS (SELECT source, COUNT(*) AS n_md FROM media_keep GROUP BY source),
+    ads AS (SELECT source, COUNT(*) AS n_ad, SUM(n_removed) AS prm,
+                   SUM(n_tok) AS tok
+            FROM admitted GROUP BY source)
+    SELECT a.source,
+           n_arrived,
+           CAST(n_arrived - COALESCE(n_ex, 0) AS BIGINT)
+               AS n_exact_rejected,
+           CAST(COALESCE(n_ex, 0) - COALESCE(n_md, 0) AS BIGINT)
+               AS n_media_rejected,
+           CAST(COALESCE(n_md, 0) - COALESCE(n_ad, 0) AS BIGINT)
+               AS n_budget_rejected,
+           CAST(COALESCE(n_ad, 0) AS BIGINT) AS n_admitted,
+           CAST(COALESCE(prm, 0) AS BIGINT) AS passages_removed,
+           CAST(COALESCE(tok, 0) AS BIGINT) AS tokens_admitted,
+           est_distinct_shingles
+    FROM arr a
+    LEFT JOIN exs USING (source) LEFT JOIN mds USING (source)
+    LEFT JOIN ads USING (source) LEFT JOIN kest USING (source)
+"""
+
+
+@register("streaming_unified_admission", oracle=_UNIFIED_ORACLE)
+def streaming_unified_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 streaming capstone: ALL FIVE ingest gates composed
+    into ONE admission decision per batch (streaming/unified.py) —
+    exact content dedup, media near-dup (a real PNG of each doc's
+    8-token head, candidates→content-verify so the decision is
+    deterministic), boilerplate strip at admission, per-source token
+    budgets on CLEAN tokens, and KMV cardinality folding — with a
+    per-batch per-source attrition row committed alongside the five
+    store updates. Offered as one availableNow batch, the served
+    funnel report (attrition sums + the KMV store's estimates) must
+    hash-match the oracle's from-scratch SQL replay of the whole
+    pipeline — the streaming twin of llm_corpus_prep_multimodal.
+    Crash-replay bit-identity across all five stores is pinned in
+    tests/test_unified_gate.py."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.unified import (
+        create_unified_stores,
+        stream_ingest_unified,
+        unified_attrition_report,
+    )
+
+    documents = load(spark, sf_dir, "documents")
+
+    def build(memo_root: str) -> None:
+        import glob as _glob
+
+        src = _os.path.join(memo_root, "incoming")
+        _os.makedirs(src)
+        staging = _os.path.join(memo_root, "staging")
+        documents.repartition(
+            max(spark.sparkContext.defaultParallelism, 4)
+        ).write.mode("overwrite").parquet(staging)
+        for i, part in enumerate(
+            _glob.glob(_os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(part, _os.path.join(src, f"b{i}.parquet"))
+
+    src = _os.path.join(
+        _memo_scaffold(f"docstage:{sf_dir}", build), "incoming"
+    )
+    root = tempfile.mkdtemp(prefix="unified_gate_")
+    try:
+        stores = _os.path.join(root, "stores")
+        create_unified_stores(spark, stores, block=3, kmv_k=64,
+                              kmv_shingle_k=3)
+        q = stream_ingest_unified(
+            spark,
+            src,
+            documents.schema,
+            _os.path.join(root, "wh"),
+            stores,
+            _os.path.join(root, "ckpt"),
+            budgets={"src0": 800, "src1": 800, "src2": 800},
+            min_doc_freq=5,
+            gate_shuffle_partitions=8,
+        )
+        q.awaitTermination()
+        return unified_attrition_report(spark, stores).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 #: queries intentionally registered WITHOUT an oracle (rows-only check);
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design

@@ -1,0 +1,482 @@
+"""The UNIFIED streaming admission gate — five gates, one commit.
+
+Round 9 left the corpus front door as five separate ingest gates
+(exact dedup, per-source token budgets, media near-dup, boilerplate
+strip, KMV cardinality), each proven alone. A real 100 TB ingest runs
+them as ONE admission decision per batch — this module composes them
+in a single ``foreachBatch`` sink with per-batch per-source attrition
+accounting, the streaming twin of the ``llm_corpus_prep_multimodal``
+batch capstone.
+
+Admission pipeline per micro-batch (order is the policy):
+
+1. **exact content dedup** — intra-batch min-id per normalized-text
+   fingerprint, then rejection against the persisted fingerprint
+   store (same-id store rows are ignored, so crash replays never
+   self-reject);
+2. **media near-dup** — each doc's media view (default: a real PNG of
+   its first 8 tokens — the re-hosted-image-different-caption case
+   exact text dedup cannot see) is decoded + perceptually hashed in
+   one Arrow pass; CANDIDATES come from the 4-band hamming join
+   (intra-batch and against the persisted media store) and a doc is
+   rejected ONLY on exact decoded-content match (the
+   candidates→verify discipline that makes the gate decision
+   deterministic and DuckDB-expressible). Undecodable media admits
+   the doc — no perceptual identity, and the exact gate already held;
+3. **boilerplate strip at admission** — the batch's passage counts
+   land in the frequency store under the durable (gate, batch) key,
+   then each surviving doc is stripped against the store's cumulative
+   frequencies (a one-batch corpus therefore matches the batch
+   operator bit-for-bit);
+4. **per-source token budgets** — on the CLEAN token counts (the
+   budget buys kept tokens, not boilerplate), consumed-before read
+   from the transactional stats artifact excluding the batch's own
+   key (the budget gate's replay discipline);
+5. **KMV cardinality** — admitted docs' clean-text shingles fold into
+   the persisted bottom-k sketch store (idempotent minima — zero
+   replay bookkeeping).
+
+Crash contract: every store write precedes the warehouse append, and
+every store has its own replay idempotency (fingerprint/media ignore
+same-id rows, passage counts are batch-keyed with read-side dedup,
+budget stats exclude the batch's own key, KMV minima are idempotent,
+the attrition row is a run-id partition REPLACE) — so any crash
+interleaving replays to the identical accepted set and identical
+store state, and the warehouse id anti-join makes the data append
+exactly-once.
+
+Scale shape: gates 1, 2 and 5 operate on hash relations (32-byte
+fingerprints, 64-bit phashes + shas, 60-bit minima) — document text
+shuffles only for the passage count/strip (one batch-sized exchange)
+and the final append; the consumed-budget read and the sketch serve
+are metadata-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..llm import kmv as KV
+from ..llm import passagefreq as PF
+from ..llm import text as T
+from ..sinks.parquet import write_idempotent_run
+from ..sources.parquet import read_table_or_empty
+from .incremental import (
+    _stream_gate_id,
+    budget_filter,
+    read_consumed_tokens,
+)
+
+#: media-view geometry shared with the SQL oracle: the PNG carries the
+#: first 8 whitespace tokens (re-hosted image, different caption), and
+#: documents_as_png's corrupt_every=50 truncation exercises the
+#: no-perceptual-identity admission path
+MEDIA_PREFIX_TOKENS = 8
+
+
+def unified_store_paths(stores_root: str) -> dict[str, str]:
+    import os
+
+    return {
+        "fingerprints": os.path.join(stores_root, "fingerprints"),
+        "media": os.path.join(stores_root, "media"),
+        "passages": os.path.join(stores_root, "passages"),
+        "budget_stats": os.path.join(stores_root, "budget_stats"),
+        "kmv": os.path.join(stores_root, "kmv"),
+        "attrition": os.path.join(stores_root, "attrition"),
+    }
+
+
+def create_unified_stores(
+    spark: SparkSession,
+    stores_root: str,
+    block: int = 3,
+    kmv_k: int = 64,
+    kmv_shingle_k: int = 3,
+) -> dict[str, str]:
+    """Initialize the five persisted stores under one root. The
+    fingerprint/media/attrition artifacts are plain parquet append
+    dirs (created lazily on first write); the passage and KMV stores
+    pin their parameters in meta so mismatched batches cannot merge."""
+    paths = unified_store_paths(stores_root)
+    PF.create_passage_freq_store(spark, paths["passages"], block=block)
+    KV.create_kmv_store(
+        spark, paths["kmv"], k=kmv_k, shingle_k=kmv_shingle_k
+    )
+    return paths
+
+
+def png_prefix_media_hashes(
+    docs: DataFrame,
+    prefix_tokens: int = MEDIA_PREFIX_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The default media view: a real PNG of the doc's leading tokens,
+    decoded + dHashed + content-sha'd in one Arrow pass
+    (multimodal.image_hashes with content_key). Returns
+    (media_id, phash, content_sha, decode_error)."""
+    from ..llm import multimodal as MM
+
+    view = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(T.tokens(text_col), 1, prefix_tokens)
+        ).alias("text"),
+        F.lit("unified").alias("source"),
+    )
+    return MM.image_hashes(MM.documents_as_png(view), content_key=True)
+
+
+_FP_SCHEMA = "id bigint, fp string"
+_MEDIA_SCHEMA = "id bigint, phash bigint, content_sha string"
+
+
+def stream_ingest_unified(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    warehouse_path: str,
+    stores_root: str,
+    checkpoint_dir: str,
+    budgets: dict[str, int],
+    min_doc_freq: int = 5,
+    media_hasher=png_prefix_media_hashes,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    gate_shuffle_partitions: int | None = None,
+):
+    """Run the five-gate admission pipeline over arriving document
+    files. Call :func:`create_unified_stores` on ``stores_root``
+    first. Returns the StreamingQuery handle; read the per-batch
+    per-source funnel with :func:`unified_attrition_report`.
+
+    ``gate_shuffle_partitions``: the sink's ~15 exchanges are all
+    BATCH-sized (hash relations, per-source aggregates) — on a wide
+    session default each one pays pure task-scheduling latency; when
+    set, the sink body runs under this shuffle width (restored after
+    each batch), the same knob as the media gate."""
+    paths = unified_store_paths(stores_root)
+    gate_cache: dict[str, str] = {}
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if gate_shuffle_partitions is not None:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(int(gate_shuffle_partitions)),
+            )
+            try:
+                _gate_body(batch, batch_id)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            _gate_body(batch, batch_id)
+
+    def _gate_body(batch: DataFrame, batch_id: int) -> None:
+        from ..llm.dedup import hamming_band_pairs, hamming_band_pairs_between
+        from ..sinks.fsutil import hadoop_fs
+
+        if "id" not in gate_cache:
+            gate_cache["id"] = _stream_gate_id(spark, checkpoint_dir)
+        gate_id = gate_cache["id"]
+        run_id = str(int(batch_id))
+
+        rows = batch.filter(F.col(id_col).isNotNull()).dropDuplicates(
+            [id_col]
+        )
+        fs, hpath = hadoop_fs(spark, warehouse_path)
+        if fs.exists(hpath(warehouse_path)):
+            existing_ids = spark.read.parquet(warehouse_path).select(id_col)
+            fresh = rows.join(existing_ids, id_col, "left_anti")
+        else:
+            fresh = rows
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+
+        # ---- gate 1: exact content dedup --------------------------
+        fpd = fresh.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            T.fingerprint_sha256(text_col).alias("fp"),
+        ).localCheckpoint(eager=True)
+        intra_keep = fpd.groupBy("fp").agg(F.min("id").alias("id"))
+        store_fp = read_table_or_empty(
+            spark, paths["fingerprints"], _FP_SCHEMA
+        )
+        # same-id store rows are the batch's own crash-replayed
+        # appends — never grounds for rejection
+        store_hit = (
+            intra_keep.join(
+                store_fp.select("fp", F.col("id").alias("_sid")), "fp"
+            )
+            .filter(F.col("_sid") != F.col("id"))
+            .select("id")
+            .distinct()
+        )
+        exact_ids = intra_keep.select("id").join(
+            store_hit, "id", "left_anti"
+        ).localCheckpoint(eager=True)
+
+        # ---- gate 2: media near-dup (candidates -> content verify) -
+        exact_docs = fresh.join(
+            exact_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+        hashes = (
+            media_hasher(exact_docs, id_col=id_col, text_col=text_col)
+            .select(
+                F.col("media_id").cast("bigint").alias("id"),
+                "phash",
+                "content_sha",
+                "decode_error",
+            )
+            .localCheckpoint(eager=True)  # one decode pass, reused 4x
+        )
+        hv = hashes.filter(F.col("phash").isNotNull())
+        intra_cand = hamming_band_pairs(
+            hv, "phash", "id", max_hamming=max_hamming
+        )
+        sha = hv.select("id", "content_sha")
+        intra_losers = (
+            intra_cand.join(
+                sha.select(
+                    F.col("id").alias("doc_a"),
+                    F.col("content_sha").alias("_sa"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sha.select(
+                    F.col("id").alias("doc_b"),
+                    F.col("content_sha").alias("_sb"),
+                ),
+                "doc_b",
+            )
+            .filter(F.col("_sa") == F.col("_sb"))
+            .select(F.col("doc_b").alias("id"))
+            .distinct()
+        )
+        surv_h = hv.join(intra_losers, "id", "left_anti")
+        store_media = read_table_or_empty(
+            spark, paths["media"], _MEDIA_SCHEMA
+        )
+        store_cand = hamming_band_pairs_between(
+            surv_h.select("id", "phash"),
+            store_media.select("id", "phash"),
+            "phash",
+            "id",
+            max_hamming=max_hamming,
+        )
+        store_losers = (
+            store_cand.join(
+                sha.select(F.col("id").alias("new_id"), "content_sha"), "new_id"
+            )
+            .join(
+                store_media.select(
+                    F.col("id").alias("existing_id"),
+                    F.col("content_sha").alias("_ssha"),
+                ),
+                "existing_id",
+            )
+            .filter(
+                (F.col("content_sha") == F.col("_ssha"))
+                & (F.col("new_id") != F.col("existing_id"))
+            )
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+        )
+        media_rejected = intra_losers.unionByName(store_losers).distinct()
+        media_ids = exact_ids.join(
+            media_rejected, "id", "left_anti"
+        ).localCheckpoint(eager=True)
+
+        # ---- gate 3: boilerplate strip at admission ----------------
+        surv_docs = fresh.join(
+            media_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        from ..llm.dedup import passage_rows
+
+        meta = PF.load_passage_freq_meta(spark, paths["passages"])
+        chunks = passage_rows(
+            surv_docs, meta["block"], text_col, id_col
+        ).localCheckpoint(eager=True)
+        PF.append_passage_counts(
+            spark,
+            paths["passages"],
+            surv_docs,
+            text_col,
+            id_col,
+            batch_id=f"{gate_id}-{int(batch_id)}",
+            chunks=chunks,
+        )
+        cleaned = PF.strip_boilerplate_against_store(
+            spark, paths["passages"], surv_docs, min_doc_freq,
+            text_col, id_col, chunks=chunks,
+        ).withColumnRenamed("id", id_col)
+        # not checkpointed: consumed exactly once by budget_filter,
+        # whose accepted output is the pinned relation
+        stripped = surv_docs.join(cleaned, id_col)
+
+        # ---- gate 4: per-source token budgets on CLEAN text --------
+        consumed = read_consumed_tokens(
+            spark,
+            paths["budget_stats"],
+            source_col,
+            exclude=(gate_id, int(batch_id)),
+        )
+        accepted = budget_filter(
+            stripped,
+            consumed,
+            budgets,
+            key=id_col,
+            source_col=source_col,
+            text_col="text_clean",
+        ).localCheckpoint(eager=True)
+
+        # ---- commits: every store BEFORE the warehouse -------------
+        delta = (
+            accepted.groupBy(source_col)
+            .agg(F.sum("_n_tok").alias("n_tokens"))
+            .select(
+                F.lit(gate_id).alias("gate_id"),
+                F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+                F.col(source_col),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+        if not accepted.isEmpty():
+            delta.repartition(1).write.mode("append").parquet(
+                paths["budget_stats"]
+            )
+        acc_ids = accepted.select(
+            F.col(id_col).cast("bigint").alias("id")
+        )
+        fp_new = fpd.join(acc_ids, "id", "left_semi")
+        fp_seen = read_table_or_empty(
+            spark, paths["fingerprints"], _FP_SCHEMA
+        ).select("id")
+        fp_new = fp_new.join(fp_seen, "id", "left_anti")
+        if not fp_new.isEmpty():
+            fp_new.write.mode("append").parquet(paths["fingerprints"])
+        med_new = (
+            hashes.filter(F.col("phash").isNotNull())
+            .join(acc_ids, "id", "left_semi")
+            .select("id", "phash", "content_sha")
+            .join(store_media.select("id"), "id", "left_anti")
+        )
+        if not med_new.isEmpty():
+            med_new.write.mode("append").parquet(paths["media"])
+        if not accepted.isEmpty():
+            KV.append_to_kmv_store(
+                spark, paths["kmv"], accepted, source_col, "text_clean"
+            )
+
+        # ---- attrition row (per source, this batch) ----------------
+        src_of = fresh.select(
+            F.col(id_col).cast("bigint").alias("id"), source_col
+        )
+        n_arr = src_of.groupBy(source_col).agg(
+            F.count(F.lit(1)).alias("n_arrived")
+        )
+        n_ex = (
+            src_of.join(exact_ids, "id", "left_semi")
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("_n_after_exact"))
+        )
+        n_md = (
+            src_of.join(media_ids, "id", "left_semi")
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("_n_after_media"))
+        )
+        adm = accepted.groupBy(source_col).agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("n_removed").cast("bigint").alias("passages_removed"),
+            F.sum("_n_tok").cast("bigint").alias("tokens_admitted"),
+        )
+        att = (
+            n_arr.join(n_ex, source_col, "left")
+            .join(n_md, source_col, "left")
+            .join(adm, source_col, "left")
+            .select(
+                F.col(source_col),
+                "n_arrived",
+                (
+                    F.col("n_arrived")
+                    - F.coalesce("_n_after_exact", F.lit(0))
+                ).cast("bigint").alias("n_exact_rejected"),
+                (
+                    F.coalesce("_n_after_exact", F.lit(0))
+                    - F.coalesce("_n_after_media", F.lit(0))
+                ).cast("bigint").alias("n_media_rejected"),
+                (
+                    F.coalesce("_n_after_media", F.lit(0))
+                    - F.coalesce("n_admitted", F.lit(0))
+                ).cast("bigint").alias("n_budget_rejected"),
+                F.coalesce("n_admitted", F.lit(0)).cast("bigint")
+                .alias("n_admitted"),
+                F.coalesce("passages_removed", F.lit(0)).cast("bigint")
+                .alias("passages_removed"),
+                F.coalesce("tokens_admitted", F.lit(0)).cast("bigint")
+                .alias("tokens_admitted"),
+            )
+        )
+        write_idempotent_run(att, paths["attrition"], run_id=run_id)
+
+        # ---- warehouse append (exactly-once via the id anti-join) --
+        if not accepted.isEmpty():
+            accepted.drop("_n_tok").write.mode("append").option(
+                "compression", "snappy"
+            ).parquet(warehouse_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def unified_attrition_report(
+    spark: SparkSession, stores_root: str, source_col: str = "source"
+) -> DataFrame:
+    """(source, n_arrived, n_exact_rejected, n_media_rejected,
+    n_budget_rejected, n_admitted, passages_removed, tokens_admitted,
+    est_distinct_shingles) summed over every batch the gate admitted,
+    with the KMV store's per-source distinct-clean-shingle estimate
+    joined on — the streaming funnel a planner reads mid-ingest.
+    Everything is served from the attrition artifact + k-row
+    sketches; the warehouse is never scanned."""
+    paths = unified_store_paths(stores_root)
+    att = (
+        spark.read.parquet(paths["attrition"])
+        .groupBy(source_col)
+        .agg(
+            F.sum("n_arrived").cast("bigint").alias("n_arrived"),
+            F.sum("n_exact_rejected").cast("bigint")
+            .alias("n_exact_rejected"),
+            F.sum("n_media_rejected").cast("bigint")
+            .alias("n_media_rejected"),
+            F.sum("n_budget_rejected").cast("bigint")
+            .alias("n_budget_rejected"),
+            F.sum("n_admitted").cast("bigint").alias("n_admitted"),
+            F.sum("passages_removed").cast("bigint")
+            .alias("passages_removed"),
+            F.sum("tokens_admitted").cast("bigint")
+            .alias("tokens_admitted"),
+        )
+    )
+    est = KV.kmv_store_estimates(spark, paths["kmv"]).select(
+        F.col("group").alias(source_col),
+        F.col("est_distinct").alias("est_distinct_shingles"),
+    )
+    return att.join(est, source_col, "left")

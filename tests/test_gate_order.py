@@ -71,7 +71,10 @@ def test_family_coverage_in_gate_sample(entry):
         # windowed-distribution row (deciles stays in the registry)
         "distribution": {"customer_spend_deciles", "ccnet_bucket_documents"},
         "extraction": {"extract_procedure_pages_fixture", "udtf_extract_modifiers_fixture"},
-        "streaming": {"streaming_hourly_event_counts", "streaming_incremental_dedup_documents"},
+        # round-10: the unified five-gate admission capstone holds a
+        # sampled streaming row (boilerplate ingest stays in registry)
+        "streaming": {"streaming_hourly_event_counts", "streaming_incremental_dedup_documents",
+                      "streaming_unified_admission"},
         "text": {"token_count_bpe_documents", "lang_id_documents", "text_quality_documents"},
         # round-10: md5-mode MinHash LSH holds a sampled dedup row
         # (incremental stays in the registry + parity replica)
