@@ -848,18 +848,41 @@ def minhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """64-bit SimHash per document, pure column expressions.
 
     Each token hashes to 64 bits; per bit, +1 if set else -1, summed
     over tokens; signature bit = 1 iff the vote is positive. The bit
     votes are an aggregate over exploded tokens — one shuffle of
-    (id, 64 small ints)."""
+    (id, 64 small ints).
+
+    ``hash_fn="md5"`` hashes tokens with the 60-bit md5 prefix of
+    "s:token" (and caps ``bits`` at 60): DuckDB computes the identical
+    token hashes and bit votes, making the SimHash family — signature
+    AND hamming pairs — engine-deterministic and hash-oracle-able.
+    xxhash64 stays the default for raw throughput."""
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        th = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), F.col("token"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xx":
+        th = F.xxhash64("token")
+    else:
+        raise ValueError(f"unknown simhash hash_fn {hash_fn!r} (xx|md5)")
     tok = _spread_small_input(df).select(
         F.col(id_col).cast("bigint").alias("id"),
         F.explode(tokens(text_col)).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
+    ).withColumn("th", th)
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
@@ -998,13 +1021,16 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int = 5000,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Hamming-distance pairs via 4×16-bit band join (any pair within
     hamming<=3 of 64 bits agrees exactly on >=1 of 4 bands), then exact
     popcount verification via bit_count. Degenerate buckets (e.g. the
     all-zero simhash every empty document hashes to) are star-capped
-    at ``max_bucket_size`` — see :func:`_capped_bucket_pairs`."""
-    sig = simhash_signatures(df, text_col, id_col)
+    at ``max_bucket_size`` — see :func:`_capped_bucket_pairs`. In
+    ``md5`` mode the signature is 60-bit (top band carries 12 live
+    bits — the pigeonhole exactness argument is unchanged)."""
+    sig = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     return hamming_band_pairs(
         sig, "simhash", "id", max_hamming, max_bucket_size, bands=4
     )

@@ -2089,10 +2089,162 @@ def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return D.minhash_near_dup_pairs(documents, threshold=0.5, hash_fn="md5")
 
 
-@register("simhash_near_dup_pairs")  # rows-only (xxhash64 not in DuckDB)
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('s:' || token), 1, 15)) AS BIGINT) AS th
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               SUM(CASE WHEN (th >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+               SUM(CASE WHEN (th >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+               SUM(CASE WHEN (th >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+               SUM(CASE WHEN (th >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+               SUM(CASE WHEN (th >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+               SUM(CASE WHEN (th >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+               SUM(CASE WHEN (th >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+               SUM(CASE WHEN (th >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+               SUM(CASE WHEN (th >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+               SUM(CASE WHEN (th >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+               SUM(CASE WHEN (th >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+               SUM(CASE WHEN (th >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+               SUM(CASE WHEN (th >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+               SUM(CASE WHEN (th >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+               SUM(CASE WHEN (th >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+               SUM(CASE WHEN (th >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+               SUM(CASE WHEN (th >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+               SUM(CASE WHEN (th >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+               SUM(CASE WHEN (th >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+               SUM(CASE WHEN (th >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+               SUM(CASE WHEN (th >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+               SUM(CASE WHEN (th >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+               SUM(CASE WHEN (th >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+               SUM(CASE WHEN (th >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+               SUM(CASE WHEN (th >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+               SUM(CASE WHEN (th >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+               SUM(CASE WHEN (th >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+               SUM(CASE WHEN (th >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+               SUM(CASE WHEN (th >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+               SUM(CASE WHEN (th >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+               SUM(CASE WHEN (th >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+               SUM(CASE WHEN (th >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+               SUM(CASE WHEN (th >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+               SUM(CASE WHEN (th >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+               SUM(CASE WHEN (th >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+               SUM(CASE WHEN (th >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+               SUM(CASE WHEN (th >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+               SUM(CASE WHEN (th >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+               SUM(CASE WHEN (th >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+               SUM(CASE WHEN (th >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+               SUM(CASE WHEN (th >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+               SUM(CASE WHEN (th >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+               SUM(CASE WHEN (th >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+               SUM(CASE WHEN (th >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+               SUM(CASE WHEN (th >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+               SUM(CASE WHEN (th >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+               SUM(CASE WHEN (th >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+               SUM(CASE WHEN (th >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+               SUM(CASE WHEN (th >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+               SUM(CASE WHEN (th >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+               SUM(CASE WHEN (th >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+               SUM(CASE WHEN (th >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+               SUM(CASE WHEN (th >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+               SUM(CASE WHEN (th >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+               SUM(CASE WHEN (th >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+               SUM(CASE WHEN (th >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+               SUM(CASE WHEN (th >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+               SUM(CASE WHEN (th >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+               SUM(CASE WHEN (th >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+               SUM(CASE WHEN (th >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END)
+                + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END)
+                + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END)
+                + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END)
+                + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END)
+                + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END)
+                + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END)
+                + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END)
+                + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END)
+                + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END)
+                + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END)
+                + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END)
+                + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END)
+                + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END)
+                + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END)
+                + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END)
+                + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END)
+                + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END)
+                + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END)
+                + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END)
+                + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END)
+                + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END)
+                + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END)
+                + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END)
+                + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END)
+                + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END)
+                + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END)
+                + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END)
+                + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END)
+                + (CASE WHEN v32 > 0 THEN 4294967296 ELSE 0 END)
+                + (CASE WHEN v33 > 0 THEN 8589934592 ELSE 0 END)
+                + (CASE WHEN v34 > 0 THEN 17179869184 ELSE 0 END)
+                + (CASE WHEN v35 > 0 THEN 34359738368 ELSE 0 END)
+                + (CASE WHEN v36 > 0 THEN 68719476736 ELSE 0 END)
+                + (CASE WHEN v37 > 0 THEN 137438953472 ELSE 0 END)
+                + (CASE WHEN v38 > 0 THEN 274877906944 ELSE 0 END)
+                + (CASE WHEN v39 > 0 THEN 549755813888 ELSE 0 END)
+                + (CASE WHEN v40 > 0 THEN 1099511627776 ELSE 0 END)
+                + (CASE WHEN v41 > 0 THEN 2199023255552 ELSE 0 END)
+                + (CASE WHEN v42 > 0 THEN 4398046511104 ELSE 0 END)
+                + (CASE WHEN v43 > 0 THEN 8796093022208 ELSE 0 END)
+                + (CASE WHEN v44 > 0 THEN 17592186044416 ELSE 0 END)
+                + (CASE WHEN v45 > 0 THEN 35184372088832 ELSE 0 END)
+                + (CASE WHEN v46 > 0 THEN 70368744177664 ELSE 0 END)
+                + (CASE WHEN v47 > 0 THEN 140737488355328 ELSE 0 END)
+                + (CASE WHEN v48 > 0 THEN 281474976710656 ELSE 0 END)
+                + (CASE WHEN v49 > 0 THEN 562949953421312 ELSE 0 END)
+                + (CASE WHEN v50 > 0 THEN 1125899906842624 ELSE 0 END)
+                + (CASE WHEN v51 > 0 THEN 2251799813685248 ELSE 0 END)
+                + (CASE WHEN v52 > 0 THEN 4503599627370496 ELSE 0 END)
+                + (CASE WHEN v53 > 0 THEN 9007199254740992 ELSE 0 END)
+                + (CASE WHEN v54 > 0 THEN 18014398509481984 ELSE 0 END)
+                + (CASE WHEN v55 > 0 THEN 36028797018963968 ELSE 0 END)
+                + (CASE WHEN v56 > 0 THEN 72057594037927936 ELSE 0 END)
+                + (CASE WHEN v57 > 0 THEN 144115188075855872 ELSE 0 END)
+                + (CASE WHEN v58 > 0 THEN 288230376151711744 ELSE 0 END)
+                + (CASE WHEN v59 > 0 THEN 576460752303423488 ELSE 0 END) AS BIGINT) AS s
+        FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
 def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, HASH-ORACLED (round 10): md5-mode token
+    hashes (60-bit md5 prefix of "s:token") make the bit votes — and
+    therefore the signature and the hamming pairs — an
+    engine-deterministic function of the data; the oracle recomputes
+    all 60 votes and verifies pairs with an exact popcount over the
+    (gate-scale) all-pairs xor, which the Spark side's 4-band
+    pigeonhole join must reproduce exactly. xxhash64 stays the library
+    default; md5/xx signature parity on planted twins is pinned in
+    tests/test_dedup_md5.py."""
     documents = load(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(documents, max_hamming=3)
+    return D.simhash_near_dup_pairs(documents, max_hamming=3, hash_fn="md5")
 
 
 @register(
@@ -7366,10 +7518,9 @@ def streaming_unified_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: includes relational approx-sketch queries (plans/relational.py) whose
 #: estimates are engine-specific by design
 ROWS_ONLY = {
-    # round-10: minhash_near_dup_pairs, near_dup_clusters, and
-    # source_overlap_minhash left this set — md5-mode signatures
-    # (dedup._minhash_member) made the LSH family hash-oracled
-    "simhash_near_dup_pairs",
+    # round-10: minhash_near_dup_pairs, near_dup_clusters,
+    # source_overlap_minhash, and simhash_near_dup_pairs left this
+    # set — md5-mode signatures made the LSH families hash-oracled
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",

@@ -130,3 +130,40 @@ class TestMd5GroupSketch:
             ).select("group", F.col("sig").cast("string")).collect()
         )
         assert a == b
+
+
+class TestMd5Simhash:
+    def test_md5_simhash_matches_pure_replica(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha"), (2, "zeta eta theta")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.id: r.simhash
+            for r in D.simhash_signatures(docs, hash_fn="md5").collect()
+        }
+        for doc_id, text in ((1, "alpha beta gamma alpha"),
+                             (2, "zeta eta theta")):
+            votes = [0] * 60
+            for tok in text.split():
+                th = int(
+                    hashlib.md5(f"s:{tok}".encode()).hexdigest()[:15], 16
+                )
+                for b in range(60):
+                    votes[b] += 1 if (th >> b) & 1 else -1
+            sig = sum(1 << b for b in range(60) if votes[b] > 0)
+            assert got[doc_id] == sig, (doc_id, got[doc_id], sig)
+
+    def test_identical_docs_pair_at_hamming_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"body text {i} words " * 4, "s") for i in range(1, 15)]
+            + [(101, "body text 1 words " * 4, "s")],
+            "doc_id long, text string, source string",
+        )
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in D.simhash_near_dup_pairs(
+                docs, max_hamming=3, hash_fn="md5"
+            ).collect()
+        }
+        assert pairs.get((1, 101)) == 0
