@@ -1996,9 +1996,11 @@ def _minhash_oracle_ctes(
     threshold: float = 0.5,
 ) -> str:
     """The md5-mode MinHash-LSH pipeline as DuckDB CTEs ending in
-    ``p(doc_a, doc_b, jaccard)`` — signature slots are 60-bit md5
-    prefixes of "i:shingle" (the llm/kmv.py cross-engine hash), band
-    buckets md5 the colon-joined slot values (longs render as the
+    ``p(doc_a, doc_b, jaccard)`` — signature slots are the
+    Kirsch–Mitzenmacher double-hash family over two 60-bit md5
+    prefixes (member_i = h1 + i·(h2 & 2^55−1); see
+    dedup._minhash_member), band buckets md5 the colon-joined slot
+    values (longs render as the
     same decimal strings in both engines), candidates share any
     (band, bucket), and verification is the exact shingle Jaccard —
     the identical construction dedup.minhash_near_dup_pairs(
@@ -2010,8 +2012,7 @@ def _minhash_oracle_ctes(
         return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
     sig_cols = ",\n               ".join(
-        "MIN(" + h60(f"'{i}:' || shingle") + f") AS h{i}"
-        for i in range(num_hashes)
+        f"MIN(ha + {i} * hb) AS h{i}" for i in range(num_hashes)
     )
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -2034,10 +2035,16 @@ def _minhash_oracle_ctes(
                    ELSE [array_to_string(t, ' ')] END) AS shingle
         FROM toks
     ),
+    hs AS (
+        SELECT doc_id,
+               {h60("shingle")} AS ha,
+               {h60("'kh2:' || shingle")} & 36028797018963967 AS hb
+        FROM sh
+    ),
     sig AS (
         SELECT doc_id,
                {sig_cols}
-        FROM sh GROUP BY doc_id
+        FROM hs GROUP BY doc_id
     ),
     buckets AS (
         {band_selects}
@@ -2076,9 +2083,10 @@ def _minhash_oracle_ctes(
 )
 def minhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, HASH-ORACLED (round 10): signature
-    slots are md5-60 of "i:shingle" and band buckets md5-60 of the
-    joined slots (dedup._minhash_member — the llm/kmv.py trick that
-    made sketches engine-deterministic), so DuckDB re-derives the
+    slots are the K-M double-hash family over two md5-60 values
+    (dedup._minhash_member — two md5 calls per shingle, not 32; the
+    independent-md5 form generated pathologically wide codegen) and
+    band buckets md5-60 of the joined slots, so DuckDB re-derives the
     SAME candidate set, and the exact-Jaccard verification is one
     IEEE division. The family's candidate recall stops being
     "probabilistic by design" and becomes a pinned function of the
@@ -2485,8 +2493,7 @@ def _source_minhash_oracle(num_hashes: int = 64) -> str:
         return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
     sig_cols = ",\n               ".join(
-        "MIN(" + h60(f"'{i}:' || shingle") + f") AS h{i}"
-        for i in range(num_hashes)
+        f"MIN(ha + {i} * hb) AS h{i}" for i in range(num_hashes)
     )
     match_terms = "\n                + ".join(
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
@@ -2503,10 +2510,16 @@ def _source_minhash_oracle(num_hashes: int = 64) -> str:
                    ELSE [array_to_string(t, ' ')] END) AS shingle
         FROM toks
     ),
+    hs AS (
+        SELECT source,
+               {h60("shingle")} AS ha,
+               {h60("'kh2:' || shingle")} & 36028797018963967 AS hb
+        FROM sh
+    ),
     sig AS (
         SELECT source,
                {sig_cols}
-        FROM sh GROUP BY source
+        FROM hs GROUP BY source
     )
     SELECT a.source AS group_a, b.source AS group_b,
            CAST({match_terms} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
@@ -2521,7 +2534,8 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; 64 longs per source do), pairwise matching-slot
     fraction as the Jaccard estimate. Error floored vs the exact
     path in tests/test_overlap.py. HASH-ORACLED (round 10): md5-mode
-    slots (overlap.group_minhash_signatures(hash_fn="md5")) make the
+    K-M double-hash slots
+    (overlap.group_minhash_signatures(hash_fn="md5")) make the
     per-source sketch — and therefore the ESTIMATE itself — a
     deterministic cross-engine function of the data; the matching
     fraction is one integer sum and one IEEE division."""

@@ -39,17 +39,20 @@ class TestMd5Member:
             [("abc def ghi",), ("xyz",)], "shingle string"
         )
         got = {
-            r.shingle: r.h
+            (r.shingle, i): r.h
+            for i in (0, 3, 31)
             for r in df.select(
                 "shingle",
-                D._minhash_member(3, F.col("shingle"), "md5").alias("h"),
+                D._minhash_member(i, F.col("shingle"), "md5").alias("h"),
             ).collect()
         }
-        for s, h in got.items():
-            exp = int(
-                hashlib.md5(f"3:{s}".encode()).hexdigest()[:15], 16
+        for (s, i), h in got.items():
+            h1 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            h2 = (
+                int(hashlib.md5(f"kh2:{s}".encode()).hexdigest()[:15], 16)
+                & D.MINHASH_H2_MASK
             )
-            assert h == exp, (s, h, exp)
+            assert h == h1 + i * h2, (s, i, h)
 
     def test_unknown_hash_fn_raises(self, spark):
         import pytest
