@@ -462,20 +462,28 @@ def main() -> None:
             if box_factor and floors_ref
             else 1.0
         )
+        # Flag on min(raw, normalized) excess: norm is computed from
+        # the same in-suite pass being judged, so a run where only the
+        # box-factor rows are slow skews norm for every other row — a
+        # real regression could hide behind an inflated norm (and a
+        # healthy row could be spuriously flagged by a deflated one).
+        # min() of the two means skew can only ADD rechecks, never
+        # suppress one.
+        def _excess(n: str) -> float:
+            fl = floors.get(n)
+            if not fl:
+                return 1.0
+            return min(warm[n] / fl, warm[n] / norm / fl)
+
         flagged = set(sorted(warm, key=warm.get, reverse=True)[:3])
-        for name, v in warm.items():
-            fl = floors.get(name)
-            if fl and v / norm > 1.5 * fl:
+        for name in warm:
+            if _excess(name) > 1.5:
                 flagged.add(name)
         # bound the recheck cost, most SUSPICIOUS rows first (largest
-        # normalized excess over floor — a stressed box breaches
+        # conservative excess over floor — a stressed box breaches
         # everything, and certifying by raw cost would spend the cap
         # on heavy rows that are near their floors anyway)
-        ordered = sorted(
-            flagged,
-            key=lambda n: warm[n] / norm / floors.get(n, warm[n]),
-            reverse=True,
-        )[:15]
+        ordered = sorted(flagged, key=_excess, reverse=True)[:15]
         recheck = []
         for worst in ordered:
             settle()
@@ -494,11 +502,14 @@ def main() -> None:
                 }
                 fl = floors.get(worst)
                 if fl:
-                    # the self-certifying number: isolated floor,
-                    # box-normalized, against the frozen floor —
-                    # <= 1.5 certifies the row
+                    # the self-certifying numbers: isolated floor
+                    # against the frozen floor, both box-normalized
+                    # and raw — min(vs_floor, vs_floor_raw) <= 1.5
+                    # certifies the row (norm derives from the judged
+                    # run itself, so neither view alone is trustworthy)
                     row["floor"] = fl
                     row["vs_floor"] = round((iso / norm) / fl, 3)
+                    row["vs_floor_raw"] = round(iso / fl, 3)
                 recheck.append(row)
         recheck = recheck or None
 

@@ -50,6 +50,12 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 _SCAFFOLD_MEMO: dict[str, str] = {}
 
+# Gate-INPUT memoization (phrase lists, references — arbitrary Python
+# values) lives apart from _SCAFFOLD_MEMO, whose values are all
+# temp-directory paths that _memo_scaffold registers atexit-rmtree on;
+# mixing the two would hand a list to shutil.rmtree.
+_INPUT_MEMO: dict[str, object] = {}
+
 
 def _memo_scaffold(key: str, build) -> str:
     import atexit
@@ -5915,10 +5921,14 @@ def dataset_versioning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch (file-set diff == row diff under append-only writes),
         # planned over only the appended files
         delta = V.diff_versions(spark, wh, v1, v2)
+        # multiset equality via two exceptAll counts: the same bit of
+        # proof as an id-set collect, with zero driver materialization
+        # (and stricter — duplicate ids cannot collapse)
+        d_ids, s_ids = delta.select("doc_id"), second.select("doc_id")
         diff_ok = (
             sorted(delta.columns) == live_cols
-            and {r.doc_id for r in delta.select("doc_id").collect()}
-            == {r.doc_id for r in second.select("doc_id").collect()}
+            and d_ids.exceptAll(s_ids).count() == 0
+            and s_ids.exceptAll(d_ids).count() == 0
         )
         # the takedown leg: doom two SECOND-batch docs — only the
         # appended files are rewritten, so v1 survives and v2 expires
@@ -7226,9 +7236,9 @@ def streaming_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FIXED phrase list is gate input (like the drift reference),
     # derived once per corpus — scaffolding, not the timed operator
     memo_key = f"blphrases:{sf_dir}"
-    if memo_key not in _SCAFFOLD_MEMO:
-        _SCAFFOLD_MEMO[memo_key] = BL.top_trigram_phrases(documents, n=8)
-    phrases = _SCAFFOLD_MEMO[memo_key]
+    if memo_key not in _INPUT_MEMO:
+        _INPUT_MEMO[memo_key] = BL.top_trigram_phrases(documents, n=8)
+    phrases = _INPUT_MEMO[memo_key]
 
     def build(memo_root: str) -> None:
         import glob as _glob

@@ -276,11 +276,23 @@ def video_near_dup_pairs(
     keyframe-count aggregate."""
     from .dedup import hamming_band_pairs
 
+    # The packing is only injective while 0 <= sample_no < stride;
+    # video_keyframe_hashes is generic over any parseable MP4 (stss
+    # numbers are unbounded — only the synthesized corpus caps clips
+    # at 8 frames), so an out-of-range sample must fail LOUDLY at
+    # execution instead of silently aliasing into a neighboring
+    # media_id's key space and corrupting pair grouping.
+    packed = F.expr(
+        f"CASE WHEN sample_no >= 0 AND sample_no < {_FRAME_KEY_STRIDE} "
+        f"THEN CAST(media_id AS BIGINT) * {_FRAME_KEY_STRIDE} "
+        f"     + CAST(sample_no AS BIGINT) "
+        f"ELSE raise_error(concat('video_near_dup_pairs: sample_no ', "
+        f"CAST(sample_no AS STRING), ' outside the frame-key stride "
+        f"[0, {_FRAME_KEY_STRIDE}) — packed keys would alias across "
+        f"media; raise _FRAME_KEY_STRIDE or pre-filter frames')) END"
+    )
     ok = kf_hashes.filter(F.col("phash").isNotNull()).select(
-        (
-            F.col("media_id").cast("bigint") * _FRAME_KEY_STRIDE
-            + F.col("sample_no").cast("bigint")
-        ).alias("frame_key"),
+        packed.alias("frame_key"),
         F.col("media_id").cast("bigint").alias("media_id"),
         "sample_no",
         "phash",

@@ -188,9 +188,20 @@ def stream_ingest_unified(
         gate_id = gate_cache["id"]
         run_id = str(int(batch_id))
 
-        rows = batch.filter(F.col(id_col).isNotNull()).dropDuplicates(
-            [id_col]
-        )
+        rows = batch.filter(F.col(id_col).isNotNull())
+        # Loud, not silent: the funnel counts one row per doc id and
+        # the SQL oracle counts every non-NULL-id row — a corpus with
+        # duplicate ids would diverge invisibly if we just
+        # dropDuplicates()-ed here. Batch-sized agg, one job.
+        tot, uniq = rows.agg(
+            F.count(F.lit(1)), F.countDistinct(id_col)
+        ).first()
+        if tot != uniq:
+            raise ValueError(
+                f"unified gate batch {batch_id}: {tot - uniq} duplicate "
+                f"{id_col} rows in one batch — per-doc admission "
+                "bookkeeping cannot represent them; dedup ids upstream"
+            )
         fs, hpath = hadoop_fs(spark, warehouse_path)
         if fs.exists(hpath(warehouse_path)):
             existing_ids = spark.read.parquet(warehouse_path).select(id_col)
