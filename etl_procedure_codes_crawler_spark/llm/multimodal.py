@@ -1167,6 +1167,64 @@ def _walk_boxes(data: bytes, start: int, end: int):
         off = box_end
 
 
+def sample_file_offsets(track: dict) -> list[int]:
+    """Absolute file offset of every sample of a parsed track — the
+    real demuxer walk (ISO/IEC 14496-12 §8.7.4-8.7.5): expand the
+    stsc runs over the stco chunk list, then within each chunk the
+    i-th sample starts at chunk_offset + sum of its predecessors'
+    stsz sizes IN THAT CHUNK. Round 10 anchored every sample at
+    chunk_offsets[0], which silently misread multi-chunk layouts;
+    this walk handles them, and raises ValueError (the error-as-data
+    hook) for inconsistent tables:
+
+    - stsc missing with >1 chunk (single-chunk legacy layouts are
+      tolerated: every sample in chunk 1),
+    - stsc runs not starting at chunk 1 / not strictly increasing /
+      zero samples-per-chunk,
+    - chunks exhausted before every stsz sample is placed.
+    """
+    sizes = track.get("sample_sizes") or []
+    chunks = track.get("chunk_offsets") or []
+    stsc = track.get("sample_to_chunk") or []
+    if not sizes:
+        return []
+    if not chunks:
+        raise ValueError("sample table has sizes but no chunk offsets")
+    if not stsc:
+        if len(chunks) == 1:
+            stsc = [(1, len(sizes), 1)]
+        else:
+            raise ValueError(
+                f"{len(chunks)} chunks but no sample-to-chunk table"
+            )
+    if stsc[0][0] != 1:
+        raise ValueError(f"stsc first run starts at chunk {stsc[0][0]}")
+    for (a, spc, _), (b, _, _) in zip(stsc, stsc[1:]):
+        if b <= a:
+            raise ValueError("stsc first_chunk not strictly increasing")
+    offsets: list[int] = []
+    run = 0
+    placed = 0
+    for c in range(1, len(chunks) + 1):
+        while run + 1 < len(stsc) and stsc[run + 1][0] <= c:
+            run += 1
+        spc = stsc[run][1]
+        if spc <= 0:
+            raise ValueError(f"stsc run {run} declares {spc} samples/chunk")
+        off = chunks[c - 1]
+        for _ in range(spc):
+            if placed >= len(sizes):
+                return offsets
+            offsets.append(off)
+            off += sizes[placed]
+            placed += 1
+    if placed < len(sizes):
+        raise ValueError(
+            f"sample-to-chunk places {placed} of {len(sizes)} samples"
+        )
+    return offsets
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Parse an ISO BMFF container: ftyp brand, movie timescale +
     duration (mvhd), per-track handler / timescale / duration /
@@ -1183,6 +1241,7 @@ def parse_mp4(payload: bytes) -> dict:
         "timescale": None,
         "duration": None,
         "mdat_bytes": 0,
+        "mdat_offset": None,
         "tracks": [],
     }
 
@@ -1225,6 +1284,15 @@ def parse_mp4(payload: bytes) -> dict:
                     track["sample_sizes"] = list(
                         struct.unpack_from(f">{n}I", data, p + 8)
                     )
+            elif btype == b"stsc":
+                _v, p = full_box(b, e)
+                (n,) = struct.unpack_from(">I", data, p)
+                if p + 4 + n * 12 > e:
+                    raise ValueError("truncated stsc")
+                track["sample_to_chunk"] = [
+                    struct.unpack_from(">III", data, p + 4 + i * 12)
+                    for i in range(n)
+                ]
             elif btype in (b"stco", b"co64"):
                 _v, p = full_box(b, e)
                 (n,) = struct.unpack_from(">I", data, p)
@@ -1248,6 +1316,7 @@ def parse_mp4(payload: bytes) -> dict:
             "keyframes": [],
             "sample_sizes": [],
             "chunk_offsets": [],
+            "sample_to_chunk": [],
             "n_samples_stts": 0,
             "samples_duration": 0,
         }
@@ -1295,6 +1364,8 @@ def parse_mp4(payload: bytes) -> dict:
                 raise ValueError("truncated ftyp")
             out["brand"] = data[body : body + 4].decode("ascii", "replace")
         elif btype == b"mdat":
+            if out["mdat_offset"] is None:
+                out["mdat_offset"] = body
             out["mdat_bytes"] += end - body
         elif btype == b"moov":
             for bt2, b2, e2 in _walk_boxes(data, body, end):
@@ -1323,8 +1394,11 @@ def parse_mp4(payload: bytes) -> dict:
     # whose sample table declares bytes the file no longer carries —
     # keyframe-manifest offsets would then point past EOF. Require
     # that declared sample bytes fit inside mdat, that keyframe
-    # numbers exist, and that every chunk offset (plus, for the
-    # single-chunk layout, its samples' bytes) lands inside the file.
+    # numbers exist, that every chunk offset lands inside the file,
+    # and that EVERY SAMPLE's demuxed extent (stsc/stco walk, see
+    # sample_file_offsets) fits — round 10 only checked the
+    # single-chunk layout, letting multi-chunk files with dangling
+    # chunk-2+ samples pass validation.
     declared_total = 0
     for track in out["tracks"]:
         declared = sum(track["sample_sizes"])
@@ -1340,13 +1414,16 @@ def parse_mp4(payload: bytes) -> dict:
                 raise ValueError(
                     f"chunk offset {o} beyond file end {len(data)}"
                 )
-        if len(track["chunk_offsets"]) == 1 and declared:
-            o = track["chunk_offsets"][0]
-            if o + declared > len(data):
-                raise ValueError(
-                    f"chunk at {o} declares {declared} sample bytes "
-                    f"but file ends at {len(data)}"
-                )
+        if track["sample_sizes"]:
+            # raises ValueError itself on inconsistent stsc/stco
+            for off, sz in zip(
+                sample_file_offsets(track), track["sample_sizes"]
+            ):
+                if off + sz > len(data):
+                    raise ValueError(
+                        f"sample at {off} declares {sz} bytes but "
+                        f"file ends at {len(data)}"
+                    )
     if declared_total > out["mdat_bytes"]:
         raise ValueError(
             f"sample tables declare {declared_total} bytes but mdat "
@@ -1401,24 +1478,46 @@ def build_mp4_samples(
     width: int = 320,
     height: int = 240,
     codec: bytes = b"mp4v",
+    samples_per_chunk: int | None = None,
 ) -> bytes:
     """The general form of :func:`build_mp4`: the caller supplies the
     per-sample byte blobs (e.g. real JPEG frames for MJPEG-in-MP4 —
     'jpeg' is the registered motion-JPEG VisualSampleEntry type), the
     mdat is their concatenation and stsz carries their true lengths.
-    Same box grammar, one chunk, keyframe every
-    ``keyframe_every``-th sample."""
+    Same box grammar, keyframe every ``keyframe_every``-th sample.
+    ``samples_per_chunk=None`` keeps the one-chunk layout; an int
+    splits the samples into ceil(n/spc) chunks with per-chunk stco
+    offsets and compressed stsc runs — the layout that exercises the
+    real demuxer walk (sample_file_offsets)."""
     import struct
 
     if not samples:
         raise ValueError("build_mp4_samples needs at least one sample")
     if len(codec) != 4:
         raise ValueError(f"codec must be a 4CC, got {codec!r}")
+    if samples_per_chunk is not None and samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
     n_samples = len(samples)
     sizes = [len(s) for s in samples]
     text_bytes = b"".join(samples)
     keyframes = list(range(1, n_samples + 1, keyframe_every))
     duration = n_samples * sample_dur
+    spc = samples_per_chunk or n_samples
+    # chunk layout: spc samples per chunk, remainder in the last one;
+    # chunks lie contiguously in the mdat, so each chunk's RELATIVE
+    # byte start is the prefix sum of its predecessors' sample bytes
+    chunk_rel_starts, chunk_sample_counts = [], []
+    off = i = 0
+    while i < n_samples:
+        cnt = min(spc, n_samples - i)
+        chunk_rel_starts.append(off)
+        chunk_sample_counts.append(cnt)
+        off += sum(sizes[i : i + cnt])
+        i += cnt
+    n_chunks = len(chunk_rel_starts)
+    stsc_runs = [(1, spc, 1)]
+    if chunk_sample_counts[-1] != spc and n_chunks > 1:
+        stsc_runs.append((n_chunks, chunk_sample_counts[-1], 1))
 
     def box(btype: bytes, *parts: bytes) -> bytes:
         body = b"".join(parts)
@@ -1503,13 +1602,16 @@ def build_mp4_samples(
         )
         stsc = full(
             b"stsc", 0, 0,
-            struct.pack(">I", 1),
-            struct.pack(">III", 1, n_samples, 1),
+            struct.pack(">I", len(stsc_runs)),
+            *(struct.pack(">III", *run) for run in stsc_runs),
         )
         stco = full(
             b"stco", 0, 0,
-            struct.pack(">I", 1),
-            struct.pack(">I", mdat_data_off),
+            struct.pack(">I", n_chunks),
+            *(
+                struct.pack(">I", mdat_data_off + rel)
+                for rel in chunk_rel_starts
+            ),
         )
         stbl = box(b"stbl", stsd, stts, stss, stsz, stsc, stco)
         dref = full(
@@ -1657,8 +1759,10 @@ def mp4_keyframe_manifest(media: DataFrame) -> DataFrame:
     """(media_id, sample_no, rel_offset, sample_bytes) for every
     KEYFRAME — the sampling manifest a frame-extraction stage consumes
     ("seek to offset, read bytes, decode"): rel_offset is the
-    keyframe's byte position inside the mdat payload, computed from
-    the stsz prefix sums anchored at the stco chunk offset. Corrupt
+    keyframe's byte position inside the mdat payload, from the real
+    demuxer walk (sample_file_offsets) rebased to the mdat data
+    start — identical to the old stsz-prefix-sum arithmetic on the
+    single-chunk layout, correct on multi-chunk ones. Corrupt
     containers contribute no rows (their error is the stats query's
     job). At 100 TB this relation is what ships to the decode fleet —
     tiny integer rows, never the video bytes."""
@@ -1673,17 +1777,21 @@ def mp4_keyframe_manifest(media: DataFrame) -> DataFrame:
                     info = parse_mp4(payload if payload is not None else b"")
                 except Exception:  # noqa: BLE001 — stats query reports it
                     continue
+                mdat0 = info["mdat_offset"]
+                if mdat0 is None:
+                    continue
                 for t in info["tracks"]:
                     sizes = t.get("sample_sizes") or []
-                    prefix = [0]
-                    for s in sizes:
-                        prefix.append(prefix[-1] + s)
+                    try:
+                        abs_offs = sample_file_offsets(t)
+                    except ValueError:
+                        continue
                     for kf in t.get("keyframes") or []:
                         if not 1 <= kf <= len(sizes):
                             continue
                         ids.append(media_id)
                         nos.append(kf)
-                        offs.append(prefix[kf - 1])
+                        offs.append(abs_offs[kf - 1] - mdat0)
                         szs.append(sizes[kf - 1])
             yield pd.DataFrame(
                 {

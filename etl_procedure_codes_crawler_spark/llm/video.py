@@ -45,6 +45,7 @@ from .multimodal import (
     _PHASH_METHODS,
     build_mp4_samples,
     parse_mp4,
+    sample_file_offsets,
 )
 
 #: synthesis geometry shared with the SQL oracle: 16-px-wide grayscale
@@ -173,14 +174,15 @@ def video_keyframe_hashes(
 ) -> DataFrame:
     """(media_id, sample_no, width, height, phash, decode_error) for
     every KEYFRAME of every parseable container: parse the sample
-    table, compute the keyframe manifest rows (offset = stsz prefix
-    sum anchored at the stco chunk offset — the same arithmetic
-    mp4_keyframe_manifest ships), slice the JPEG bytes out of the
-    mdat, decode them with the real decoder (llm/jpeg.py) and
-    dHash/aHash the pixels — all in ONE Arrow pass, so video bytes
-    never re-enter the plan. Undecodable samples flow as error rows
-    (NULL phash + decode_error); unparseable containers contribute no
-    rows (their error is mp4_container_stats' job, the manifest
+    table, locate each keyframe's bytes with the REAL demuxer walk
+    (multimodal.sample_file_offsets — stsc runs expanded over the
+    stco chunk list, so multi-chunk layouts read the right bytes,
+    not chunk-1-anchored guesses), slice the JPEG out of the mdat,
+    decode it with the real decoder (llm/jpeg.py) and dHash/aHash
+    the pixels — all in ONE Arrow pass, so video bytes never
+    re-enter the plan. Undecodable samples flow as error rows (NULL
+    phash + decode_error); unparseable containers contribute no rows
+    (their error is mp4_container_stats' job, the manifest
     contract)."""
     if method not in _PHASH_METHODS:
         raise ValueError(
@@ -203,17 +205,14 @@ def video_keyframe_hashes(
                     continue
                 for t in info["tracks"]:
                     sizes = t.get("sample_sizes") or []
-                    offsets = t.get("chunk_offsets") or []
-                    if not offsets:
-                        continue
-                    base = offsets[0]
-                    prefix = [0]
-                    for s in sizes:
-                        prefix.append(prefix[-1] + s)
+                    try:
+                        offs = sample_file_offsets(t)
+                    except ValueError:
+                        continue  # inconsistent tables: stats' job
                     for kf in t.get("keyframes") or []:
                         if not 1 <= kf <= len(sizes):
                             continue
-                        lo = base + prefix[kf - 1]
+                        lo = offs[kf - 1]
                         blob = data[lo : lo + sizes[kf - 1]]
                         w = h = phash = None
                         error = None

@@ -932,6 +932,103 @@ class TestMp4Container:
         assert sorted(r.sample_no for r in rows) == [1, 6, 11]
 
 
+class TestDemuxerWalk:
+    """sample_file_offsets — the real stsc/stco expansion (round 11):
+    multi-chunk layouts must read the right bytes, inconsistent
+    tables must raise, and parse_mp4's extent validation must cover
+    every chunk, not just the first."""
+
+    FRAMES = [f"frame-{i}-payload".encode() * (i + 1) for i in range(7)]
+
+    def test_multi_chunk_samples_slice_exact_bytes(self):
+        payload = M.build_mp4_samples(self.FRAMES, samples_per_chunk=3)
+        info = M.parse_mp4(payload)
+        (t,) = info["tracks"]
+        assert len(t["chunk_offsets"]) == 3          # 3 + 3 + 1
+        assert t["sample_to_chunk"] == [(1, 3, 1), (3, 1, 1)]
+        offs = M.sample_file_offsets(t)
+        for i, f in enumerate(self.FRAMES):
+            assert payload[offs[i] : offs[i] + t["sample_sizes"][i]] == f
+
+    def test_single_chunk_layout_is_byte_identical_to_round10(self):
+        # the default layout must not change: every existing oracle
+        # hashes containers built this way
+        a = M.build_mp4_samples(self.FRAMES)
+        b = M.build_mp4_samples(self.FRAMES, samples_per_chunk=None)
+        c = M.build_mp4_samples(
+            self.FRAMES, samples_per_chunk=len(self.FRAMES)
+        )
+        assert a == b == c
+        (t,) = M.parse_mp4(a)["tracks"]
+        offs = M.sample_file_offsets(t)
+        prefix = [0]
+        for s in t["sample_sizes"]:
+            prefix.append(prefix[-1] + s)
+        assert offs == [t["chunk_offsets"][0] + p for p in prefix[:-1]]
+
+    def test_missing_stsc_tolerated_only_for_one_chunk(self):
+        (t,) = M.parse_mp4(M.build_mp4_samples(self.FRAMES))["tracks"]
+        legacy = dict(t, sample_to_chunk=[])
+        assert M.sample_file_offsets(legacy) == M.sample_file_offsets(t)
+        multi = M.parse_mp4(
+            M.build_mp4_samples(self.FRAMES, samples_per_chunk=2)
+        )["tracks"][0]
+        with pytest.raises(ValueError, match="no sample-to-chunk"):
+            M.sample_file_offsets(dict(multi, sample_to_chunk=[]))
+
+    @pytest.mark.parametrize(
+        "stsc, msg",
+        [
+            ([(2, 3, 1)], "starts at chunk 2"),
+            ([(1, 3, 1), (1, 2, 1)], "strictly increasing"),
+            ([(1, 0, 1)], "samples/chunk"),
+            ([(1, 1, 1)], "places"),  # 3 chunks x 1 sample < 7 samples
+        ],
+    )
+    def test_inconsistent_stsc_raises(self, stsc, msg):
+        t = M.parse_mp4(
+            M.build_mp4_samples(self.FRAMES, samples_per_chunk=3)
+        )["tracks"][0]
+        with pytest.raises(ValueError, match=msg):
+            M.sample_file_offsets(dict(t, sample_to_chunk=stsc))
+
+    def test_parse_rejects_dangling_chunk2_extent(self):
+        """A chunk-2+ offset that lands inside the file but whose
+        samples overrun EOF passed round-10 validation (only the
+        single-chunk layout was extent-checked) — must raise now."""
+        import struct
+
+        payload = M.build_mp4_samples(self.FRAMES, samples_per_chunk=3)
+        (t,) = M.parse_mp4(payload)["tracks"]
+        old = struct.pack(">I", t["chunk_offsets"][2])
+        new = struct.pack(">I", len(payload) - 2)  # in-file, overruns
+        assert payload.count(old) == 1
+        with pytest.raises(ValueError, match="file ends at"):
+            M.parse_mp4(payload.replace(old, new))
+
+    def test_keyframe_manifest_multi_chunk_offsets_rebased_to_mdat(
+        self, spark
+    ):
+        payload = M.build_mp4_samples(self.FRAMES, samples_per_chunk=2)
+        info = M.parse_mp4(payload)
+        (t,) = info["tracks"]
+        media = spark.createDataFrame(
+            [(1, payload, "video/mp4", len(payload), "s")],
+            M.MEDIA_SCHEMA,
+        )
+        rows = {
+            r.sample_no: r
+            for r in M.mp4_keyframe_manifest(media).collect()
+        }
+        offs = M.sample_file_offsets(t)
+        assert set(rows) == set(t["keyframes"])
+        for kf, r in rows.items():
+            assert r.rel_offset == offs[kf - 1] - info["mdat_offset"]
+            # the manifest contract: seek+read recovers the sample
+            lo = info["mdat_offset"] + r.rel_offset
+            assert payload[lo : lo + r.sample_bytes] == self.FRAMES[kf - 1]
+
+
 class TestContentVerify:
     """candidates→verify: perceptual candidates must be ADMITTED when
     their decoded content differs (organic hamming collisions) and
