@@ -104,13 +104,14 @@ _GATE_PRIORITY = [
     "extract_procedure_pages_fixture",
     "udtf_extract_modifiers_fixture",
     # round-9: the MP4 keyframe manifest took the distinct-event-types
-    # slot; round-10: real keyframe DECODE takes the manifest's slot
-    # (manifest stays oracled in registry + parity replica) — the
-    # decode row CONSUMES the manifest arithmetic (a wrong offset
-    # feeds garbage to the JPEG decoder and the hash breaks), so one
-    # sampled row now proves container parse + manifest seek + real
-    # codec decode end to end
-    "video_keyframe_decode_stats",
+    # slot; round-10: real keyframe DECODE took the manifest's slot;
+    # round-11: INTER-FRAME delta decode takes the keyframe row's slot
+    # (video_keyframe_decode_stats stays oracled in registry + parity
+    # replica) — the delta row strictly contains it: container parse +
+    # real demuxer seek + real JPEG keyframe decode PLUS closed-loop
+    # delta-chain reconstruction and the chain-break/recovery error
+    # plane, all hashed in one sampled row
+    "video_delta_decode_stats",
     # round-5 training-layout + PII-enforcement families
     "training_shuffle_manifest",
     "corpus_holdout_split",

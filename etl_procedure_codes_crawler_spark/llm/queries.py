@@ -7214,6 +7214,121 @@ def video_keyframe_neardup_pairs(
     return V.video_near_dup_pairs(kf, max_hamming=3)
 
 
+@register(
+    "video_delta_decode_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               LEAST(8, CASE WHEN trim(coalesce(text, '')) = '' THEN 1
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   AS nf,
+               octet_length(encode(coalesce(text, ''))) AS L,
+               (doc_id % 50 = 0) AS corrupt_c,
+               (doc_id % 50 <> 0 AND doc_id % 37 = 0) AS corrupt_d
+        FROM documents
+    ),
+    g AS (
+        -- one shared frame geometry per clip: every chunk padded to
+        -- the LARGEST chunk of the even split (delta prediction needs
+        -- equal-size reference frames) — padded_frame_pixels' closed
+        -- form
+        SELECT doc_id, nf, corrupt_d,
+               GREATEST(1, CAST(CEIL(
+                   ((L // nf) + CASE WHEN L % nf > 0 THEN 1 ELSE 0 END)
+                   / 16.0) AS BIGINT)) AS h
+        FROM d WHERE NOT corrupt_c
+    ),
+    per AS (
+        SELECT doc_id, i,
+               ((i - 1) % 5 = 0) AS is_sync,
+               (corrupt_d AND nf >= 2
+                AND i BETWEEN 2 AND LEAST(nf, 5)) AS err,
+               16 * h AS pix
+        FROM g, LATERAL unnest(generate_series(1, nf)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN is_sync AND NOT err THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sync_decoded,
+           CAST(SUM(CASE WHEN NOT is_sync AND NOT err THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_delta_decoded,
+           CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
+           CAST(SUM(CASE WHEN err THEN 0 ELSE pix END) AS BIGINT)
+               AS pixel_bytes
+    FROM per GROUP BY doc_id
+    """,
+)
+def video_delta_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-FRAME video decode, hash-oracled (round 11 closes the
+    predicted-frame gap): documents synthesize into delta-coded clips
+    (llm/video.py documents_as_delta_mp4 — sync samples real baseline
+    JPEGs, non-sync samples closed-loop per-pixel diffs under a
+    'dgry' VisualSampleEntry), and ONE Arrow pass walks every sample
+    table in order, decoding keyframes and applying delta chains
+    (video_frame_hashes). Per clip: frames walked, sync frames
+    decoded, delta frames reconstructed, chain-broken errors, decoded
+    pixel bytes (dims from the DECODED frames, not the synthesizer).
+    Every 50th doc is container-corrupt (no rows); every other 37th
+    doc's first delta sample is zeroed — the chain breaks for samples
+    2..min(nf,5) and RECOVERS at the next keyframe, the corrupt-chain
+    failure plane a real H.264-class corpus forces a decode fleet to
+    handle. Frame geometry and both schedules are closed-form in the
+    text, so DuckDB pins every count and dimension exactly."""
+    documents = load(spark, sf_dir, "documents")
+    from . import video as V
+
+    target = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
+    fh = V.video_frame_hashes(V.documents_as_delta_mp4(documents))
+    err = F.col("decode_error").isNotNull()
+    return fh.groupBy(
+        F.col("media_id").cast("bigint").alias("media_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("is_sync") & ~err, 1).otherwise(0))
+        .cast("bigint").alias("n_sync_decoded"),
+        F.sum(F.when(~F.col("is_sync") & ~err, 1).otherwise(0))
+        .cast("bigint").alias("n_delta_decoded"),
+        F.sum(F.when(err, 1).otherwise(0)).cast("bigint").alias("n_errors"),
+        F.sum(
+            F.when(~err, F.col("width") * F.col("height")).otherwise(0)
+        ).cast("bigint").alias("pixel_bytes"),
+    )
+
+
+@register("video_all_frame_neardup_pairs")  # rows-only: phash = numpy
+def video_all_frame_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video near-dup over ALL decodable frames, not just keyframes —
+    the capability keyframe-only scoring cannot deliver on an
+    H.264-class corpus (1-5%% keyframes): clips that differ ONLY in
+    predicted-frame content hash apart here and pair (wrongly) under
+    the keyframe family — the distinguishing contract pinned in
+    tests/test_video_delta.py. Corpus: delta-coded clips, every 7th
+    doc a byte-identical twin, the usual container/chain corruption
+    schedules. One Arrow pass decodes + hashes every reconstructable
+    frame; pairs ride the SAME star-capped 4-band hamming join;
+    min_match_frac=1 keeps full-clip duplicates. Rows-only because
+    the hash is numpy-side."""
+    documents = load(spark, sf_dir, "documents")
+    from . import video as V
+
+    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    corpus = documents.unionByName(twins)
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
+    fh = V.video_frame_hashes(
+        V.documents_as_delta_mp4(corpus)
+    ).localCheckpoint(eager=True)
+    return V.video_near_dup_pairs(fh, max_hamming=3)
+
+
 @register("streaming_blocklist_scan", oracle=_BLOCKLIST_ORACLE)
 def streaming_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blocklist scan AT ADMISSION (streaming/scan.py): the
@@ -7595,4 +7710,8 @@ ROWS_ONLY = {
     # round-10: video keyframe dHash is numpy-side (like the image and
     # audio twins); twin recall at hamming 0 pinned in tests/test_video.py
     "video_keyframe_neardup_pairs",
+    # round-11: all-frame (delta-decoded) near-dup — numpy dHash like
+    # its keyframe twin; twin recall + the keyframe-vs-all-frame
+    # distinguishing contract pinned in tests/test_video_delta.py
+    "video_all_frame_neardup_pairs",
 }

@@ -36,7 +36,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -241,6 +247,304 @@ def video_keyframe_hashes(
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=VIDEO_KF_HASH_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-frame (predicted-frame) video: delta-encoded non-sync samples
+# ---------------------------------------------------------------------------
+#
+# Real 100 TB video corpora are H.264-class: ~1-5% keyframes, the rest
+# predicted frames that only exist relative to a reference. The MJPEG
+# family above decodes keyframes only; this family closes the gap with
+# a delta codec over the SAME container machinery: sync samples stay
+# real baseline JPEGs, every non-sync sample stores the per-pixel
+# difference (mod 256) from the PREVIOUS RECONSTRUCTED frame —
+# closed-loop prediction, the standard codec design (the encoder
+# predicts from what the decoder will actually have, so delta frames
+# reconstruct their source EXACTLY even though the JPEG keyframes
+# round-trip only within +-2). Decode is driven by the sample table's
+# sync flags (stss): a keyframe resets the prediction chain, a broken
+# chain (undecodable reference) turns every dependent frame into an
+# error row until the next keyframe — the corrupt-chain failure plane.
+
+#: delta-sample wire format: magic + >HH width height + w*h bytes of
+#: (cur - prev_recon) mod 256. Sample size = 8 + w*h — closed form,
+#: which is what lets DuckDB pin the container geometry.
+DELTA_MAGIC = b"DGRY"
+
+#: the delta family's planted corruption schedule: every 37th doc's
+#: FIRST NON-SYNC sample (sample 2) is zeroed — the container parses,
+#: the keyframe decodes, and the prediction chain breaks for samples
+#: 2..min(nf, keyframe_every) until the next keyframe resets it.
+VIDEO_CORRUPT_DELTA_EVERY = 37
+
+
+def padded_frame_pixels(
+    data: bytes, n_frames: int, width: int = VIDEO_FRAME_WIDTH
+) -> tuple[list[bytes], int, int]:
+    """(frames, width, height) — the even byte split of the payload,
+    every chunk zero-padded to ONE shared geometry (delta prediction
+    needs equal-size reference frames): height = ceil(max_chunk /
+    width), max_chunk = base + (1 if rem else 0) — closed form in
+    (len(data), n_frames), which the SQL oracle replays."""
+    sizes = _mp4_sample_sizes(len(data), n_frames)
+    height = max(1, -(-max(sizes) // width))
+    frames, off = [], 0
+    for sz in sizes:
+        frames.append(data[off : off + sz].ljust(width * height, b"\x00"))
+        off += sz
+    return frames, width, height
+
+
+def encode_delta_clip(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    keyframe_every: int = MP4_KEYFRAME_EVERY,
+) -> list[bytes]:
+    """Pixel frames (equal geometry) -> sample blobs: sample i is a
+    real JPEG when (i-1) % keyframe_every == 0, else DGRY header +
+    (frame - prev_reconstruction) mod 256. Closed-loop: the encoder
+    tracks the decoder's reconstruction (decode its own JPEG output),
+    so every delta frame reconstructs its source byte-exactly."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("delta clip frames must share one geometry")
+    samples: list[bytes] = []
+    recon: np.ndarray | None = None
+    header = DELTA_MAGIC + struct.pack(">HH", width, height)
+    for i, frame in enumerate(frames):
+        cur = np.frombuffer(frame, dtype=np.uint8)
+        if i % keyframe_every == 0:
+            blob = encode_jpeg(frame, width, height, channels=1)
+            _w, _h, _c, pix = decode_jpeg(blob)
+            recon = np.frombuffer(pix, dtype=np.uint8)
+        else:
+            diff = (cur.astype(np.int16) - recon.astype(np.int16)) % 256
+            blob = header + diff.astype(np.uint8).tobytes()
+            recon = cur
+        samples.append(blob)
+    return samples
+
+
+def documents_as_delta_mp4(
+    documents: DataFrame,
+    width: int = VIDEO_FRAME_WIDTH,
+    max_frames: int = VIDEO_MAX_FRAMES,
+    corrupt_container_every: int = VIDEO_CORRUPT_CONTAINER_EVERY,
+    corrupt_delta_every: int = VIDEO_CORRUPT_DELTA_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #7: each document
+    becomes a delta-coded clip — n_frames = min(max_frames, max(1,
+    tokens)), all frames padded to one geometry, sync samples real
+    JPEGs, non-sync samples closed-loop diffs (see
+    :func:`encode_delta_clip`), packed as a valid ISO BMFF container
+    with a ``'dgry'`` VisualSampleEntry. Every
+    ``corrupt_container_every``-th doc truncates mid-container (parse
+    error, no rows) and every other ``corrupt_delta_every``-th doc
+    with >= 2 frames zeroes its FIRST delta sample (the chain-break
+    plane). Identical text => byte-identical clips."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8")
+                n_frames = min(
+                    max_frames, max(1, len((text or "").split()))
+                )
+                frames, w, h = padded_frame_pixels(data, n_frames, width)
+                samples = encode_delta_clip(frames, w, h)
+                if (
+                    corrupt_delta_every
+                    and doc_id % corrupt_delta_every == 0
+                    and len(samples) >= 2
+                    and not (
+                        corrupt_container_every
+                        and doc_id % corrupt_container_every == 0
+                    )
+                ):
+                    # same length => identical sample table; no DGRY
+                    # magic => the delta parse fails and the chain
+                    # breaks until the next keyframe
+                    samples[1] = b"\x00" * len(samples[1])
+                payload = build_mp4_samples(
+                    samples, width=w, height=h, codec=b"dgry"
+                )
+                if (
+                    corrupt_container_every
+                    and doc_id % corrupt_container_every == 0
+                ):
+                    payload = payload[: max(12, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("video/mp4")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+VIDEO_FRAME_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_no", LongType()),
+        StructField("is_sync", BooleanType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("phash", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """(media_id, sample_no, is_sync, width, height, phash,
+    decode_error) for EVERY sample of every parseable container — the
+    all-frame twin of :func:`video_keyframe_hashes`: walk the sample
+    table in presentation order (real demuxer offsets,
+    multimodal.sample_file_offsets), decode sync samples with the
+    real JPEG decoder, apply DGRY deltas to the running
+    reconstruction for non-sync samples, and perceptual-hash every
+    reconstructed frame. Error-as-data: an undecodable sync sample
+    emits an error row AND breaks the prediction chain — every
+    dependent delta frame emits a 'reference chain broken' error row
+    until the next keyframe; an undecodable delta sample does the
+    same from its own position. Unparseable containers contribute no
+    rows (mp4_container_stats' job).
+
+    Scale shape: one Arrow pass; video bytes never shuffle; output is
+    the integer (media_id, sample_no, phash) relation — the all-frame
+    input video_near_dup_pairs consumes."""
+    import struct
+
+    if method not in _PHASH_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
+        )
+    hasher = _PHASH_METHODS[method]
+    hdr = len(DELTA_MAGIC) + 4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg import decode_jpeg
+
+        for batch in batches:
+            out = {k.name: [] for k in VIDEO_FRAME_HASH_SCHEMA.fields}
+
+            def emit(media_id, no, sync, w, h, phash, error):
+                out["media_id"].append(media_id)
+                out["sample_no"].append(no)
+                out["is_sync"].append(sync)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash"].append(phash)
+                out["decode_error"].append(error)
+
+            for media_id, payload in zip(
+                batch["media_id"], batch["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    info = parse_mp4(data)
+                except Exception:  # noqa: BLE001 — stats query reports it
+                    continue
+                for t in info["tracks"]:
+                    sizes = t.get("sample_sizes") or []
+                    try:
+                        offs = sample_file_offsets(t)
+                    except ValueError:
+                        continue
+                    sync_set = set(t.get("keyframes") or [])
+                    recon = None  # np.uint8 pixels, or None = broken
+                    rdims = None
+                    for no in range(1, len(sizes) + 1):
+                        blob = data[offs[no - 1] : offs[no - 1] + sizes[no - 1]]
+                        sync = no in sync_set
+                        try:
+                            if sync:
+                                fw, fh, fc, pix = decode_jpeg(blob)
+                                recon = np.frombuffer(
+                                    pix, dtype=np.uint8
+                                ) if fc == 1 else None
+                                if recon is None:
+                                    raise ValueError(
+                                        f"{fc}-channel sync frame in a "
+                                        "grayscale delta clip"
+                                    )
+                                rdims = (fw, fh)
+                            else:
+                                if recon is None:
+                                    raise ValueError(
+                                        "reference chain broken: no "
+                                        "decodable frame to predict from"
+                                    )
+                                if blob[: len(DELTA_MAGIC)] != DELTA_MAGIC:
+                                    recon = None
+                                    raise ValueError(
+                                        "corrupt delta sample: bad magic"
+                                    )
+                                dw, dh = struct.unpack_from(
+                                    ">HH", blob, len(DELTA_MAGIC)
+                                )
+                                if (dw, dh) != rdims or len(blob) != (
+                                    hdr + dw * dh
+                                ):
+                                    recon = None
+                                    raise ValueError(
+                                        "corrupt delta sample: geometry "
+                                        f"({dw}x{dh}, {len(blob)}B) does "
+                                        f"not match reference {rdims}"
+                                    )
+                                diff = np.frombuffer(
+                                    blob[hdr:], dtype=np.uint8
+                                )
+                                recon = (
+                                    recon.astype(np.int16)
+                                    + diff.astype(np.int16)
+                                ).astype(np.uint8)
+                            w, h = rdims
+                            emit(
+                                media_id, no, sync, w, h,
+                                hasher(recon.tobytes(), w, h, 1), None,
+                            )
+                        except NotImplementedError:
+                            raise  # missing codec: loud, not a data error
+                        except Exception as exc:  # noqa: BLE001
+                            if sync:
+                                recon = None  # sync failure breaks chain
+                            emit(
+                                media_id, no, sync, None, None, None,
+                                repr(exc),
+                            )
+            for name in ("media_id", "sample_no", "width", "height",
+                         "phash"):
+                # nullable Int64, NOT object (the round-8 phash hazard)
+                out[name] = pd.array(out[name], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_HASH_SCHEMA
     )
 
 

@@ -89,9 +89,10 @@ def test_family_coverage_in_gate_sample(entry):
                 "embedding_margin_pairs"},
         # round-9 rotation: the MP4 box-walk family holds the sampled
         # multimodal rows (payload/PNG/JPEG stats stay in the registry);
-        # round-10: keyframe DECODE takes the manifest slot (it consumes
-        # the manifest arithmetic, so the slot proves strictly more)
-        "multimodal": {"multimodal_mp4_stats", "video_keyframe_decode_stats"},
+        # round-10: keyframe DECODE took the manifest slot; round-11:
+        # inter-frame DELTA decode takes the keyframe slot (strictly
+        # contains it: demuxer seek + JPEG decode + delta chains)
+        "multimodal": {"multimodal_mp4_stats", "video_delta_decode_stats"},
         "trends": {"user_value_trends"},
         "corpus_prep": {"llm_corpus_prep_v2", "tfidf_top_terms",
                         "llm_corpus_prep_multimodal"},
