@@ -2336,19 +2336,106 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_bruteforce(embeddings, queries, k=5)
 
 
-@register("ann_cosine_topk_lsh")  # rows-only (approximate by design)
+#: md5-mode hyperplane-LSH bucket CTEs shared by both float-LSH
+#: oracles (round 11 — the round-10 md5-60 trick extended to float
+#: embeddings): coordinates fixed-point-quantized with ONE IEEE
+#: multiply + floor, ±1 plane entries from md5 parity, plane dots
+#: exact int64 sums (order-free), bucket = Σ 2^i·(dot>0) per table.
+#: 8 tables × 5 planes over dim 64 — similarity._md5_bucket_signatures
+_LSH_MD5_BUCKETS = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (
+        SELECT vec_id,
+               [CAST(FLOOR(x * 1048576.0) AS BIGINT) FOR x IN v] AS q
+        FROM e
+    ),
+    pl AS (
+        SELECT p,
+               [CASE WHEN CAST(('0x' || substr(
+                        md5('hp:' || p || ':' || j), 1, 1)) AS INT) % 2 = 1
+                     THEN 1 ELSE -1 END
+                FOR j IN generate_series(0, 63)] AS s
+        FROM generate_series(0, 39) AS t(p)
+    ),
+    bk AS (
+        SELECT vec_id, p // 5 AS tbl,
+               CAST(SUM(CASE WHEN list_sum(
+                        [q[i] * s[i] FOR i IN generate_series(1, 64)]) > 0
+                    THEN (1 << (p % 5)) ELSE 0 END) AS BIGINT) AS bucket
+        FROM qz, pl GROUP BY vec_id, p // 5
+    )
+"""
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+    WITH {_LSH_MD5_BUCKETS},
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM bk qb JOIN bk cb
+          ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < 20 AND qb.vec_id <> cb.vec_id
+    ),
+    pairs AS (
+        SELECT c.query_id, c.neighbor_id, {_COS} AS cos
+        FROM cand c
+        JOIN (SELECT vec_id, v AS qe FROM e) a ON a.vec_id = c.query_id
+        JOIN (SELECT vec_id, v AS ce FROM e) b ON b.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table hyperplane LSH, HASH-ORACLED
+    (round 11): md5-derived ±1 planes over fixed-point coordinates
+    make every signature an exact int64 relation both engines
+    reproduce; the oracle replays bucket collisions, the exact-cosine
+    re-rank, and the (cos DESC, neighbor_id) tie order bit-for-bit.
+    Recall vs the exact baseline stays pinned in tests (the candidate
+    set is approximate BY DESIGN; its derivation no longer is)."""
     embeddings = load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_lsh(embeddings, queries, k=5)
+    return S.cosine_topk_lsh(embeddings, queries, k=5, plane_mode="md5")
 
 
-@register("embedding_similar_pairs_lsh")  # rows-only (approximate by design)
+@register(
+    "embedding_similar_pairs_lsh",
+    oracle=f"""
+    WITH {_LSH_MD5_BUCKETS},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bk a JOIN bk b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b, {_COS} AS cos
+        FROM cand c
+        JOIN (SELECT vec_id, v AS qe FROM e) ea ON ea.vec_id = c.vec_a
+        JOIN (SELECT vec_id, v AS ce FROM e) eb ON eb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
+    FROM pairs WHERE cos >= 0.45
+    """,
+)
 def embedding_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup pair mining: bucket-local
-    self-join + exact verify (vs the O(n²) oracled baseline)."""
+    self-join + exact verify (vs the O(n²) oracled baseline) —
+    HASH-ORACLED via md5-mode ±1 planes (round 11): the bucket
+    relation, candidate join, and cosine verify all replay in SQL.
+    Candidates the LSH recall misses are missed identically in both
+    engines, so the output hashes exactly."""
     embeddings = load(spark, sf_dir, "embeddings")
-    return S.similar_pairs_lsh(embeddings, threshold=0.45)
+    return S.similar_pairs_lsh(embeddings, threshold=0.45, plane_mode="md5")
 
 
 @register("ann_cosine_topk_ivf")  # rows-only (approximate by design)
@@ -7660,7 +7747,9 @@ ROWS_ONLY = {
     # round-10: minhash_near_dup_pairs, near_dup_clusters,
     # source_overlap_minhash, and simhash_near_dup_pairs left this
     # set — md5-mode signatures made the LSH families hash-oracled
-    "ann_cosine_topk_lsh",
+    # round-11: ann_cosine_topk_lsh + embedding_similar_pairs_lsh left
+    # this set — md5-derived ±1 planes over fixed-point coordinates
+    # made the float-LSH signatures hash-oracled
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
     "ann_cosine_topk_ivfpq",
@@ -7672,7 +7761,6 @@ ROWS_ONLY = {
     "bpe_fertility_by_source",
     "bpe_bucketed_batches",
     "neardup_incremental_documents",
-    "embedding_similar_pairs_lsh",
     "semantic_dedup_cells",
     "lm_perplexity_documents",
     "embedding_pca_whiten_stats",

@@ -249,13 +249,19 @@ def similar_pairs_lsh(
     planes_per_table: int = 5,
     dim: int = 64,
     seed: int = 42,
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Embedding near-dup pair mining at scale: LSH buckets generate
     candidates (self-join within (table, bucket) — quadratic only
     inside a bucket), exact cosine verifies. The scale path for
     :func:`similar_pairs_bruteforce`'s O(n²) scan; recall < 1 by
-    design, tunable via num_tables."""
-    planes = _hyperplanes(num_tables * planes_per_table, dim, seed)
+    design, tunable via num_tables. ``plane_mode='md5'`` swaps the
+    Gaussian planes for md5-derived ±1 planes over fixed-point
+    coordinates — integer-exact signatures a SQL oracle replays
+    (hash-oracled); 'gaussian' stays the float default."""
+    planes, signature = _resolve_planes(
+        plane_mode, num_tables, planes_per_table, dim, seed
+    )
     b = lsh_table_buckets(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "id",
@@ -263,6 +269,7 @@ def similar_pairs_lsh(
         planes,
         num_tables,
         planes_per_table,
+        signature=signature,
     )
     # cache once: the self-join below consumes BOTH sides of this
     # frame, and Spark plans the Arrow signature pass separately per
@@ -669,6 +676,63 @@ def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]
     return rng.randn(num_planes, dim).tolist()
 
 
+#: fixed-point scale for md5-mode signatures: quantizing each
+#: coordinate with ONE IEEE multiply + floor makes every plane dot an
+#: exact int64 sum — order-independent, so numpy matmul here equals
+#: DuckDB's list fold bit-for-bit (the round-10 md5-60 MinHash trick,
+#: extended to float-embedding LSH)
+_MD5_PLANE_SCALE = float(1 << 20)
+
+
+def _md5_sign_planes(num_planes: int, dim: int) -> "np.ndarray":
+    """±1 hyperplane entries from md5 bit parity: entry (p, j) is +1
+    iff the first hex digit of md5('hp:p:j') is odd. Rademacher
+    planes are a standard SimHash choice (Charikar 2002 needs only a
+    sign-symmetric distribution, and Achlioptas 2001 shows ±1
+    projections preserve angles like Gaussians); deriving them from
+    md5 makes the SQL oracle reproduce the exact matrix."""
+    import hashlib
+
+    signs = np.empty((num_planes, dim), dtype=np.int64)
+    for p in range(num_planes):
+        for j in range(dim):
+            digit = hashlib.md5(f"hp:{p}:{j}".encode()).hexdigest()[0]
+            signs[p, j] = 1 if int(digit, 16) % 2 else -1
+    return signs
+
+
+def _md5_bucket_signatures(
+    num_tables: int, planes_per_table: int, dim: int
+):
+    """Integer-exact twin of :func:`_all_bucket_signatures` (md5
+    mode): coordinates quantized to fixed-point int64, dots an int64
+    matmul against the ±1 plane matrix (associative — no float
+    order hazard), bucket = Σ 2^i·(dot_i > 0) per table. Every step
+    is replayable in ANSI SQL, which is what moves the float-LSH
+    queries from rows-only to hash-oracled."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    signs = _md5_sign_planes(num_tables * planes_per_table, dim)
+    weights = (2 ** np.arange(planes_per_table)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vectors: pd.Series) -> pd.Series:
+        stacked = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vectors]
+        )
+        q = np.floor(stacked * _MD5_PLANE_SCALE).astype(np.int64)
+        bits = (q @ signs.T) > 0  # (n, T*r), exact integer dots
+        per_table = [
+            bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+            @ weights
+            for t in range(num_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return buckets
+
+
 def lsh_bucket_column(vec_col, planes: list[list[float]]):
     """Sign-pattern bucket id: bit i = 1 iff dot(v, plane_i) > 0.
 
@@ -732,6 +796,7 @@ def lsh_table_buckets(
     num_tables: int,
     planes_per_table: int,
     spread: bool = True,
+    signature=None,
 ) -> DataFrame:
     """(id, vec, table, bucket) rows — one row per LSH table.
 
@@ -743,10 +808,14 @@ def lsh_table_buckets(
     the query side of a top-k search, which is tiny by construction
     and about to be broadcast anyway; paying a shuffle plus a 32-batch
     Arrow stage to fan out 20 rows costs more than the matmul saves.
+
+    ``signature`` overrides the bucket UDF (the md5-mode integer
+    signatures pass theirs; default = Gaussian-plane matmul).
     """
     from .text import spread_small_input
 
-    signature = _all_bucket_signatures(planes, num_tables, planes_per_table)
+    if signature is None:
+        signature = _all_bucket_signatures(planes, num_tables, planes_per_table)
     # spread narrow inputs so the Arrow signature batches use every
     # core (a single parquet file otherwise pins the matmul to one)
     if spread:
@@ -850,6 +919,23 @@ def cosine_topk_ivf(
     )
 
 
+def _resolve_planes(
+    plane_mode: str,
+    num_tables: int,
+    planes_per_table: int,
+    dim: int,
+    seed: int,
+):
+    """(planes, signature_udf) for a plane mode: 'gaussian' = float
+    planes + BLAS matmul signatures (throughput default), 'md5' =
+    ±1 planes + integer-exact signatures (oracle-replayable)."""
+    if plane_mode == "gaussian":
+        return _hyperplanes(num_tables * planes_per_table, dim, seed), None
+    if plane_mode == "md5":
+        return None, _md5_bucket_signatures(num_tables, planes_per_table, dim)
+    raise ValueError(f"unknown plane_mode {plane_mode!r}")
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -860,6 +946,7 @@ def cosine_topk_lsh(
     planes_per_table: int = 5,
     dim: int = 64,
     seed: int = 42,
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH generates
     candidates (union over tables), exact cosine re-ranks them.
@@ -868,8 +955,11 @@ def cosine_topk_lsh(
     corpus's similarity profile (more tables → recall↑ candidates↑).
     At 100 TB the (table, bucket) join replaces the full corpus scan
     per query; buckets partition evenly because hyperplane signs are
-    balanced."""
-    planes = _hyperplanes(num_tables * planes_per_table, dim, seed)
+    balanced. ``plane_mode='md5'``: integer-exact ±1 signatures a SQL
+    oracle replays (see :func:`_md5_bucket_signatures`)."""
+    planes, signature = _resolve_planes(
+        plane_mode, num_tables, planes_per_table, dim, seed
+    )
     q = lsh_table_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id",
@@ -878,6 +968,7 @@ def cosine_topk_lsh(
         num_tables,
         planes_per_table,
         spread=False,
+        signature=signature,
     )
     c = lsh_table_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
@@ -886,6 +977,7 @@ def cosine_topk_lsh(
         planes,
         num_tables,
         planes_per_table,
+        signature=signature,
     )
     qn = with_norm(q, "qv").withColumnRenamed("_norm", "qn")
     cn = with_norm(c, "cv").withColumnRenamed("_norm", "cn")

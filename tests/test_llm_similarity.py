@@ -127,6 +127,113 @@ class TestSimilarPairsLsh:
             assert recall >= 0.5, f"LSH pair recall {recall:.2f}"
 
 
+class TestMd5PlaneMode:
+    """md5-mode hyperplane LSH (round 11): ±1 planes from md5 parity
+    over fixed-point int64 coordinates — the signature relation is
+    engine-deterministic, which is what moved ann_cosine_topk_lsh and
+    embedding_similar_pairs_lsh from rows-only to hash-oracled."""
+
+    def test_signatures_match_pure_python_replica(self, spark, sf_dir):
+        import hashlib
+
+        import numpy as np
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        embeddings = load(spark, sf_dir, "embeddings").filter(
+            "vec_id < 30"
+        )
+        sig = S._md5_bucket_signatures(8, 5, 64)
+        got = {
+            (r.id, r.table): r.bucket
+            for r in S.lsh_table_buckets(
+                embeddings.selectExpr("vec_id AS id", "embedding AS v"),
+                "id", "v", None, 8, 5, signature=sig,
+            ).collect()
+        }
+        vecs = {
+            r.vec_id: list(r.embedding) for r in embeddings.collect()
+        }
+        # pure-stdlib replica: int dots, no numpy order effects at all
+        signs = [
+            [
+                1
+                if int(
+                    hashlib.md5(f"hp:{p}:{j}".encode()).hexdigest()[0], 16
+                ) % 2
+                else -1
+                for j in range(64)
+            ]
+            for p in range(40)
+        ]
+        for vid, v in vecs.items():
+            q = [int(np.floor(np.float64(x) * 1048576.0)) for x in v]
+            for t in range(8):
+                bucket = sum(
+                    (1 << i)
+                    for i in range(5)
+                    if sum(
+                        s * c
+                        for s, c in zip(signs[t * 5 + i], q)
+                    ) > 0
+                )
+                assert got[(vid, t)] == bucket, (vid, t)
+
+    def test_md5_pairs_are_verified_and_recall_floored(
+        self, spark, sf_dir
+    ):
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        embeddings = load(spark, sf_dir, "embeddings")
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in S.similar_pairs_bruteforce(embeddings, 0.45).collect()
+        }
+        approx = {
+            (r.vec_a, r.vec_b)
+            for r in S.similar_pairs_lsh(
+                embeddings, 0.45, plane_mode="md5"
+            ).collect()
+        }
+        assert approx <= exact  # exact-cosine verify: no false positives
+        if exact:
+            recall = len(approx & exact) / len(exact)
+            assert recall >= 0.5, f"md5-mode pair recall {recall:.2f}"
+
+    def test_md5_topk_recall_floor(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+        from etl_procedure_codes_crawler_spark.plans.relational import load
+
+        embeddings = load(spark, sf_dir, "embeddings")
+        queries = embeddings.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(
+                embeddings, queries, k=5
+            ).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_lsh(
+                embeddings, queries, k=5, plane_mode="md5"
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2, f"md5-mode topk recall {recall:.2f}"
+
+    def test_unknown_plane_mode_rejected(self):
+        import pytest as _pytest
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        with _pytest.raises(ValueError, match="plane_mode"):
+            S._resolve_planes("xx", 8, 5, 64, 42)
+
+
 class TestPQ:
     def test_pq_recall_against_bruteforce(self, spark, sf_dir):
         """ADC shortlist + exact re-rank must recover most of the true
