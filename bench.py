@@ -339,6 +339,25 @@ def main() -> None:
             _warm(F.col("id").cast("double")).alias("v")
         ).agg(F.sum("v")).collect()
 
+    # Throwaway REAL-query warm-ups (round 11, verdict #7): the token
+    # UDF pass above warms the Python workers but not whole-stage
+    # codegen caches, parquet footer readers, or the band-join /
+    # window code paths — round 10 still saw a 1.6-3.5x in-suite vs
+    # isolated envelope on sub-second rows, forcing 15 recheck runs.
+    # Three cheap representative shapes (pure-JVM agg+join, Arrow
+    # decode, banded self-join), two passes each, untimed.
+    for _warm_name in (
+        "q1_pricing_summary",
+        "multimodal_payload_stats",
+        "simhash_near_dup_pairs",
+    ):
+        if _warm_name in QUERIES:
+            for _ in range(2):
+                try:
+                    QUERIES[_warm_name](spark, sf_dir).count()
+                except Exception:  # noqa: BLE001 — warm-up, never fatal
+                    break
+
     # One failing query must not take down the whole suite (a crashed
     # bench reports nothing — worse than reporting 35 good numbers and
     # 1 error). Failures land in "errors" with the exception head; the

@@ -7557,13 +7557,17 @@ def streaming_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-#: the round-10 streaming capstone oracle: the five-gate admission
-#: funnel replayed in SQL — exact dedup (min id per normalized text),
-#: media near-dup (min id per 8-token-prefix content class; every
-#: 50th doc is corrupt media and admits), boilerplate strip (block=3,
-#: df>5 over the media survivors), per-source budgets (cumsum of
-#: CLEAN tokens in id order, 800 for src0-2), and the md5 KMV
-#: bottom-64 estimate over admitted clean text
+#: the streaming capstone oracle (round 10, +video round 11): the
+#: six-gate admission funnel replayed in SQL — exact dedup (min id
+#: per normalized text), image near-dup (min id per 8-token-prefix
+#: content class; every 50th doc is corrupt media and admits), VIDEO
+#: near-dup (min id per 3-token-prefix clip class — coarser than the
+#: image class, so it fires where the image gate cannot; every 50th
+#: doc is container-corrupt and every other 37th has a broken
+#: keyframe — both admit, no perceptual identity), boilerplate strip
+#: (block=3, df>5 over the video survivors), per-source budgets
+#: (cumsum of CLEAN tokens in id order, 800 for src0-2), and the md5
+#: KMV bottom-64 estimate over admitted clean text
 _UNIFIED_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, source, text, {_TOKS} AS t
@@ -7587,11 +7591,22 @@ _UNIFIED_ORACLE = f"""
         FROM md
     ),
     media_keep AS (SELECT doc_id, source, t FROM mr WHERE mrk = 1),
+    vd AS (
+        SELECT *, CASE WHEN doc_id % 50 = 0 OR doc_id % 37 = 0 THEN NULL
+             ELSE array_to_string(t[1:3], ' ') END AS vkey
+        FROM media_keep
+    ),
+    vr AS (
+        SELECT *, CASE WHEN vkey IS NULL THEN 1 ELSE
+            ROW_NUMBER() OVER (PARTITION BY vkey ORDER BY doc_id) END AS vrk
+        FROM vd
+    ),
+    video_keep AS (SELECT doc_id, source, t FROM vr WHERE vrk = 1),
     chunks AS (
         SELECT doc_id, i,
                array_to_string(list_slice(t, (i - 1) * 3 + 1, i * 3), ' ')
                    AS passage
-        FROM media_keep,
+        FROM video_keep,
              LATERAL unnest(generate_series(
                  1, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS s(i)
     ),
@@ -7612,7 +7627,7 @@ _UNIFIED_ORACLE = f"""
         SELECT m.doc_id, m.source,
                COALESCE(p.n_removed, 0) AS n_removed,
                COALESCE(p.text_clean, '') AS text_clean
-        FROM media_keep m LEFT JOIN per_doc p USING (doc_id)
+        FROM video_keep m LEFT JOIN per_doc p USING (doc_id)
     ),
     bt AS (
         SELECT *,
@@ -7659,6 +7674,7 @@ _UNIFIED_ORACLE = f"""
             FROM base GROUP BY source),
     exs AS (SELECT source, COUNT(*) AS n_ex FROM exact_keep GROUP BY source),
     mds AS (SELECT source, COUNT(*) AS n_md FROM media_keep GROUP BY source),
+    vds AS (SELECT source, COUNT(*) AS n_vd FROM video_keep GROUP BY source),
     ads AS (SELECT source, COUNT(*) AS n_ad, SUM(n_removed) AS prm,
                    SUM(n_tok) AS tok
             FROM admitted GROUP BY source)
@@ -7668,7 +7684,9 @@ _UNIFIED_ORACLE = f"""
                AS n_exact_rejected,
            CAST(COALESCE(n_ex, 0) - COALESCE(n_md, 0) AS BIGINT)
                AS n_media_rejected,
-           CAST(COALESCE(n_md, 0) - COALESCE(n_ad, 0) AS BIGINT)
+           CAST(COALESCE(n_md, 0) - COALESCE(n_vd, 0) AS BIGINT)
+               AS n_video_rejected,
+           CAST(COALESCE(n_vd, 0) - COALESCE(n_ad, 0) AS BIGINT)
                AS n_budget_rejected,
            CAST(COALESCE(n_ad, 0) AS BIGINT) AS n_admitted,
            CAST(COALESCE(prm, 0) AS BIGINT) AS passages_removed,
@@ -7676,24 +7694,28 @@ _UNIFIED_ORACLE = f"""
            est_distinct_shingles
     FROM arr a
     LEFT JOIN exs USING (source) LEFT JOIN mds USING (source)
+    LEFT JOIN vds USING (source)
     LEFT JOIN ads USING (source) LEFT JOIN kest USING (source)
 """
 
 
 @register("streaming_unified_admission", oracle=_UNIFIED_ORACLE)
 def streaming_unified_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-10 streaming capstone: ALL FIVE ingest gates composed
-    into ONE admission decision per batch (streaming/unified.py) —
-    exact content dedup, media near-dup (a real PNG of each doc's
-    8-token head, candidates→content-verify so the decision is
-    deterministic), boilerplate strip at admission, per-source token
-    budgets on CLEAN tokens, and KMV cardinality folding — with a
-    per-batch per-source attrition row committed alongside the five
-    store updates. Offered as one availableNow batch, the served
-    funnel report (attrition sums + the KMV store's estimates) must
-    hash-match the oracle's from-scratch SQL replay of the whole
-    pipeline — the streaming twin of llm_corpus_prep_multimodal.
-    Crash-replay bit-identity across all five stores is pinned in
+    """The streaming capstone: ALL SIX ingest gates composed into ONE
+    admission decision per batch (streaming/unified.py) — exact
+    content dedup, image near-dup (a real PNG of each doc's 8-token
+    head), VIDEO near-dup (round 11: a real MJPEG-in-MP4 clip of each
+    survivor's 3-token head, keyframe-decoded; its coarser class
+    fires where the image gate cannot), boilerplate strip at
+    admission, per-source token budgets on CLEAN tokens, and KMV
+    cardinality folding — with a per-batch per-source attrition row
+    committed alongside the six store updates. Both media gates use
+    candidates→content-verify, so every decision is deterministic.
+    Offered as one availableNow batch, the served funnel report
+    (attrition sums + the KMV store's estimates) must hash-match the
+    oracle's from-scratch SQL replay of the whole pipeline — the
+    streaming twin of llm_corpus_prep_multimodal. Crash-replay
+    bit-identity across all six stores is pinned in
     tests/test_unified_gate.py."""
     import os as _os
     import shutil

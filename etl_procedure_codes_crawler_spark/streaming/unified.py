@@ -1,4 +1,4 @@
-"""The UNIFIED streaming admission gate — five gates, one commit.
+"""The UNIFIED streaming admission gate — six gates, one commit.
 
 Round 9 left the corpus front door as five separate ingest gates
 (exact dedup, per-source token budgets, media near-dup, boilerplate
@@ -23,6 +23,13 @@ Admission pipeline per micro-batch (order is the policy):
    candidates→verify discipline that makes the gate decision
    deterministic and DuckDB-expressible). Undecodable media admits
    the doc — no perceptual identity, and the exact gate already held;
+2b. **video near-dup** (round 11) — each image-gate survivor's clip
+   view (a real MJPEG-in-MP4 of its first 3 tokens — coarser than
+   the PNG class, the re-hosted-preview-clip case the image gate
+   cannot pair) is keyframe-decoded; candidates come from the same
+   4-band hamming join on the first keyframe's dHash, and rejection
+   requires exact clip-content match. A clip has identity only if
+   its container parses AND every keyframe decodes;
 3. **boilerplate strip at admission** — the batch's passage counts
    land in the frequency store under the durable (gate, batch) key,
    then each surviving doc is stripped against the store's cumulative
@@ -37,7 +44,8 @@ Admission pipeline per micro-batch (order is the policy):
    replay bookkeeping).
 
 Crash contract: every store write precedes the warehouse append, and
-every store has its own replay idempotency (fingerprint/media ignore
+every store has its own replay idempotency (fingerprint/media/video
+ignore
 same-id rows, passage counts are batch-keyed with read-side dedup,
 budget stats exclude the batch's own key, KMV minima are idempotent,
 the attrition row is a run-id partition REPLACE) — so any crash
@@ -45,7 +53,7 @@ interleaving replays to the identical accepted set and identical
 store state, and the warehouse id anti-join makes the data append
 exactly-once.
 
-Scale shape: gates 1, 2 and 5 operate on hash relations (32-byte
+Scale shape: gates 1, 2, 2b and 5 operate on hash relations (32-byte
 fingerprints, 64-bit phashes + shas, 60-bit minima) — document text
 shuffles only for the passage count/strip (one batch-sized exchange)
 and the final append; the consumed-budget read and the sketch serve
@@ -75,6 +83,16 @@ from .incremental import (
 #: no-perceptual-identity admission path
 MEDIA_PREFIX_TOKENS = 8
 
+#: the round-11 video gate's clip covers the first 3 tokens — STRICTLY
+#: COARSER than the PNG gate's 8, so docs sharing a clip head but
+#: diverging at tokens 4-8 pass the image gate and are caught here
+#: (the re-hosted preview-clip case); an 8+-token clip class would be
+#: finer than the PNG class and the gate could never fire. 3 tokens
+#: (not 4) because the gate must actually FIRE on the test corpora:
+#: measured collisions-beyond-the-image-class are 317 docs at sf0.1
+#: and 3 at gate SF for 3 tokens, 0 at gate SF for 4
+VIDEO_PREFIX_TOKENS = 3
+
 
 def unified_store_paths(stores_root: str) -> dict[str, str]:
     import os
@@ -82,6 +100,7 @@ def unified_store_paths(stores_root: str) -> dict[str, str]:
     return {
         "fingerprints": os.path.join(stores_root, "fingerprints"),
         "media": os.path.join(stores_root, "media"),
+        "video": os.path.join(stores_root, "video"),
         "passages": os.path.join(stores_root, "passages"),
         "budget_stats": os.path.join(stores_root, "budget_stats"),
         "kmv": os.path.join(stores_root, "kmv"),
@@ -96,7 +115,7 @@ def create_unified_stores(
     kmv_k: int = 64,
     kmv_shingle_k: int = 3,
 ) -> dict[str, str]:
-    """Initialize the five persisted stores under one root. The
+    """Initialize the persisted stores under one root. The
     fingerprint/media/attrition artifacts are plain parquet append
     dirs (created lazily on first write); the passage and KMV stores
     pin their parameters in meta so mismatched batches cannot merge."""
@@ -130,8 +149,131 @@ def png_prefix_media_hashes(
     return MM.image_hashes(MM.documents_as_png(view), content_key=True)
 
 
+def mjpeg_prefix_video_hashes(
+    docs: DataFrame,
+    prefix_tokens: int = VIDEO_PREFIX_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The video view (round 11, gate 2b): a real MJPEG-in-MP4 clip of
+    the doc's leading tokens (llm/video.py), keyframe-decoded in one
+    Arrow pass. Returns (media_id, phash, content_sha, decode_error):
+
+    - phash = the FIRST keyframe's dHash — one 64-bit signature per
+      clip, riding the same 4-band hamming candidate machinery;
+    - content_sha = sha256 of the FULL clip payload. Exact payload
+      match implies exact decoded content, and for the deterministic
+      synthesis it holds iff the token prefixes match — which is what
+      lets the SQL oracle replay the decision as prefix-class min-id;
+    - a clip has perceptual identity ONLY if its container parses and
+      EVERY keyframe decodes (decode_error NULL). Corrupt containers
+      (every 50th doc) and broken keyframes (every other 37th) admit
+      — no identity, and the exact-text gate already held."""
+    from ..llm import video as V
+
+    view = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(T.tokens(text_col), 1, prefix_tokens)
+        ).alias("text"),
+        F.lit("unified").alias("source"),
+    )
+    # batch-sized; checkpointed so the sha pass and the decode pass
+    # share one synthesis
+    clips = V.documents_as_mjpeg_mp4(view).localCheckpoint(eager=True)
+    kf = V.video_keyframe_hashes(clips)
+    agg = kf.groupBy("media_id").agg(
+        F.min(
+            F.when(
+                F.col("decode_error").isNull(),
+                F.struct("sample_no", "phash"),
+            )
+        ).alias("_first"),
+        F.max(F.col("decode_error").isNotNull().cast("int")).alias("_err"),
+    )
+    ok = (F.col("_err") == 0) & F.col("_first").isNotNull()
+    return (
+        clips.select(
+            "media_id", F.sha2(F.col("payload"), 256).alias("_psha")
+        )
+        .join(agg, "media_id", "left")  # corrupt containers: no kf rows
+        .select(
+            "media_id",
+            F.when(ok, F.col("_first.phash")).alias("phash"),
+            F.when(ok, F.col("_psha")).alias("content_sha"),
+            F.when(ok, F.lit(None).cast("string"))
+            .otherwise(F.lit("clip has no perceptual identity"))
+            .alias("decode_error"),
+        )
+    )
+
+
 _FP_SCHEMA = "id bigint, fp string"
 _MEDIA_SCHEMA = "id bigint, phash bigint, content_sha string"
+
+
+def _content_dup_losers(
+    spark: SparkSession,
+    hashes: DataFrame,
+    store_path: str,
+    max_hamming: int,
+):
+    """One modality's candidates→content-verify rejection: intra-batch
+    losers (non-min-id per exact decoded/byte content among hamming
+    candidates) plus store losers (content matches a persisted row).
+    Returns (rejected_ids, store_df, identity_rows) — the shared
+    discipline of gates 2 (PNG) and 2b (video)."""
+    from ..llm.dedup import hamming_band_pairs, hamming_band_pairs_between
+
+    hv = hashes.filter(F.col("phash").isNotNull())
+    intra_cand = hamming_band_pairs(hv, "phash", "id", max_hamming=max_hamming)
+    sha = hv.select("id", "content_sha")
+    intra_losers = (
+        intra_cand.join(
+            sha.select(
+                F.col("id").alias("doc_a"), F.col("content_sha").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sha.select(
+                F.col("id").alias("doc_b"), F.col("content_sha").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("_sa") == F.col("_sb"))
+        .select(F.col("doc_b").alias("id"))
+        .distinct()
+    )
+    surv_h = hv.join(intra_losers, "id", "left_anti")
+    store = read_table_or_empty(spark, store_path, _MEDIA_SCHEMA)
+    store_cand = hamming_band_pairs_between(
+        surv_h.select("id", "phash"),
+        store.select("id", "phash"),
+        "phash",
+        "id",
+        max_hamming=max_hamming,
+    )
+    store_losers = (
+        store_cand.join(
+            sha.select(F.col("id").alias("new_id"), "content_sha"), "new_id"
+        )
+        .join(
+            store.select(
+                F.col("id").alias("existing_id"),
+                F.col("content_sha").alias("_ssha"),
+            ),
+            "existing_id",
+        )
+        .filter(
+            (F.col("content_sha") == F.col("_ssha"))
+            & (F.col("new_id") != F.col("existing_id"))
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+    )
+    rejected = intra_losers.unionByName(store_losers).distinct()
+    return rejected, store, hv
 
 
 def stream_ingest_unified(
@@ -144,6 +286,7 @@ def stream_ingest_unified(
     budgets: dict[str, int],
     min_doc_freq: int = 5,
     media_hasher=png_prefix_media_hashes,
+    video_hasher=mjpeg_prefix_video_hashes,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -180,7 +323,6 @@ def stream_ingest_unified(
             _gate_body(batch, batch_id)
 
     def _gate_body(batch: DataFrame, batch_id: int) -> None:
-        from ..llm.dedup import hamming_band_pairs, hamming_band_pairs_between
         from ..sinks.fsutil import hadoop_fs
 
         if "id" not in gate_cache:
@@ -249,67 +391,41 @@ def stream_ingest_unified(
             )
             .localCheckpoint(eager=True)  # one decode pass, reused 4x
         )
-        hv = hashes.filter(F.col("phash").isNotNull())
-        intra_cand = hamming_band_pairs(
-            hv, "phash", "id", max_hamming=max_hamming
+        media_rejected, store_media, _ = _content_dup_losers(
+            spark, hashes, paths["media"], max_hamming
         )
-        sha = hv.select("id", "content_sha")
-        intra_losers = (
-            intra_cand.join(
-                sha.select(
-                    F.col("id").alias("doc_a"),
-                    F.col("content_sha").alias("_sa"),
-                ),
-                "doc_a",
-            )
-            .join(
-                sha.select(
-                    F.col("id").alias("doc_b"),
-                    F.col("content_sha").alias("_sb"),
-                ),
-                "doc_b",
-            )
-            .filter(F.col("_sa") == F.col("_sb"))
-            .select(F.col("doc_b").alias("id"))
-            .distinct()
-        )
-        surv_h = hv.join(intra_losers, "id", "left_anti")
-        store_media = read_table_or_empty(
-            spark, paths["media"], _MEDIA_SCHEMA
-        )
-        store_cand = hamming_band_pairs_between(
-            surv_h.select("id", "phash"),
-            store_media.select("id", "phash"),
-            "phash",
-            "id",
-            max_hamming=max_hamming,
-        )
-        store_losers = (
-            store_cand.join(
-                sha.select(F.col("id").alias("new_id"), "content_sha"), "new_id"
-            )
-            .join(
-                store_media.select(
-                    F.col("id").alias("existing_id"),
-                    F.col("content_sha").alias("_ssha"),
-                ),
-                "existing_id",
-            )
-            .filter(
-                (F.col("content_sha") == F.col("_ssha"))
-                & (F.col("new_id") != F.col("existing_id"))
-            )
-            .select(F.col("new_id").alias("id"))
-            .distinct()
-        )
-        media_rejected = intra_losers.unionByName(store_losers).distinct()
         media_ids = exact_ids.join(
             media_rejected, "id", "left_anti"
         ).localCheckpoint(eager=True)
 
+        # ---- gate 2b: video near-dup on the image survivors --------
+        # same candidates->content-verify discipline over the clip
+        # view (its 3-token class is coarser than the PNG gate's 8, so
+        # it fires on docs the image gate cannot pair); undecodable
+        # clips carry no identity and admit
+        md_docs = fresh.join(
+            media_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+        vhashes = (
+            video_hasher(md_docs, id_col=id_col, text_col=text_col)
+            .select(
+                F.col("media_id").cast("bigint").alias("id"),
+                "phash",
+                "content_sha",
+                "decode_error",
+            )
+            .localCheckpoint(eager=True)
+        )
+        video_rejected, store_video, _ = _content_dup_losers(
+            spark, vhashes, paths["video"], max_hamming
+        )
+        video_ids = media_ids.join(
+            video_rejected, "id", "left_anti"
+        ).localCheckpoint(eager=True)
+
         # ---- gate 3: boilerplate strip at admission ----------------
         surv_docs = fresh.join(
-            media_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+            video_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
         ).localCheckpoint(eager=True)
         from ..llm.dedup import passage_rows
 
@@ -383,6 +499,14 @@ def stream_ingest_unified(
         )
         if not med_new.isEmpty():
             med_new.write.mode("append").parquet(paths["media"])
+        vid_new = (
+            vhashes.filter(F.col("phash").isNotNull())
+            .join(acc_ids, "id", "left_semi")
+            .select("id", "phash", "content_sha")
+            .join(store_video.select("id"), "id", "left_anti")
+        )
+        if not vid_new.isEmpty():
+            vid_new.write.mode("append").parquet(paths["video"])
         if not accepted.isEmpty():
             KV.append_to_kmv_store(
                 spark, paths["kmv"], accepted, source_col, "text_clean"
@@ -405,6 +529,11 @@ def stream_ingest_unified(
             .groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("_n_after_media"))
         )
+        n_vd = (
+            src_of.join(video_ids, "id", "left_semi")
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("_n_after_video"))
+        )
         adm = accepted.groupBy(source_col).agg(
             F.count(F.lit(1)).alias("n_admitted"),
             F.sum("n_removed").cast("bigint").alias("passages_removed"),
@@ -413,6 +542,7 @@ def stream_ingest_unified(
         att = (
             n_arr.join(n_ex, source_col, "left")
             .join(n_md, source_col, "left")
+            .join(n_vd, source_col, "left")
             .join(adm, source_col, "left")
             .select(
                 F.col(source_col),
@@ -427,6 +557,10 @@ def stream_ingest_unified(
                 ).cast("bigint").alias("n_media_rejected"),
                 (
                     F.coalesce("_n_after_media", F.lit(0))
+                    - F.coalesce("_n_after_video", F.lit(0))
+                ).cast("bigint").alias("n_video_rejected"),
+                (
+                    F.coalesce("_n_after_video", F.lit(0))
                     - F.coalesce("n_admitted", F.lit(0))
                 ).cast("bigint").alias("n_budget_rejected"),
                 F.coalesce("n_admitted", F.lit(0)).cast("bigint")
@@ -461,8 +595,8 @@ def unified_attrition_report(
     spark: SparkSession, stores_root: str, source_col: str = "source"
 ) -> DataFrame:
     """(source, n_arrived, n_exact_rejected, n_media_rejected,
-    n_budget_rejected, n_admitted, passages_removed, tokens_admitted,
-    est_distinct_shingles) summed over every batch the gate admitted,
+    n_video_rejected, n_budget_rejected, n_admitted, passages_removed,
+    tokens_admitted, est_distinct_shingles) summed over every batch,
     with the KMV store's per-source distinct-clean-shingle estimate
     joined on — the streaming funnel a planner reads mid-ingest.
     Everything is served from the attrition artifact + k-row
@@ -477,6 +611,8 @@ def unified_attrition_report(
             .alias("n_exact_rejected"),
             F.sum("n_media_rejected").cast("bigint")
             .alias("n_media_rejected"),
+            F.sum("n_video_rejected").cast("bigint")
+            .alias("n_video_rejected"),
             F.sum("n_budget_rejected").cast("bigint")
             .alias("n_budget_rejected"),
             F.sum("n_admitted").cast("bigint").alias("n_admitted"),

@@ -1,12 +1,13 @@
-"""The unified five-gate admission pipeline (streaming/unified.py):
+"""The unified six-gate admission pipeline (streaming/unified.py):
 targeted gate semantics (exact dup rejected, prefix-media dup
-rejected, corrupt media admitted, budgets enforced on CLEAN tokens)
-and the capstone crash contract — a crash after ALL store commits but
-before the warehouse append must replay, under the same checkpoint,
-to a final state bit-identical to an uncrashed twin run across all
-five stores, the attrition artifact, and the warehouse. (End-to-end
-value parity vs the SQL funnel replay is the driver-gate oracle's
-job; see llm/queries.py streaming_unified_admission.)"""
+rejected, clip-head video dup rejected, corrupt media/clips admitted,
+budgets enforced on CLEAN tokens) and the capstone crash contract — a
+crash after ALL store commits but before the warehouse append must
+replay, under the same checkpoint, to a final state bit-identical to
+an uncrashed twin run across all six stores, the attrition artifact,
+and the warehouse. (End-to-end value parity vs the SQL funnel replay
+is the driver-gate oracle's job; see llm/queries.py
+streaming_unified_admission.)"""
 
 from __future__ import annotations
 
@@ -23,10 +24,17 @@ from etl_procedure_codes_crawler_spark.streaming import unified as U
 
 def _corpus(spark):
     rows = []
-    # source s0: 10 plain docs with a shared boilerplate block
+    # source s0: 10 plain docs sharing a TRAILING boilerplate block
+    # (block=3): heads are unique per doc, so neither media gate can
+    # collapse them and the strip gate gets a df-10 shared passage
     for i in range(1, 11):
         rows.append(
-            (i, f"common boiler plate unique body {i} tail words {i}", "s0")
+            (
+                i,
+                f"unique{i} body{i} words{i} tail{i} of{i} doc{i} "
+                "common boiler plate",
+                "s0",
+            )
         )
     # media dups: 5 docs sharing the first 8 tokens, distinct tails
     prefix = "shared prefix tokens one two three four five"
@@ -38,11 +46,23 @@ def _corpus(spark):
     # corrupt media doc (50 % 50 == 0) sharing the media prefix —
     # undecodable media must NOT reject it
     rows.append((50, f"{prefix} corrupt media tail qqq", "s1"))
+    # VIDEO dups (round 11): share the 3-token clip head, diverge at
+    # token 4 — invisible to the 8-token image gate, caught by 2b
+    vhead = "video preview clip"
+    for i in (61, 62, 63):
+        rows.append(
+            (i, f"{vhead} continuation{i} words{i} more{i} tail{i}", "s1")
+        )
+    # corrupt clip (74 % 37 == 0) sharing the video head — its first
+    # keyframe is broken, so the clip has no perceptual identity and
+    # the doc must be ADMITTED despite the head collision
+    rows.append((74, f"{vhead} corrupt chain tail74 words", "s1"))
     # source s2: enough CLEAN tokens to overflow a small budget — the
-    # filler is unique per doc so the boilerplate gate cannot strip it
+    # filler AND heads are unique per doc so neither the boilerplate
+    # nor the media gates interfere
     for i in range(31, 41):
         filler = " ".join(f"w{i}x{j}" for j in range(20))
-        rows.append((i, f"budget filler doc {i} {filler}", "s2"))
+        rows.append((i, f"budget{i} filler{i} doc{i} {filler}", "s2"))
     return spark.createDataFrame(
         rows, "doc_id long, text string, source string"
     )
@@ -91,6 +111,8 @@ def _state(spark, root):
         paths["fingerprints"]).collect())
     med = sorted(tuple(r) for r in spark.read.parquet(
         paths["media"]).collect())
+    vid = sorted(tuple(r) for r in spark.read.parquet(
+        paths["video"]).collect())
     from etl_procedure_codes_crawler_spark.llm import kmv as KV
     from etl_procedure_codes_crawler_spark.llm import passagefreq as PF
 
@@ -105,12 +127,12 @@ def _state(spark, root):
         tuple(r)
         for r in U.unified_attrition_report(spark, stores).collect()
     )
-    return {"wh": wh, "att": att, "fp": fp, "med": med, "kmv": kmv,
-            "freqs": freqs, "rep": rep}
+    return {"wh": wh, "att": att, "fp": fp, "med": med, "vid": vid,
+            "kmv": kmv, "freqs": freqs, "rep": rep}
 
 
 class TestGateSemantics:
-    def test_five_gates_each_bite(self, spark, tmp_path):
+    def test_six_gates_each_bite(self, spark, tmp_path):
         docs = _corpus(spark)
         src = _stage(docs, tmp_path)
         root = str(tmp_path / "g")
@@ -136,6 +158,14 @@ class TestGateSemantics:
         assert 50 in wh_ids
         assert rep["s1"].n_media_rejected == 4
         assert rep["s1"].n_exact_rejected == 1
+        # video (2b): 61 is the clip-head min-id, 62/63 share the
+        # 3-token head with DIFFERENT 8-token prefixes (the image gate
+        # cannot see them) and are rejected; corrupt-clip 74 shares
+        # the head but has no perceptual identity and is admitted
+        assert 61 in wh_ids
+        assert not wh_ids & {62, 63}
+        assert 74 in wh_ids
+        assert rep["s1"].n_video_rejected == 2
         # boilerplate: the shared s0 block got stripped somewhere
         assert rep["s0"].passages_removed > 0
         # budget: s2 capped at 60 clean tokens — not all 10 docs land
@@ -146,7 +176,9 @@ class TestGateSemantics:
 
     def test_clean_corpus_admits_everything(self, spark, tmp_path):
         docs = spark.createDataFrame(
-            [(i, f"totally unique body {i} number {i * 7}", "s9")
+            # heads unique too: a shared 3-token head would (correctly)
+            # trip the round-11 video gate
+            [(i, f"totally{i} unique{i} body{i} number {i * 7}", "s9")
              for i in range(1, 8)],
             "doc_id long, text string, source string",
         )
@@ -161,6 +193,7 @@ class TestGateSemantics:
         assert rep.n_admitted == 7
         assert rep.n_exact_rejected == 0
         assert rep.n_media_rejected == 0
+        assert rep.n_video_rejected == 0
         assert rep.n_budget_rejected == 0
 
 
