@@ -134,9 +134,10 @@ HEADLINE = [
     "rag_chunk_documents",
     "winnow_overlap_pairs",
     "bpe_train_merges",
-    # the ANN serving shape: persisted index build + partition-pruned
-    # query (cost includes the one-time build; the query alone is the
-    # pruned-scan fraction)
+    # the ANN serving shape: partition-pruned query against the
+    # persisted index (round 11: the build is memoized scaffolding —
+    # pass 1 carries it into queries_cold, warm passes time probe +
+    # pruned ADC scan + exact re-rank only)
     "ann_index_ivfpq_query",
     # round-7 additions: SemDeDup cell-scoped semantic dedup (k-means
     # multi-probe cells + within-cell exact cosine + component loop)
@@ -274,11 +275,15 @@ HEADLINE = [
     # oracles (two micro-batches each; scaffolding memoized)
     "streaming_blocklist_scan",
     "streaming_chi_square_drift",
-    # round-10 capstone: ALL FIVE ingest gates in one admission
-    # decision + attrition accounting — deliberately the heaviest
-    # streaming row (one full stream round trip through exact dedup,
-    # media content-verify, strip-at-admission, budgets, KMV fold)
+    # round-10 capstone, +video round 11: ALL SIX ingest gates in one
+    # admission decision + attrition accounting — deliberately the
+    # heaviest streaming row (one full stream round trip through exact
+    # dedup, image AND clip content-verify, strip-at-admission,
+    # budgets, KMV fold)
     "streaming_unified_admission",
+    # round-11: inter-frame video decode (delta-coded clips, chain
+    # reconstruction, error recovery) — hash-oracled and gate-sampled
+    "video_delta_decode_stats",
 ]
 
 
