@@ -548,6 +548,89 @@ def video_frame_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
     )
 
 
+CLIP_IDENTITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("content_sha", StringType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def clip_identity_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """One row per clip: (media_id, phash, content_sha, decode_error)
+    — the unified gate's video identity in ONE Arrow pass (round 11:
+    the first cut synthesized clips into a checkpoint, then joined a
+    payload-sha pass against a keyframe-decode aggregate — three
+    extra batch stages for what a single pipelined pass computes).
+
+    - content_sha = sha256 of the full payload (exact payload match
+      implies exact decoded content);
+    - phash = the FIRST keyframe's perceptual hash;
+    - identity exists ONLY if the container parses and EVERY keyframe
+      decodes — otherwise phash/content_sha are NULL and decode_error
+      carries the reason (the no-perceptual-identity admission path).
+    """
+    import hashlib
+
+    if method not in _PHASH_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
+        )
+    hasher = _PHASH_METHODS[method]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for batch in batches:
+            out = {k.name: [] for k in CLIP_IDENTITY_SCHEMA.fields}
+            for media_id, payload in zip(
+                batch["media_id"], batch["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                phash = sha = None
+                error = None
+                try:
+                    info = parse_mp4(data)
+                    first = None
+                    n_kf = 0
+                    for t in info["tracks"]:
+                        sizes = t.get("sample_sizes") or []
+                        offs = sample_file_offsets(t)
+                        for kf in t.get("keyframes") or []:
+                            if not 1 <= kf <= len(sizes):
+                                raise ValueError(
+                                    f"keyframe {kf} outside sample table"
+                                )
+                            lo = offs[kf - 1]
+                            fw, fh, fc, pix = decode_jpeg(
+                                data[lo : lo + sizes[kf - 1]]
+                            )
+                            n_kf += 1
+                            if first is None:
+                                first = hasher(pix, fw, fh, fc)
+                    if n_kf == 0:
+                        raise ValueError("no keyframes: no identity")
+                    phash = first
+                    sha = hashlib.sha256(data).hexdigest()
+                except NotImplementedError:
+                    raise  # missing codec: loud, not a data error
+                except Exception as exc:  # noqa: BLE001 — admit, no identity
+                    error = repr(exc)
+                out["media_id"].append(media_id)
+                out["phash"].append(phash)
+                out["content_sha"].append(sha)
+                out["decode_error"].append(error)
+            for name in ("media_id", "phash"):
+                out[name] = pd.array(out[name], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=CLIP_IDENTITY_SCHEMA
+    )
+
+
 #: frame-key packing for the band join: key = media_id * 64 +
 #: sample_no. sample_no <= VIDEO_MAX_FRAMES << 64, and distinct
 #: media always dominate the comparison, so doc_a < doc_b in key

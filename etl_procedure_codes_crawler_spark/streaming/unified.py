@@ -178,34 +178,11 @@ def mjpeg_prefix_video_hashes(
         ).alias("text"),
         F.lit("unified").alias("source"),
     )
-    # batch-sized; checkpointed so the sha pass and the decode pass
-    # share one synthesis
-    clips = V.documents_as_mjpeg_mp4(view).localCheckpoint(eager=True)
-    kf = V.video_keyframe_hashes(clips)
-    agg = kf.groupBy("media_id").agg(
-        F.min(
-            F.when(
-                F.col("decode_error").isNull(),
-                F.struct("sample_no", "phash"),
-            )
-        ).alias("_first"),
-        F.max(F.col("decode_error").isNotNull().cast("int")).alias("_err"),
-    )
-    ok = (F.col("_err") == 0) & F.col("_first").isNotNull()
-    return (
-        clips.select(
-            "media_id", F.sha2(F.col("payload"), 256).alias("_psha")
-        )
-        .join(agg, "media_id", "left")  # corrupt containers: no kf rows
-        .select(
-            "media_id",
-            F.when(ok, F.col("_first.phash")).alias("phash"),
-            F.when(ok, F.col("_psha")).alias("content_sha"),
-            F.when(ok, F.lit(None).cast("string"))
-            .otherwise(F.lit("clip has no perceptual identity"))
-            .alias("decode_error"),
-        )
-    )
+    # synthesis and identity run as ONE pipelined Arrow chain —
+    # payloads never leave the task (clip_identity_hashes docstring
+    # has the history: the checkpoint+join+agg first cut cost three
+    # extra batch stages)
+    return V.clip_identity_hashes(V.documents_as_mjpeg_mp4(view))
 
 
 _FP_SCHEMA = "id bigint, fp string"
@@ -245,8 +222,13 @@ def _content_dup_losers(
         .select(F.col("doc_b").alias("id"))
         .distinct()
     )
-    surv_h = hv.join(intra_losers, "id", "left_anti")
     store = read_table_or_empty(spark, store_path, _MEDIA_SCHEMA)
+    if store.isEmpty():
+        # first batch: nothing persisted to collide with — skip the
+        # between-join's ~8 fixed stages (a provably-empty probe side
+        # cannot reject anything; semantics identical)
+        return intra_losers, store, hv
+    surv_h = hv.join(intra_losers, "id", "left_anti")
     store_cand = hamming_band_pairs_between(
         surv_h.select("id", "phash"),
         store.select("id", "phash"),
