@@ -1447,13 +1447,16 @@ def build_mp4(
     keyframe_every: int = MP4_KEYFRAME_EVERY,
     width: int = 320,
     height: int = 240,
+    samples_per_chunk: int | None = None,
 ) -> bytes:
     """A minimal VALID single-track ISO BMFF container whose mdat is
     ``text_bytes``: n_samples = max(1, whitespace tokens of the text),
     one sample every ``sample_dur`` ticks, a keyframe every
     ``keyframe_every``-th sample, sample sizes the even split of the
     payload (see _mp4_sample_sizes). Pure stdlib struct packing —
-    the geometry is what parse_mp4 + the oracles verify."""
+    the geometry is what parse_mp4 + the oracles verify.
+    ``samples_per_chunk`` (round 11) threads through to
+    :func:`build_mp4_samples` for the multi-chunk stsc/stco layout."""
     n_samples = max(1, len(text_bytes.decode("utf-8", "replace").split()))
     sizes = _mp4_sample_sizes(len(text_bytes), n_samples)
     chunks, off = [], 0
@@ -1467,6 +1470,7 @@ def build_mp4(
         keyframe_every=keyframe_every,
         width=width,
         height=height,
+        samples_per_chunk=samples_per_chunk,
     )
 
 
@@ -1640,12 +1644,16 @@ def build_mp4_samples(
 def documents_as_mp4(
     documents: DataFrame,
     corrupt_every: int = MP4_CORRUPT_EVERY,
+    samples_per_chunk: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL-format media corpus #5: each document
     becomes a valid single-track MP4 whose mdat is the utf-8 text and
     whose sample table derives from the token count (see build_mp4).
     Every ``corrupt_every``-th doc is truncated mid-container to
-    exercise the parse-error path."""
+    exercise the parse-error path. ``samples_per_chunk`` switches to
+    the multi-chunk stsc/stco layout (chunks still contiguous in one
+    mdat, so mdat-relative offsets are unchanged — but a consumer must
+    run the REAL demuxer walk to know that)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -1653,7 +1661,10 @@ def documents_as_mp4(
             for doc_id, text, source in zip(
                 batch["doc_id"], batch["text"], batch["source"]
             ):
-                payload = build_mp4((text or "").encode("utf-8"))
+                payload = build_mp4(
+                    (text or "").encode("utf-8"),
+                    samples_per_chunk=samples_per_chunk,
+                )
                 if corrupt_every and doc_id % corrupt_every == 0:
                     payload = payload[: max(12, len(payload) // 2)]
                 ids.append(doc_id)

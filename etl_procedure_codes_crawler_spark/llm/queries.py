@@ -2974,6 +2974,46 @@ def multimodal_mp4_keyframe_manifest(
 
 
 @register(
+    "multimodal_mp4_multichunk_manifest",
+    oracle=f"""
+    WITH d AS ({_MP4_DOC}),
+    kf AS (
+        SELECT doc_id AS media_id, L // n AS base, L % n AS rem, i
+        FROM d, LATERAL unnest(generate_series(1, n, 5)) AS t(i)
+        WHERE NOT corrupt
+    )
+    SELECT media_id,
+           CAST(i AS BIGINT) AS sample_no,
+           CAST((i - 1) * base + LEAST(i - 1, rem) AS BIGINT) AS rel_offset,
+           CAST(base + CASE WHEN i <= rem THEN 1 ELSE 0 END AS BIGINT)
+               AS sample_bytes
+    FROM kf
+    """,
+)
+def multimodal_mp4_multichunk_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The keyframe manifest over MULTI-CHUNK containers (round 11 —
+    the demuxer walk proven in the driver gate): the same corpus
+    packed with samples_per_chunk=2, so every container carries
+    ceil(n/2) chunks, per-chunk stco offsets, and compressed stsc
+    runs. The chunks still lie contiguously inside one mdat, so the
+    CORRECT mdat-relative offsets equal the single-chunk layout's
+    closed form — but only a real stsc/stco expansion
+    (multimodal.sample_file_offsets) can know that; the round-10
+    chunk-1-anchored arithmetic would emit the same numbers for the
+    wrong reason on chunk 1 and collapse entirely had the chunks been
+    laid non-contiguously (the rejected-layout tests in
+    tests/test_multimodal.py::TestDemuxerWalk cover that plane). One
+    oracle therefore pins stsc parsing, run expansion, per-chunk
+    anchoring, and the mdat rebase end to end."""
+    documents = load(spark, sf_dir, "documents")
+    return M.mp4_keyframe_manifest(
+        M.documents_as_mp4(documents, samples_per_chunk=2)
+    )
+
+
+@register(
     "user_value_trends",
     oracle="""
     WITH e AS (
