@@ -170,6 +170,64 @@ class TestVideoFrameHashes:
         ]
 
 
+class TestClipIdentityHashes:
+    """The unified gate's one-pass video identity (round 11): payload
+    sha + first-keyframe phash, identity ONLY when the container
+    parses and every keyframe decodes."""
+
+    def test_identity_for_clean_clip_and_twin_equality(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same clip text here", "s"), (2, "same clip text here", "s"),
+             (3, "a different clip body", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.media_id: r
+            for r in V.clip_identity_hashes(
+                V.documents_as_mjpeg_mp4(docs)
+            ).collect()
+        }
+        assert all(rows[i].decode_error is None for i in (1, 2, 3))
+        # identical text => identical payload => identical identity
+        assert rows[1].content_sha == rows[2].content_sha
+        assert rows[1].phash == rows[2].phash
+        assert rows[3].content_sha != rows[1].content_sha
+        import hashlib
+
+        payload = V.build_mp4_samples(
+            [
+                V.encode_frame_jpeg(c)
+                for c in V._frame_chunks(b"same clip text here", 4)
+            ],
+            width=V.VIDEO_FRAME_WIDTH,
+            height=V.VIDEO_FRAME_WIDTH,
+            codec=b"jpeg",
+        )
+        assert rows[1].content_sha == hashlib.sha256(payload).hexdigest()
+
+    def test_corrupt_container_and_broken_keyframe_have_no_identity(
+        self, spark
+    ):
+        # doc 50: truncated container; doc 37: first keyframe zeroed —
+        # both must flow as identity-less rows (phash/sha NULL), the
+        # no-perceptual-identity admission path
+        docs = spark.createDataFrame(
+            [(37, "words for a broken keyframe clip", "s"),
+             (50, "words for a truncated container", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.media_id: r
+            for r in V.clip_identity_hashes(
+                V.documents_as_mjpeg_mp4(docs)
+            ).collect()
+        }
+        assert set(rows) == {37, 50}
+        for r in rows.values():
+            assert r.phash is None and r.content_sha is None
+            assert r.decode_error is not None
+
+
 class TestAllFrameNearDup:
     def test_byte_identical_twins_pair_at_full_score(self, spark):
         frames, w, h = _clip_frames()
