@@ -59,34 +59,47 @@ DEFAULT_MAX_STORE_BUCKET = 64
 
 
 def _sig_array(
-    df: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int
+    df: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     # one row per id: minhash groups shingles by id, so duplicate ids
     # (even with identical text) must collapse BEFORE signing — two
     # different texts sharing an id would merge into one garbage
     # signature matching neither
     sig = minhash_signatures(
-        df.dropDuplicates([id_col]), text_col, id_col, k, num_hashes
+        df.dropDuplicates([id_col]), text_col, id_col, k, num_hashes,
+        hash_fn,
     )
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
-def _band_buckets(sig_col, bands: int, rows_per_band: int):
+def _band_buckets(
+    sig_col, bands: int, rows_per_band: int, hash_fn: str = "xx"
+):
     """(band, bucket) structs derived map-side from a signature array —
-    same xxhash64-of-band-rows construction as
-    :func:`.dedup.minhash_buckets`, so buckets agree across batches."""
+    the same bucket construction as :func:`.dedup.minhash_buckets`
+    (xxhash64 of the band rows, or in ``md5`` mode the md5-60 of the
+    colon-joined slot values — engine-deterministic, round 11), so
+    buckets agree across batches AND with the SQL oracle."""
+
+    def bucket_of(band: int):
+        slots = [
+            F.element_at(sig_col, band * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_fn == "md5":
+            return F.conv(
+                F.substring(F.md5(F.concat_ws(":", *slots)), 1, 15), 16, 10
+            ).cast("long")
+        return F.xxhash64(*slots)
+
     return F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at(sig_col, band * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
+                bucket_of(band).alias("bucket"),
             )
             for band in range(bands)
         ]
@@ -100,13 +113,14 @@ def _signed_with_buckets(
     k: int,
     bands: int,
     rows_per_band: int,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """(id, sig, buckets) — the v2 store row: buckets are a pure
     map-side function of the signature, persisted once at write time
     so every future query skips re-deriving them for the store side."""
-    signed = _sig_array(df, text_col, id_col, k, bands * rows_per_band)
+    signed = _sig_array(df, text_col, id_col, k, bands * rows_per_band, hash_fn)
     return signed.withColumn(
-        "buckets", _band_buckets(F.col("sig"), bands, rows_per_band)
+        "buckets", _band_buckets(F.col("sig"), bands, rows_per_band, hash_fn)
     )
 
 
@@ -118,16 +132,21 @@ def build_minhash_store(
     k: int = 3,
     bands: int = 8,
     rows_per_band: int = 4,
+    hash_fn: str = "xx",
 ) -> None:
     """Sign the snapshot corpus (one shingle pass) and persist the
     signatures + pre-derived band buckets (v2 layout). The store is
     append-grown by :func:`append_to_minhash_store` as batches are
-    accepted."""
+    accepted. ``hash_fn`` is pinned in meta — every future append and
+    probe derives the SAME family ('md5' makes the whole store
+    lifecycle engine-deterministic and hash-oracle-able; 'xx' stays
+    the throughput default)."""
     spark = docs.sparkSession
     _signed_with_buckets(
-        docs, text_col, id_col, k, bands, rows_per_band
+        docs, text_col, id_col, k, bands, rows_per_band, hash_fn
     ).write.mode("overwrite").parquet(path.rstrip("/") + "/signatures")
-    meta = {"k": k, "bands": bands, "rows_per_band": rows_per_band, "version": 2}
+    meta = {"k": k, "bands": bands, "rows_per_band": rows_per_band,
+            "version": 2, "hash_fn": hash_fn}
     spark.createDataFrame(
         [(json.dumps(meta),)], "meta string"
     ).repartition(1).write.mode("overwrite").parquet(
@@ -155,6 +174,7 @@ def append_to_minhash_store(
     schemas within one dataset would corrupt the scan."""
     meta = load_store_meta(spark, path)
     bands, rpb = meta["bands"], meta["rows_per_band"]
+    hash_fn = meta.get("hash_fn", "xx")
     existing = spark.read.parquet(path.rstrip("/") + "/signatures").select("id")
     fresh = (
         new_docs.where(F.col(id_col).isNotNull())
@@ -166,9 +186,13 @@ def append_to_minhash_store(
         .join(existing.withColumnRenamed("id", id_col), id_col, "left_anti")
     )
     if meta.get("version", 1) >= 2:
-        signed = _signed_with_buckets(fresh, text_col, id_col, meta["k"], bands, rpb)
+        signed = _signed_with_buckets(
+            fresh, text_col, id_col, meta["k"], bands, rpb, hash_fn
+        )
     else:
-        signed = _sig_array(fresh, text_col, id_col, meta["k"], bands * rpb)
+        signed = _sig_array(
+            fresh, text_col, id_col, meta["k"], bands * rpb, hash_fn
+        )
     signed = signed.localCheckpoint(eager=True)  # lineage reads the path being appended
     n = signed.count()
     if n:
@@ -176,14 +200,19 @@ def append_to_minhash_store(
     return n
 
 
-def _store_bucket_rows(snap: DataFrame, bands: int, rpb: int) -> DataFrame:
+def _store_bucket_rows(
+    snap: DataFrame, bands: int, rpb: int, hash_fn: str = "xx"
+) -> DataFrame:
     """One (snapshot_id, snap_sig, band, bucket) row per store doc per
     band — from the persisted buckets column when present (v2), else
-    derived map-side (v1)."""
+    derived map-side (v1; v1 stores predate hash_fn and are always
+    xx, but the parameter keeps the derivation honest)."""
     if "buckets" in snap.columns:
         bb = F.explode(F.col("buckets")).alias("bb")
     else:
-        bb = F.explode(_band_buckets(F.col("sig"), bands, rpb)).alias("bb")
+        bb = F.explode(
+            _band_buckets(F.col("sig"), bands, rpb, hash_fn)
+        ).alias("bb")
     return snap.select(
         F.col("id").alias("snapshot_id"),
         F.col("sig").alias("snap_sig"),
@@ -219,19 +248,22 @@ def near_dups_against_store(
     """
     meta = load_store_meta(spark, path)
     bands, rpb = meta["bands"], meta["rows_per_band"]
+    hash_fn = meta.get("hash_fn", "xx")
     num_hashes = bands * rpb
 
-    new_sig = _sig_array(new_docs, text_col, id_col, meta["k"], num_hashes)
+    new_sig = _sig_array(
+        new_docs, text_col, id_col, meta["k"], num_hashes, hash_fn
+    )
     snap = spark.read.parquet(path.rstrip("/") + "/signatures")
 
     nb = new_sig.select(
         F.col("id").alias("new_id"),
         F.col("sig").alias("new_sig"),
-        F.explode(_band_buckets(F.col("sig"), bands, rpb)).alias("bb"),
+        F.explode(_band_buckets(F.col("sig"), bands, rpb, hash_fn)).alias("bb"),
     ).select("new_id", "new_sig", "bb.band", "bb.bucket")
     w_cap = Window.partitionBy("band", "bucket").orderBy("snapshot_id")
     sb = (
-        _store_bucket_rows(snap, bands, rpb)
+        _store_bucket_rows(snap, bands, rpb, hash_fn)
         .withColumn("_bkrank", F.row_number().over(w_cap))
         .filter(F.col("_bkrank") <= max_store_bucket_size)
         .drop("_bkrank")
@@ -545,11 +577,12 @@ def near_dup_pairs_within_store(
     ``cluster.duplicate_clusters`` directly."""
     meta = load_store_meta(spark, path)
     bands, rpb = meta["bands"], meta["rows_per_band"]
+    hash_fn = meta.get("hash_fn", "xx")
     num_hashes = bands * rpb
     snap = spark.read.parquet(path.rstrip("/") + "/signatures")
     w_cap = Window.partitionBy("band", "bucket").orderBy("snapshot_id")
     rows = (
-        _store_bucket_rows(snap, bands, rpb)
+        _store_bucket_rows(snap, bands, rpb, hash_fn)
         .withColumn("_bkrank", F.row_number().over(w_cap))
         .filter(F.col("_bkrank") <= max_store_bucket_size)
         .drop("_bkrank")

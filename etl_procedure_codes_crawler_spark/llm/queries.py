@@ -1995,24 +1995,16 @@ def unimax_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MX.unimax_manifest(documents, budgets, seed=7)
 
 
-def _minhash_oracle_ctes(
-    num_hashes: int = 32,
-    bands: int = 8,
-    rows_per_band: int = 4,
-    threshold: float = 0.5,
+def _minhash_sig_bucket_ctes(
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4
 ) -> str:
-    """The md5-mode MinHash-LSH pipeline as DuckDB CTEs ending in
-    ``p(doc_a, doc_b, jaccard)`` — signature slots are the
-    Kirsch–Mitzenmacher double-hash family over two 60-bit md5
-    prefixes (member_i = h1 + i·(h2 & 2^55−1); see
-    dedup._minhash_member), band buckets md5 the colon-joined slot
-    values (longs render as the
-    same decimal strings in both engines), candidates share any
-    (band, bucket), and verification is the exact shingle Jaccard —
-    the identical construction dedup.minhash_near_dup_pairs(
-    hash_fn="md5") runs. The star-cap (max_bucket_size=5000) never
-    fires at oracle SFs (largest corpus: 5000 docs), matching the
-    df-cap family's corpus-relative contract."""
+    """The shared md5-mode MinHash front half as DuckDB CTEs ending in
+    ``sig(doc_id, h0..h31)`` and ``buckets(doc_id, band, bucket)`` —
+    K-M double-hash signature slots (dedup._minhash_member) and
+    md5-60 band buckets over colon-joined slot values. Round 11
+    factored this out of :func:`_minhash_oracle_ctes` so the store
+    family's agreement-estimate oracle reuses the identical
+    construction."""
 
     def h60(expr: str) -> str:
         return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -2054,7 +2046,24 @@ def _minhash_oracle_ctes(
     ),
     buckets AS (
         {band_selects}
-    ),
+    )"""
+
+
+def _minhash_oracle_ctes(
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """The md5-mode MinHash-LSH pipeline as DuckDB CTEs ending in
+    ``p(doc_a, doc_b, jaccard)`` — the shared sig/bucket front half
+    (:func:`_minhash_sig_bucket_ctes`), candidates share any
+    (band, bucket), and verification is the exact shingle Jaccard —
+    the identical construction dedup.minhash_near_dup_pairs(
+    hash_fn="md5") runs. The star-cap (max_bucket_size=5000) never
+    fires at oracle SFs (largest corpus: 5000 docs), matching the
+    df-cap family's corpus-relative contract."""
+    return f"""{_minhash_sig_bucket_ctes(num_hashes, bands, rows_per_band)},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a
@@ -6195,34 +6204,69 @@ def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("neardup_incremental_documents")  # rows-only (xxhash64 sigs)
+_STORE_AGREE = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(32)
+)
+
+
+@register(
+    "neardup_incremental_documents",
+    oracle=f"""
+    WITH {_minhash_sig_bucket_ctes()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS snapshot_id
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    est AS (
+        SELECT c.new_id, c.snapshot_id,
+               CAST({_STORE_AGREE} AS DOUBLE) / 32.0 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.new_id
+        JOIN sig sb ON sb.doc_id = c.snapshot_id
+    )
+    SELECT new_id, snapshot_id, est_jaccard
+    FROM est WHERE est_jaccard >= 0.35
+    """,
+)
 def neardup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup at ingest: even doc_ids are the persisted
-    snapshot (a MinHash signature store — 256 bytes/doc, no text in
-    the dedup path), odd doc_ids the arriving batch; new docs that
-    LSH-collide with stored ones and clear the signature-agreement
-    estimate are reported (llm/neardup_store.py). The fuzzy companion
-    of dedup_incremental_documents."""
-    import shutil
-    import tempfile
+    """Incremental NEAR-dup at ingest, HASH-ORACLED (round 11 — the
+    fifth md5-mode conversion, and the first to hash the PERSISTED
+    store path): even doc_ids are the snapshot (a MinHash signature
+    store — 256 bytes/doc, no text in the dedup path; hash_fn pinned
+    in store meta so appends and probes derive the same family), odd
+    doc_ids the arriving batch; new docs that LSH-collide with stored
+    ones and clear the signature-AGREEMENT estimate (matching slots /
+    32 — an exact double, so the threshold compare is
+    engine-deterministic) are reported (llm/neardup_store.py). The
+    oracle re-derives K-M signatures, band buckets, the cross-parity
+    candidate join, and the estimate. The store build is gate input
+    (_memo_scaffold; the round-9 store precedent). The fuzzy
+    companion of dedup_incremental_documents; xxhash64 stays the
+    library default."""
+    import os as _os
 
     from . import neardup_store as NS
 
     documents = load(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="ndstore_")
-    try:
+
+    def build(memo_root: str) -> None:
         NS.build_minhash_store(
-            documents.filter(F.col("doc_id") % 2 == 0), root
+            documents.filter(F.col("doc_id") % 2 == 0),
+            _os.path.join(memo_root, "store"),
+            hash_fn="md5",
         )
-        out = NS.near_dups_against_store(
-            spark,
-            root,
-            documents.filter(F.col("doc_id") % 2 == 1),
-            threshold=0.35,
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+
+    root = _memo_scaffold(f"ndstore_md5:{sf_dir}", build)
+    return NS.near_dups_against_store(
+        spark,
+        _os.path.join(root, "store"),
+        documents.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.35,
+    )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -7830,7 +7874,8 @@ ROWS_ONLY = {
     "bpe_encode_documents",
     "bpe_fertility_by_source",
     "bpe_bucketed_batches",
-    "neardup_incremental_documents",
+    # round-11: neardup_incremental_documents left this set — the
+    # md5-mode store family hash-oracled the persisted probe path
     "semantic_dedup_cells",
     "lm_perplexity_documents",
     "embedding_pca_whiten_stats",

@@ -82,13 +82,53 @@ def test_store_parameters_come_from_meta(spark, tmp_path):
         _docs(spark, [(0, BASE)]), path, bands=4, rows_per_band=8
     )
     meta = NS.load_store_meta(spark, path)
-    assert meta == {"k": 3, "bands": 4, "rows_per_band": 8, "version": 2}
+    assert meta == {"k": 3, "bands": 4, "rows_per_band": 8, "version": 2,
+                    "hash_fn": "xx"}
     # query uses the stored banding: an exact dup still matches even
     # though the defaults (8 bands x 4 rows) differ
     hits = NS.near_dups_against_store(
         spark, path, _docs(spark, [(50, BASE)]), threshold=0.9
     )
     assert {(r.new_id, r.snapshot_id) for r in hits.collect()} == {(50, 0)}
+
+
+class TestMd5StoreMode:
+    """hash_fn='md5' (round 11): the K-M double-md5 family pinned in
+    store meta, so build/append/probe all derive the same
+    engine-deterministic signatures — what hash-oracled
+    neardup_incremental_documents."""
+
+    def test_md5_store_lifecycle_and_exact_dup_probe(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        NS.build_minhash_store(
+            _docs(spark, [(0, BASE), (2, "unrelated parquet footers")]),
+            path,
+            hash_fn="md5",
+        )
+        assert NS.load_store_meta(spark, path)["hash_fn"] == "md5"
+        # append derives the SAME family (meta, not caller defaults)
+        NS.append_to_minhash_store(
+            spark, path, _docs(spark, [(4, "another unrelated body")])
+        )
+        hits = NS.near_dups_against_store(
+            spark, path, _docs(spark, [(51, BASE)]), threshold=0.9
+        ).collect()
+        assert {(r.new_id, r.snapshot_id) for r in hits} == {(51, 0)}
+        (hit,) = hits
+        assert hit.est_jaccard == 1.0  # exact dup: all 32 slots agree
+
+    def test_md5_signature_matches_dedup_family(self, spark, tmp_path):
+        """The store's md5 signatures must be the SAME family
+        dedup.minhash_signatures(hash_fn='md5') produces — the oracle
+        recomputes that construction, so any drift breaks the gate."""
+        from etl_procedure_codes_crawler_spark.llm.dedup import (
+            minhash_signatures,
+        )
+
+        docs = _docs(spark, [(7, BASE)])
+        got = NS._sig_array(docs, "text", "doc_id", 3, 32, "md5").collect()
+        ref = minhash_signatures(docs, "text", "doc_id", 3, 32, "md5").collect()
+        assert list(got[0].sig) == [ref[0][f"h{i}"] for i in range(32)]
 
 
 class TestStreamIngestWithNearDup:
