@@ -1621,16 +1621,115 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return D.remove_duplicate_spans(documents, min_len=8, max_gram_freq=64)
 
 
-@register("duplicate_spans_lsh_scoped")  # rows-only (LSH recall)
+def _minhash_sig_bucket_ctes(
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4
+) -> str:
+    """The shared md5-mode MinHash front half as DuckDB CTEs ending in
+    ``sig(doc_id, h0..h31)`` and ``buckets(doc_id, band, bucket)`` —
+    K-M double-hash signature slots (dedup._minhash_member) and
+    md5-60 band buckets over colon-joined slot values. Round 11
+    factored this out of :func:`_minhash_oracle_ctes` so the store
+    family's agreement-estimate oracle reuses the identical
+    construction."""
+
+    def h60(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    sig_cols = ",\n               ".join(
+        f"MIN(ha + {i} * hb) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h60(
+            " || ':' || ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= 3 THEN
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t)-2)])
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    hs AS (
+        SELECT doc_id,
+               {h60("shingle")} AS ha,
+               {h60("'kh2:' || shingle")} & 36028797018963967 AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM hs GROUP BY doc_id
+    ),
+    buckets AS (
+        {band_selects}
+    )"""
+
+
+
+@register(
+    "duplicate_spans_lsh_scoped",
+    oracle=f"""
+    WITH {_minhash_sig_bucket_ctes()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    positions AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 7)) AS pos
+        FROM toks WHERE len(t) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(t[pos:pos+7], ' ') AS g
+        FROM positions
+    ),
+    m AS (
+        SELECT c.doc_a, c.doc_b,
+               a.pos AS pos_a, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM cand c
+        JOIN grams a ON a.doc_id = c.doc_a
+        JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g
+    ),
+    isl AS (
+        SELECT *, pos_a - ROW_NUMBER() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+        ) AS island
+        FROM m
+    )
+    SELECT doc_a, doc_b,
+           MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    """,
+)
 def duplicate_spans_lsh_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The span family's 100 TB shape: MinHash-LSH candidate pairs
-    first, exact span extraction ONLY for those pairs — grams route
-    through the pair relation as key joins, no posting-list self-join
-    anywhere (see llm/dedup.duplicate_spans_for_pairs). Rows-only:
-    LSH recall is probabilistic; subset-of-full + recall floor are
-    pinned in tests/test_llm_dedup.py."""
+    """The span family's 100 TB shape, HASH-ORACLED (round 11 — the
+    seventh md5-mode conversion): MinHash-LSH candidate pairs first,
+    exact span extraction ONLY for those pairs — grams route through
+    the pair relation as key joins, no posting-list self-join
+    anywhere (llm/dedup.duplicate_spans_for_pairs; no gram-df cap,
+    pair scoping is the bound). With md5-mode candidates the ENTIRE
+    plan is engine-deterministic: the oracle re-derives K-M
+    signatures, band collisions, and the diagonal-island coalescing.
+    Subset-of-full + recall floor stay pinned in
+    tests/test_llm_dedup.py; xxhash64 stays the library default."""
     documents = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_candidate_pairs(documents)
+    pairs = D.minhash_lsh_candidate_pairs(documents, hash_fn="md5")
     return D.duplicate_spans_for_pairs(documents, pairs, min_len=8)
 
 
@@ -1993,60 +2092,6 @@ def unimax_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         MX.source_token_stats(documents), max_epochs=4, budget_frac_pct=360
     )
     return MX.unimax_manifest(documents, budgets, seed=7)
-
-
-def _minhash_sig_bucket_ctes(
-    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4
-) -> str:
-    """The shared md5-mode MinHash front half as DuckDB CTEs ending in
-    ``sig(doc_id, h0..h31)`` and ``buckets(doc_id, band, bucket)`` —
-    K-M double-hash signature slots (dedup._minhash_member) and
-    md5-60 band buckets over colon-joined slot values. Round 11
-    factored this out of :func:`_minhash_oracle_ctes` so the store
-    family's agreement-estimate oracle reuses the identical
-    construction."""
-
-    def h60(expr: str) -> str:
-        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-
-    sig_cols = ",\n               ".join(
-        f"MIN(ha + {i} * hb) AS h{i}" for i in range(num_hashes)
-    )
-    band_selects = "\n        UNION ALL\n        ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + h60(
-            " || ':' || ".join(
-                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
-                for r in range(rows_per_band)
-            )
-        )
-        + " AS bucket FROM sig"
-        for b in range(bands)
-    )
-    return f"""
-    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    sh AS (
-        SELECT doc_id,
-               UNNEST(CASE WHEN len(t) >= 3 THEN
-                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                  for i in generate_series(1, len(t)-2)])
-                   ELSE [array_to_string(t, ' ')] END) AS shingle
-        FROM toks
-    ),
-    hs AS (
-        SELECT doc_id,
-               {h60("shingle")} AS ha,
-               {h60("'kh2:' || shingle")} & 36028797018963967 AS hb
-        FROM sh
-    ),
-    sig AS (
-        SELECT doc_id,
-               {sig_cols}
-        FROM hs GROUP BY doc_id
-    ),
-    buckets AS (
-        {band_selects}
-    )"""
 
 
 def _minhash_oracle_ctes(
@@ -7881,7 +7926,8 @@ ROWS_ONLY = {
     "embedding_pca_whiten_stats",
     "dsir_resample_documents",
     "source_cardinality_hll",
-    "duplicate_spans_lsh_scoped",
+    # round-11: duplicate_spans_lsh_scoped left this set — md5-mode
+    # candidates made the scoped span extraction hash-oracled
     "user_value_trends_grouped_map",
     "approx_distinct_users",
     "hll_sketch_union_users",
