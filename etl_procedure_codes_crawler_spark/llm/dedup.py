@@ -593,21 +593,54 @@ def remove_duplicate_spans(
 #: mask for the double-hash stride: h2 < 2^55 keeps h1 + 31*h2 well
 #: inside int64 in BOTH engines (no modular reduction needed, so the
 #: arithmetic is trivially identical)
-MINHASH_H2_MASK = (1 << 55) - 1
+#: md5-mode family geometry: member_i = rot_{a_i}(h1) XOR
+#: rot_{b_i}(h2) over two 60-bit md5 prefixes. The (a_i, b_i) pairs
+#: are distinct for every i any family here uses (a cycles mod 60, b
+#: gets bumped by i//60 each wrap), so even the 64-slot source
+#: sketch's members are all genuinely different mixes.
+MINHASH_ROT_WIDTH = 60
+
+
+def _minhash_rots(i: int) -> tuple[int, int]:
+    w = MINHASH_ROT_WIDTH
+    return i % w, (7 * i + 3 + i // w) % w
+
+
+def _rot_col(col, r: int):
+    """Rotate a 60-bit non-negative long column left by r — masking
+    BEFORE the shift so the value never leaves non-negative int64
+    (DuckDB raises on shift overflow; Spark would silently wrap)."""
+    if r == 0:
+        return col
+    w = MINHASH_ROT_WIDTH
+    lo = (1 << (w - r)) - 1
+    return F.shiftleft(col.bitwiseAND(F.lit(lo)), r).bitwiseOR(
+        F.shiftrightunsigned(col, w - r)
+    )
 
 
 def _minhash_member(i: int, shingle, hash_fn: str):
     """Hash-family member i over a shingle: ``xx`` = xxhash64(seed_i,
-    shingle) (fastest, JVM-only); ``md5`` = Kirsch–Mitzenmacher double
-    hashing over two 60-bit md5 prefixes — member_i = h1 + i·(h2 &
-    2^55−1) with h1 = md5-60(shingle), h2 = md5-60("kh2:" ∥ shingle).
-    TWO md5 calls per shingle row regardless of family size (the
-    32-independent-md5 form generated pathologically wide codegen —
-    measured 4-5x degradation late in a long-lived JVM as the JIT
-    code cache fills), and DuckDB computes the identical integers,
-    which is what makes the minhash family HASH-ORACLED in md5
-    mode. Candidate recall is unchanged in practice (K-M 2006; pairs
-    are exact-Jaccard-verified regardless)."""
+    shingle) (fastest, JVM-only); ``md5`` = XOR-ROTATE mixing over two
+    60-bit md5 prefixes — member_i = rot_{a_i}(h1) XOR rot_{b_i}(h2)
+    (schedule in :func:`_minhash_rots`) with h1 = md5-60(shingle),
+    h2 = md5-60("kh2:" ∥ shingle). TWO md5 calls per shingle row
+    regardless of family size (the 32-independent-md5 form generated
+    pathologically wide codegen — measured 4-5x degradation late in a
+    long-lived JVM as the JIT code cache fills), and DuckDB computes
+    the identical integers, which is what makes the minhash family
+    HASH-ORACLED in md5 mode.
+
+    Round 11 replaced the round-10 Kirsch–Mitzenmacher form
+    (h1 + i·h2): K-M's per-slot ORDERINGS are highly correlated — the
+    shingle minimizing h1+i·h2 tends to minimize every slot — so band
+    minima agreed far too often on the low-entropy test vocabulary
+    (measured 16,390 LSH candidate pairs at sf0.1 where the xx family
+    yields 256, a 64x verify-stage tax). Full-width rotation
+    decorrelates the slot orderings (every member permutes ALL bits
+    of both halves differently before the XOR): same corpus, 256
+    pairs — identical to xx. Pairs remain exact-Jaccard-verified
+    regardless of family."""
     if hash_fn == "xx":
         return F.xxhash64(F.lit(i), shingle)
     if hash_fn == "md5":
@@ -618,8 +651,9 @@ def _minhash_member(i: int, shingle, hash_fn: str):
             F.substring(F.md5(F.concat(F.lit("kh2:"), shingle)), 1, 15),
             16,
             10,
-        ).cast("long").bitwiseAND(F.lit(MINHASH_H2_MASK))
-        return h1 + F.lit(i) * h2
+        ).cast("long")
+        ra, rb = _minhash_rots(i)
+        return _rot_col(h1, ra).bitwiseXOR(_rot_col(h2, rb))
     raise ValueError(f"unknown minhash hash_fn {hash_fn!r} (xx|md5)")
 
 

@@ -1621,6 +1621,25 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return D.remove_duplicate_spans(documents, min_len=8, max_gram_freq=64)
 
 
+def _sql_minhash_member(i: int) -> str:
+    """DuckDB spelling of dedup._minhash_member(i, shingle, 'md5'):
+    member_i = rot_{a_i}(ha) XOR rot_{b_i}(hb) — each rotation masks
+    BEFORE shifting (DuckDB raises on int64 shift overflow), and the
+    schedule is imported from dedup so the two engines cannot drift."""
+    from .dedup import MINHASH_ROT_WIDTH, _minhash_rots
+
+    w = MINHASH_ROT_WIDTH
+
+    def rot(col: str, r: int) -> str:
+        if r == 0:
+            return col
+        lo = (1 << (w - r)) - 1
+        return f"((({col} & {lo}) << {r}) | ({col} >> {w - r}))"
+
+    ra, rb = _minhash_rots(i)
+    return f"xor({rot('ha', ra)}, {rot('hb', rb)})"
+
+
 def _minhash_sig_bucket_ctes(
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4
 ) -> str:
@@ -1636,7 +1655,7 @@ def _minhash_sig_bucket_ctes(
         return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
     sig_cols = ",\n               ".join(
-        f"MIN(ha + {i} * hb) AS h{i}" for i in range(num_hashes)
+        f"MIN({_sql_minhash_member(i)}) AS h{i}" for i in range(num_hashes)
     )
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -1662,7 +1681,7 @@ def _minhash_sig_bucket_ctes(
     hs AS (
         SELECT doc_id,
                {h60("shingle")} AS ha,
-               {h60("'kh2:' || shingle")} & 36028797018963967 AS hb
+               {h60("'kh2:' || shingle")} AS hb
         FROM sh
     ),
     sig AS (
@@ -2640,7 +2659,7 @@ def _source_minhash_oracle(num_hashes: int = 64) -> str:
         return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
     sig_cols = ",\n               ".join(
-        f"MIN(ha + {i} * hb) AS h{i}" for i in range(num_hashes)
+        f"MIN({_sql_minhash_member(i)}) AS h{i}" for i in range(num_hashes)
     )
     match_terms = "\n                + ".join(
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
@@ -2660,7 +2679,7 @@ def _source_minhash_oracle(num_hashes: int = 64) -> str:
     hs AS (
         SELECT source,
                {h60("shingle")} AS ha,
-               {h60("'kh2:' || shingle")} & 36028797018963967 AS hb
+               {h60("'kh2:' || shingle")} AS hb
         FROM sh
     ),
     sig AS (

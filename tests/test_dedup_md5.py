@@ -46,13 +46,15 @@ class TestMd5Member:
                 D._minhash_member(i, F.col("shingle"), "md5").alias("h"),
             ).collect()
         }
+        def rot(v: int, r: int) -> int:
+            w = D.MINHASH_ROT_WIDTH
+            return ((v << r) | (v >> (w - r))) & ((1 << w) - 1) if r else v
+
         for (s, i), h in got.items():
             h1 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-            h2 = (
-                int(hashlib.md5(f"kh2:{s}".encode()).hexdigest()[:15], 16)
-                & D.MINHASH_H2_MASK
-            )
-            assert h == h1 + i * h2, (s, i, h)
+            h2 = int(hashlib.md5(f"kh2:{s}".encode()).hexdigest()[:15], 16)
+            ra, rb = D._minhash_rots(i)
+            assert h == rot(h1, ra) ^ rot(h2, rb), (s, i, h)
 
     def test_unknown_hash_fn_raises(self, spark):
         import pytest
