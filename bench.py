@@ -486,18 +486,18 @@ def main() -> None:
             if box_factor and floors_ref
             else 1.0
         )
-        # Flag on min(raw, normalized) excess: norm is computed from
-        # the same in-suite pass being judged, so a run where only the
-        # box-factor rows are slow skews norm for every other row — a
-        # real regression could hide behind an inflated norm (and a
-        # healthy row could be spuriously flagged by a deflated one).
-        # min() of the two means skew can only ADD rechecks, never
-        # suppress one.
+        # Flag on max(raw, normalized) excess (round 12, ADVICE r11):
+        # norm is computed from the same in-suite pass being judged,
+        # so a run where only the box-factor rows are slow skews norm
+        # for every other row. min() of the two views let a real
+        # regression hide behind an inflated norm (deflated normalized
+        # excess suppressed the flag); max() flags when EITHER view
+        # breaches, so skew can only ADD rechecks, never suppress one.
         def _excess(n: str) -> float:
             fl = floors.get(n)
             if not fl:
                 return 1.0
-            return min(warm[n] / fl, warm[n] / norm / fl)
+            return max(warm[n] / fl, warm[n] / norm / fl)
 
         flagged = set(sorted(warm, key=warm.get, reverse=True)[:3])
         for name in warm:
@@ -509,7 +509,34 @@ def main() -> None:
         # on heavy rows that are near their floors anyway)
         ordered = sorted(flagged, key=_excess, reverse=True)[:15]
         recheck = []
+        # Re-warm before the recheck block (round 12, verdict r11 #2):
+        # the recheck runs after ~190 timed passes of accrued process
+        # state — BENCH_r11 recorded isolated readings up to 2x the
+        # same row's in-suite best (dsir 8.85 vs 4.43) on rows that
+        # were bit-identical round-over-round in-suite, i.e. the
+        # recheck session itself was the artifact. Same three
+        # representative shapes as the suite pre-warm, untimed.
+        for _warm_name in (
+            "q1_pricing_summary",
+            "multimodal_payload_stats",
+            "simhash_near_dup_pairs",
+        ):
+            if _warm_name in QUERIES:
+                try:
+                    QUERIES[_warm_name](spark, sf_dir).count()
+                except Exception:  # noqa: BLE001 — warm-up, never fatal
+                    break
         for worst in ordered:
+            settle()
+            # one untimed throwaway pass of the row itself: the
+            # in-suite value it certifies against is a sweep-2 best
+            # (plan compile + scaffold builds landed in sweep 1), so
+            # an unwarmed single-shot isolated pass measures a
+            # strictly colder state than the number it judges
+            try:
+                QUERIES[worst](spark, sf_dir).count()
+            except Exception:  # noqa: BLE001 — timed loop reports it
+                pass
             settle()
             iso = None
             for _ in range(runs):
@@ -528,9 +555,10 @@ def main() -> None:
                 if fl:
                     # the self-certifying numbers: isolated floor
                     # against the frozen floor, both box-normalized
-                    # and raw — min(vs_floor, vs_floor_raw) <= 1.5
-                    # certifies the row (norm derives from the judged
-                    # run itself, so neither view alone is trustworthy)
+                    # and raw — certification requires BOTH views
+                    # <= 1.5 (max(vs_floor, vs_floor_raw); round 12,
+                    # ADVICE r11: min() certified rows whose raw
+                    # regression hid behind an inflated norm)
                     row["floor"] = fl
                     row["vs_floor"] = round((iso / norm) / fl, 3)
                     row["vs_floor_raw"] = round(iso / fl, 3)

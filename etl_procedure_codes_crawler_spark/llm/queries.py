@@ -6277,11 +6277,24 @@ _STORE_AGREE = " + ".join(
     "neardup_incremental_documents",
     oracle=f"""
     WITH {_minhash_sig_bucket_ctes()},
+    snapb AS (
+        -- the implementation's degenerate-bucket cap (round 12,
+        -- ADVICE r11: replicate max_store_bucket_size=64 instead of
+        -- resting on a docstring assertion): only the 64 lowest-id
+        -- snapshot rows per (band, bucket) enter the candidate join,
+        -- exactly near_dups_against_store's ranked truncation
+        SELECT band, bucket, doc_id FROM (
+            SELECT b.band, b.bucket, b.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.band, b.bucket
+                                      ORDER BY b.doc_id) AS rk
+            FROM buckets b WHERE b.doc_id % 2 = 0
+        ) WHERE rk <= 64
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS snapshot_id
         FROM buckets a
-        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        JOIN snapb b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 2 = 1
     ),
     est AS (
         SELECT c.new_id, c.snapshot_id,
@@ -7438,12 +7451,14 @@ def video_keyframe_neardup_pairs(
     every decodable keyframe of the smaller clip matches
     (min_match_frac=1). Twin recall at hamming 0 and the two failure
     planes are pinned in tests/test_video.py; rows-only because the
-    hash is numpy-side."""
+    hash is numpy-side. Twin offset 1_850_000_000 = 50*37*10^6 keeps
+    original and twin on identical corruption schedules (10^9 ≡ 1
+    mod 37 would diverge — see video_all_frame_neardup_pairs)."""
     documents = load(spark, sf_dir, "documents")
     from . import video as V
 
     twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+        "doc_id", F.col("doc_id") + F.lit(1_850_000_000)
     )
     corpus = documents.unionByName(twins)
     target = spark.sparkContext.defaultParallelism
@@ -7555,12 +7570,16 @@ def video_all_frame_neardup_pairs(
     schedules. One Arrow pass decodes + hashes every reconstructable
     frame; pairs ride the SAME star-capped 4-band hamming join;
     min_match_frac=1 keeps full-clip duplicates. Rows-only because
-    the hash is numpy-side."""
+    the hash is numpy-side. Twin offset 1_850_000_000 is a multiple
+    of BOTH corruption moduli (50*37=1850), so original and twin
+    land on identical container/chain schedules — 10^9 ≡ 1 (mod 37)
+    would silently break the byte-identical-twin contract for any
+    doc_id ≥ 37*... (first divergence at the first doc ≡ 36 mod 37)."""
     documents = load(spark, sf_dir, "documents")
     from . import video as V
 
     twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+        "doc_id", F.col("doc_id") + F.lit(1_850_000_000)
     )
     corpus = documents.unionByName(twins)
     target = spark.sparkContext.defaultParallelism

@@ -272,3 +272,39 @@ class TestAllFrameNearDup:
             V.video_frame_hashes(media), max_hamming=3
         ).collect()
         assert af_pairs == []
+
+
+class TestTwinOffsetSchedule:
+    """The twin queries' byte-identical contract holds only if the
+    offset preserves BOTH planted-corruption schedules (round 12,
+    ADVICE r11): 10^9 ≡ 1 (mod 37), so the old offset gave docs
+    ≡ 36 (mod 37) a chain-broken twin of a clean original. The fixed
+    offset 1_850_000_000 = 50·37·10^6 is ≡ 0 under both moduli."""
+
+    OFFSET = 1_850_000_000
+
+    def test_offset_divisible_by_both_corruption_moduli(self):
+        assert self.OFFSET % V.VIDEO_CORRUPT_CONTAINER_EVERY == 0
+        assert self.OFFSET % V.VIDEO_CORRUPT_DELTA_EVERY == 0
+        assert self.OFFSET % V.VIDEO_CORRUPT_SAMPLE_EVERY == 0
+
+    def test_twin_payload_byte_identical_across_schedules(self, spark):
+        # doc 147 = first id that is BOTH a twin candidate (mult of 7)
+        # and ≡ 36 (mod 37): under offset 10^9 its twin lands on the
+        # delta-corruption schedule while the original is clean
+        assert 147 % 7 == 0 and 147 % 37 == 36
+        docs = spark.createDataFrame(
+            [
+                (147, TEXT, "s"),
+                (147 + self.OFFSET, TEXT, "s"),
+                (147 + 1_000_000_000, TEXT, "s"),  # the old, broken offset
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.media_id: r.payload
+            for r in V.documents_as_delta_mp4(docs).collect()
+        }
+        assert rows[147 + self.OFFSET] == rows[147]
+        # the old offset genuinely diverges — the bug this test pins
+        assert rows[147 + 1_000_000_000] != rows[147]
