@@ -165,8 +165,12 @@ HEADLINE = [
     "duplicate_spans_documents",
     "remove_duplicate_spans_documents",
     # the span family's scale shape: LSH candidates -> pair-scoped
-    # extraction (key joins only, no posting-list self-join)
-    "duplicate_spans_lsh_scoped",
+    # extraction (key joins only, no posting-list self-join). The
+    # BENCHED row is the xx-mode production path (round 12, r11
+    # verdict #1: the md5 oracle twin duplicate_spans_lsh_scoped
+    # carries the hash proof, but its digest tax made it breach a
+    # floor certified on xx-mode rounds — bench production, oracle md5)
+    "duplicate_spans_lsh_prod",
     # round-7 second half: the Gopher hand-rule battery (map-only
     # projection), exact TV drift (one corpus shuffle + pinned
     # marginals), leakage-safe cluster holdout (jaccard edges +

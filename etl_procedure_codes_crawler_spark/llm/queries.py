@@ -1752,6 +1752,26 @@ def duplicate_spans_lsh_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans_for_pairs(documents, pairs, min_len=8)
 
 
+@register("duplicate_spans_lsh_prod")  # rows-only: xxhash64 candidates
+def duplicate_spans_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME pair-scoped span plan as duplicate_spans_lsh_scoped
+    but with the PRODUCTION hash family (xxhash64 — one JVM codegen
+    intrinsic per shingle instead of an md5 string digest). This is
+    the row the bench times (round 12, r11 verdict #1): the 2.214 s
+    floor was certified on xx-mode rounds, and round 11's conversion
+    of the oracled row to md5 silently swapped the benched workload —
+    in-suite raw grew 2.72 -> 4.91 s purely from the digest tax.
+    Splitting bench (xx, this row) from oracle (md5, the _scoped row)
+    keeps the floor meaningful AND the hash proof intact; the two
+    plans are identical modulo hash_fn (same candidate machinery,
+    same span SQL), so the md5 twin's correctness evidence covers
+    this plan's structure. Rows-only by construction: xxhash64 is
+    JVM-side only."""
+    documents = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidate_pairs(documents, hash_fn="xx")
+    return D.duplicate_spans_for_pairs(documents, pairs, min_len=8)
+
+
 #: the shingle list WITHOUT dedup (duplicate shingles are the signal
 #: for repetition metrics) — DuckDB spelling of llm/dedup.shingles_column
 _SQL_ALL_SHINGLES = f"""CASE WHEN len(t) >= 3 THEN
@@ -7966,6 +7986,11 @@ ROWS_ONLY = {
     "source_cardinality_hll",
     # round-11: duplicate_spans_lsh_scoped left this set — md5-mode
     # candidates made the scoped span extraction hash-oracled
+    # round-12: its xx-mode production twin is the BENCHED row (r11
+    # verdict #1 — the md5 digest tax breached an xx-certified floor);
+    # rows-only because xxhash64 is JVM-side only, correctness covered
+    # by the structurally-identical md5 twin's hash oracle
+    "duplicate_spans_lsh_prod",
     "user_value_trends_grouped_map",
     "approx_distinct_users",
     "hll_sketch_union_users",

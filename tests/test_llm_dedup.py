@@ -428,6 +428,31 @@ class TestDuplicateSpansForPairs:
             recall = len(scoped & full) / len(full)
             assert recall >= 0.5, f"LSH-scoped span recall {recall:.2f}"
 
+    def test_lsh_prod_is_subset_with_recall(self, spark, sf_dir):
+        """The xx-mode benched twin (round 12): same structural
+        contract as the md5 oracle row — spans ⊆ the full path on
+        cap-visible pairs, recall floor over planted duplicates."""
+        import etl_procedure_codes_crawler_spark.llm.queries  # noqa: F401
+        from etl_procedure_codes_crawler_spark.plans.relational import QUERIES
+
+        full = {
+            tuple(r)
+            for r in QUERIES["duplicate_spans_documents"](
+                spark, sf_dir
+            ).collect()
+        }
+        scoped = {
+            tuple(r)
+            for r in QUERIES["duplicate_spans_lsh_prod"](
+                spark, sf_dir
+            ).collect()
+        }
+        full_pairs = {(a, b) for a, b, *_ in full}
+        assert {s for s in scoped if (s[0], s[1]) in full_pairs} <= full
+        if full:
+            recall = len(scoped & full) / len(full)
+            assert recall >= 0.5, f"xx-mode span recall {recall:.2f}"
+
 
 class TestIntraDocRepeats:
     def _run(self, spark, rows, block=2):
