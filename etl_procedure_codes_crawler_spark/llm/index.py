@@ -35,13 +35,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
+    _FIXED_SHIFT,
+    _int_sq_dists,
+    _ivf_cell_int_udf,
     _ivf_cell_udf,
+    _kmeans_int,
     _kmeans_np,
+    _md5_h60_py,
     _pq_codes_udf,
     _pq_context,
+    _pq_int_codecs,
+    _pq_int_context,
+    _quantize_np,
     _sq_dists_np,
     _train_vectors,
+    _train_vectors_by_id,
     _unit_np,
+    _unit_seq_np,
     with_norm,
     _dot,
 )
@@ -59,20 +69,45 @@ def build_ivfpq_index(
     max_iter: int = 5,
     train_sample: int = 1 << 16,
     dim: int | None = None,
+    quant_mode: str = "float",
 ) -> None:
     """Train quantizers (bounded driver-side sample, seeded numpy
     Lloyd), encode the corpus in ONE pass (Arrow-batched cell+codes),
     and lay it out partitioned by cell. The encode scan is the only
-    full pass over the corpus; everything else is metadata-sized."""
+    full pass over the corpus; everything else is metadata-sized.
+
+    ``quant_mode='md5'`` (round 12): both quantizers run md5-seeded
+    INTEGER Lloyd (similarity._kmeans_int) and the meta stores the
+    integer centroids/codebook + the mode, so appends, serves, and a
+    SQL oracle all re-derive identical structures from the corpus."""
     from .text import spread_small_input
 
-    train_X = _train_vectors(corpus, vec_col, train_sample)
-    codebook, codes_udf, _lut_udf, _adc, _rot = _pq_context(
-        corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
-        train_X=train_X,
-    )
-    centroids = _kmeans_np(_unit_np(train_X), num_centroids, seed, max_iter)
-    cell_udf = _ivf_cell_udf(centroids, normalize=True)
+    if quant_mode == "md5":
+        ids, train_X = _train_vectors_by_id(
+            corpus, vec_col, id_col, train_sample
+        )
+        codebook, codes_udf, _lut_udf, _adc, _rot = _pq_int_context(
+            corpus, vec_col, id_col, m, codebook_size, max_iter,
+            dim=dim, train_data=(ids, train_X),
+        )
+        keys = [(_md5_h60_py(f"km:{int(i)}"), int(i)) for i in ids]
+        centroids = _kmeans_int(
+            _quantize_np(_unit_seq_np(train_X)), keys, num_centroids,
+            max_iter,
+        )
+        cell_udf = _ivf_cell_int_udf(centroids, normalize=True)
+    elif quant_mode == "float":
+        train_X = _train_vectors(corpus, vec_col, train_sample)
+        codebook, codes_udf, _lut_udf, _adc, _rot = _pq_context(
+            corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
+            train_X=train_X,
+        )
+        centroids = _kmeans_np(
+            _unit_np(train_X), num_centroids, seed, max_iter
+        )
+        cell_udf = _ivf_cell_udf(centroids, normalize=True)
+    else:
+        raise ValueError(f"unknown quant_mode {quant_mode!r}")
 
     coded = spread_small_input(
         corpus.select(
@@ -106,6 +141,7 @@ def build_ivfpq_index(
         "num_centroids": num_centroids,
         "dim": int(train_X.shape[1]),
         "seed": seed,
+        "quant_mode": quant_mode,
     }
     spark = corpus.sparkSession
     # repartition(1), not coalesce(1): a coalesced one-row local
@@ -135,10 +171,21 @@ def append_to_ivfpq_index(
     from .text import spread_small_input
 
     meta = load_index_meta(spark, path)
-    centroids = np.asarray(meta["centroids"])
-    codebook = np.asarray(meta["codebook"])
-    codes_udf = _pq_codes_udf(codebook, meta["m"], meta["sub"])
-    cell_udf = _ivf_cell_udf(centroids, normalize=True)
+    if meta.get("quant_mode", "float") == "md5":
+        # encode with the STORED integer quantizers — same grid the
+        # build used, so append == rebuild for identical inputs
+        codes_udf, _lut = _pq_int_codecs(
+            np.asarray(meta["codebook"], dtype=np.int64),
+            meta["m"], meta["sub"],
+        )
+        cell_udf = _ivf_cell_int_udf(
+            np.asarray(meta["centroids"], dtype=np.int64), normalize=True
+        )
+    else:
+        centroids = np.asarray(meta["centroids"])
+        codebook = np.asarray(meta["codebook"])
+        codes_udf = _pq_codes_udf(codebook, meta["m"], meta["sub"])
+        cell_udf = _ivf_cell_udf(centroids, normalize=True)
 
     existing = spark.read.parquet(path.rstrip("/") + "/coded").select("id")
     fresh = (
@@ -193,8 +240,7 @@ def query_ivfpq_index(
     :func:`..similarity.cosine_topk_ivfpq`."""
     meta = load_index_meta(spark, path)
     m, sub, K = meta["m"], meta["sub"], meta["codebook_size"]
-    G = np.asarray(meta["centroids"])
-    C = np.asarray(meta["codebook"])
+    md5_mode = meta.get("quant_mode", "float") == "md5"
 
     q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -208,20 +254,35 @@ def query_ivfpq_index(
     if not q_rows:
         raise ValueError("empty query set")
     qids = [r["query_id"] for r in q_rows]
-    Q = _unit_np(
-        np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
-    )
-    luts = (Q.reshape(len(Q), m, sub) @ C.T).reshape(len(Q), -1)
-    order = np.argsort(_sq_dists_np(Q, G), axis=1, kind="stable")
+    raw_Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    if md5_mode:
+        # the stored quantizers are integer — probe and LUT in the
+        # same exact int64 arithmetic the build used
+        G = np.asarray(meta["centroids"], dtype=np.int64)
+        C = np.asarray(meta["codebook"], dtype=np.int64)
+        QU = _quantize_np(_unit_seq_np(raw_Q))
+        luts = (
+            (QU - _FIXED_SHIFT).reshape(len(QU), m, sub)
+            @ (C - _FIXED_SHIFT).T
+        ).reshape(len(QU), -1)
+        order = np.argsort(_int_sq_dists(QU, G), axis=1, kind="stable")
+    else:
+        G = np.asarray(meta["centroids"])
+        C = np.asarray(meta["codebook"])
+        Q = _unit_np(raw_Q)
+        luts = (Q.reshape(len(Q), m, sub) @ C.T).reshape(len(Q), -1)
+        order = np.argsort(_sq_dists_np(Q, G), axis=1, kind="stable")
     probe_cells = order[:, :nprobe]
 
+    lut_type = "array<bigint>" if md5_mode else "array<double>"
+    lut_py = int if md5_mode else float
     probes = spark.createDataFrame(
         [
-            (qid, [float(x) for x in lut], int(cell))
+            (qid, [lut_py(x) for x in lut], int(cell))
             for qid, lut, cells in zip(qids, luts, probe_cells)
             for cell in cells
         ],
-        f"query_id {id_type}, lut array<double>, cell int",
+        f"query_id {id_type}, lut {lut_type}, cell int",
     )
     cells_needed = sorted({int(c) for row in probe_cells for c in row})
 
@@ -311,15 +372,23 @@ def query_ivfpq_index_distributed(
     small, shuffled when not — AQE's call. Use
     :func:`query_ivfpq_index` for serving-sized query sets, where the
     driver-computed cell predicate prunes the scan to files."""
-    from .similarity import _ivf_probe_udf, _pq_lut_udf
+    from .similarity import _ivf_probe_int_udf, _ivf_probe_udf, _pq_lut_udf
 
     meta = load_index_meta(spark, path)
     m, sub, K = meta["m"], meta["sub"], meta["codebook_size"]
-    G = np.asarray(meta["centroids"])
-    C = np.asarray(meta["codebook"])
+    if meta.get("quant_mode", "float") == "md5":
+        C = np.asarray(meta["codebook"], dtype=np.int64)
+        _codes, lut_udf = _pq_int_codecs(C, m, sub)
+        probe_udf = _ivf_probe_int_udf(
+            np.asarray(meta["centroids"], dtype=np.int64),
+            nprobe, normalize=True,
+        )
+    else:
+        G = np.asarray(meta["centroids"])
+        C = np.asarray(meta["codebook"])
 
-    lut_udf = _pq_lut_udf(C, m, sub)
-    probe_udf = _ivf_probe_udf(G, nprobe, normalize=True)
+        lut_udf = _pq_lut_udf(C, m, sub)
+        probe_udf = _ivf_probe_udf(G, nprobe, normalize=True)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

@@ -2531,32 +2531,322 @@ def embedding_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.similar_pairs_lsh(embeddings, threshold=0.45, plane_mode="md5")
 
 
-@register("ann_cosine_topk_ivf")  # rows-only (approximate by design)
+#: fixed-point quantization CTE shared by the md5-int ANN oracles —
+#: the exact grid similarity._quantize_np lives on (one IEEE multiply
+#: + floor + shift per coordinate)
+_ANN_DIM = 64
+_H60 = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _int_dist(qcol: str, ccol: str, d: int = _ANN_DIM) -> str:
+    return (
+        f"list_sum([({qcol}[i]-{ccol}[i])*({qcol}[i]-{ccol}[i]) "
+        f"for i in generate_series(1, {d})])"
+    )
+
+
+def _kmeans_int_ctes(
+    train_cte: str,
+    prefix: str,
+    k: int,
+    max_iter: int,
+    tag_expr: str,
+    id_order: str = "vec_id",
+    dim: int = _ANN_DIM,
+) -> tuple[str, str]:
+    """Unrolled integer-Lloyd CTE chain over ``train_cte(vec_id, q)``
+    — DuckDB's replay of similarity._kmeans_int. Returns (ctes_sql,
+    final_centroid_cte_name). Init = k smallest (md5_60(tag_expr),
+    id); per iteration: exact int argmin assignment (ties -> lowest
+    cid), per-dimension SUM // COUNT centroid update, empty cells
+    keep the previous centroid. ``tag_expr`` is the full SQL string
+    expression hashed for the init order (e.g. the PQ pool hashes
+    'pq:id:slice' reconstructed from its synthetic id*m+slice key)."""
+    hk = _H60.format(e=tag_expr)
+    ctes = [
+        f"""{prefix}c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY hk, {id_order}) - 1 AS cid,
+               q AS c
+        FROM (SELECT *, {hk} AS hk FROM {train_cte})
+        QUALIFY ROW_NUMBER() OVER (ORDER BY hk, {id_order}) <= {k}
+    )"""
+    ]
+    prev = f"{prefix}c0"
+    for t in range(1, max_iter + 1):
+        ctes.append(f"""{prefix}a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT t.vec_id, c.cid, {_int_dist('t.q', 'c.c', dim)} AS d
+            FROM {train_cte} t CROSS JOIN {prev} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) = 1
+    )""")
+        ctes.append(f"""{prefix}s{t} AS (
+        SELECT a.cid, u.i, SUM(t.q[u.i]) AS s, COUNT(*) AS cnt
+        FROM {prefix}a{t} a JOIN {train_cte} t USING (vec_id),
+             LATERAL unnest(generate_series(1, {dim})) AS u(i)
+        GROUP BY a.cid, u.i
+    )""")
+        ctes.append(f"""{prefix}c{t} AS (
+        SELECT p.cid, COALESCE(nc.c, p.c) AS c
+        FROM {prev} p LEFT JOIN (
+            SELECT cid, list(s // cnt ORDER BY i) AS c
+            FROM {prefix}s{t} GROUP BY cid
+        ) nc USING (cid)
+    )""")
+        prev = f"{prefix}c{t}"
+    return ",\n    ".join(ctes), prev
+
+
+def _ivf_md5_oracle(
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    max_iter: int = 3,
+    train_n: int = 1 << 16,
+) -> str:
+    km, cfin = _kmeans_int_ctes(
+        "train", "km", num_centroids, max_iter,
+        "'km:' || CAST(vec_id AS VARCHAR)",
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    qv AS (
+        SELECT vec_id,
+               [CAST(FLOOR(x * 1048576.0) AS BIGINT) + 2097152
+                for x in v] AS q
+        FROM e
+    ),
+    train AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {train_n}),
+    {km},
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid, {_int_dist('v.q', 'c.c')} AS d
+            FROM qv v CROSS JOIN {cfin} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid, {_int_dist('v.q', 'c.c')} AS d
+            FROM qv v CROSS JOIN {cfin} c
+            WHERE v.vec_id < 20
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) <= {nprobe}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, cl.vec_id AS neighbor_id
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE cl.vec_id <> p.query_id
+    ),
+    pairs AS (
+        SELECT c.query_id, c.neighbor_id, {_COS} AS cos
+        FROM cand c
+        JOIN (SELECT vec_id, v AS qe FROM e) a ON a.vec_id = c.query_id
+        JOIN (SELECT vec_id, v AS ce FROM e) b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= {k}
+    """
+
+
+@register("ann_cosine_topk_ivf", oracle=_ivf_md5_oracle())
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell-probe ANN (seeded k-means; see similarity.cosine_topk_ivf)."""
+    """IVF cell-probe ANN, HASH-ORACLED (round 12 — the first
+    TRAINED-quantizer conversion, extending the md5/fixed-point
+    playbook from hashing to learning): md5-seeded integer k-means
+    (similarity._kmeans_int — init by md5-60 order, 3 Lloyd
+    iterations of exact int64 assignment + floor-division centroid
+    means on the shifted 2^20 grid) makes the trained centroids a
+    pure function of the embedding table that DuckDB re-derives as
+    unrolled CTEs; cell assignment, nprobe probing, and the exact
+    cosine re-rank then replay bit-for-bit. Recall vs the exact
+    baseline stays pinned in tests — the cells are approximate BY
+    DESIGN; their derivation no longer is. The float path
+    (quant_mode='float') stays the library throughput default."""
     embeddings = load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_ivf(embeddings, queries, k=5)
+    return S.cosine_topk_ivf(
+        embeddings, queries, k=5, max_iter=3, quant_mode="md5"
+    )
 
 
-@register("ann_cosine_topk_pq")  # rows-only (approximate by design)
+def _pq_md5_oracle(
+    ivf: bool,
+    k: int = 5,
+    m: int = 8,
+    codebook_size: int = 64,
+    num_centroids: int = 16,
+    nprobe: int = 6,
+    max_iter: int = 3,
+    shortlist_factor: int = 10,
+    train_n: int = 1 << 16,
+    dim: int = _ANN_DIM,
+) -> str:
+    """DuckDB replay of the md5-int PQ (and IVF+PQ) pipeline: unit
+    vectors via the sequential-norm fold, shifted fixed-point
+    quantization, pooled-slice integer-Lloyd codebook (init keys
+    md5_60('pq:id:slice') over the synthetic key id*m+slice), exact
+    int argmin codes, INTEGER ADC (shift-removed signed dots),
+    deterministic shortlist, exact-cosine re-rank."""
+    sub = dim // m
+    pq_tag = (
+        f"'pq:' || CAST(vec_id // {m} AS VARCHAR)"
+        f" || ':' || CAST(vec_id % {m} AS VARCHAR)"
+    )
+    pqkm, pqfin = _kmeans_int_ctes(
+        "pooled", "pq", codebook_size, max_iter, pq_tag, dim=sub
+    )
+    slice_expr = (
+        f"list_slice(v.q, s.s * {sub} + 1, s.s * {sub} + {sub})"
+    )
+    if ivf:
+        ivfkm, ivffin = _kmeans_int_ctes(
+            "train", "km", num_centroids, max_iter,
+            "'km:' || CAST(vec_id AS VARCHAR)", dim=dim,
+        )
+        ivf_part = f"""{ivfkm},
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid, {_int_dist('v.q', 'c.c', dim)} AS dd
+            FROM quv v CROSS JOIN {ivffin} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dd, cid) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid, {_int_dist('v.q', 'c.c', dim)} AS dd
+            FROM quv v CROSS JOIN {ivffin} c WHERE v.vec_id < 20
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dd, cid) <= {nprobe}
+    ),"""
+        cand = """
+    cand AS (
+        SELECT DISTINCT p.query_id, cl.vec_id AS neighbor_id
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE cl.vec_id <> p.query_id
+    ),"""
+    else:
+        ivf_part = ""
+        cand = """
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM (SELECT vec_id FROM quv WHERE vec_id < 20) q
+        CROSS JOIN (SELECT vec_id FROM quv) c
+        WHERE q.vec_id <> c.vec_id
+    ),"""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    uv AS (
+        SELECT vec_id,
+               CASE WHEN nrm > 0 THEN [x / nrm for x in v]
+                    ELSE [0.0 for x in v] END AS u
+        FROM (SELECT vec_id, v,
+                     sqrt(list_sum([x*x for x in v])) AS nrm FROM e)
+    ),
+    quv AS (
+        SELECT vec_id,
+               [CAST(FLOOR(x * 1048576.0) AS BIGINT) + 2097152
+                for x in u] AS q
+        FROM uv
+    ),
+    train AS (SELECT vec_id, q FROM quv ORDER BY vec_id LIMIT {train_n}),
+    pooled AS (
+        SELECT t.vec_id * {m} + s.s AS vec_id,
+               list_slice(t.q, s.s * {sub} + 1, s.s * {sub} + {sub}) AS q
+        FROM train t,
+             LATERAL unnest(generate_series(0, {m - 1})) AS s(s)
+    ),
+    {pqkm},
+    {ivf_part}
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT v.vec_id, s.s, c.cid AS code,
+                   {_int_dist(slice_expr, 'c.c', sub)} AS dd
+            FROM quv v,
+                 LATERAL unnest(generate_series(0, {m - 1})) AS s(s),
+                 {pqfin} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, s ORDER BY dd, code) = 1
+    ),
+    lutv AS (
+        SELECT v.vec_id AS query_id, s.s, c.cid,
+               list_sum([
+                   ({slice_expr}[i] - 2097152) * (c.c[i] - 2097152)
+                   for i in generate_series(1, {sub})]) AS dotint
+        FROM quv v,
+             LATERAL unnest(generate_series(0, {m - 1})) AS s(s),
+             {pqfin} c
+        WHERE v.vec_id < 20
+    ),
+    {cand}
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id, SUM(l.dotint) AS score
+        FROM cand cd
+        JOIN codes co ON co.vec_id = cd.neighbor_id
+        JOIN lutv l ON l.query_id = cd.query_id
+                   AND l.s = co.s AND l.cid = co.code
+        GROUP BY cd.query_id, cd.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM adc
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) <= {k * shortlist_factor}
+    ),
+    pairs AS (
+        SELECT s.query_id, s.neighbor_id, {_COS} AS cos
+        FROM short s
+        JOIN (SELECT vec_id, v AS qe FROM e) a ON a.vec_id = s.query_id
+        JOIN (SELECT vec_id, v AS ce FROM e) b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= {k}
+    """
+
+
+@register("ann_cosine_topk_pq", oracle=_pq_md5_oracle(ivf=False))
 def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC lookup-table scoring — the
-    memory-side scale path (codes, not float vectors, shuffle; see
-    similarity.cosine_topk_pq)."""
+    memory-side scale path (codes, not float vectors, shuffle) —
+    HASH-ORACLED (round 12): the shared codebook is md5-seeded
+    INTEGER Lloyd over the pooled quantized subvector slices
+    (similarity._pq_int_context), codes are exact int argmins, and
+    the ADC shortlist ranks by INTEGER dots of the signed quantized
+    slices — DuckDB re-derives training, encoding, and the shortlist
+    bit-for-bit, then the proven cosine fold re-ranks. Quantization
+    noise stays approximate BY DESIGN; its derivation no longer is."""
     embeddings = load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_pq(embeddings, queries, k=5, dim=64)
+    return S.cosine_topk_pq(
+        embeddings, queries, k=5, dim=64, max_iter=3, quant_mode="md5"
+    )
 
 
-@register("ann_cosine_topk_ivfpq")  # rows-only (approximate by design)
+@register("ann_cosine_topk_ivfpq", oracle=_pq_md5_oracle(ivf=True))
 def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ — the canonical billion-scale ANN pipeline: cell-probe
     equi-join prunes compute, ADC code scoring prunes memory, exact
-    cosine re-ranks the shortlist (see similarity.cosine_topk_ivfpq)."""
+    cosine re-ranks the shortlist — HASH-ORACLED (round 12): BOTH
+    trained quantizers (coarse cells on quantized unit vectors, PQ
+    codebook on pooled slices) run md5-seeded integer Lloyd on the
+    same fixed-point grid, so the full compose — cells, probes,
+    codes, integer ADC, shortlist, re-rank — replays in SQL."""
     embeddings = load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 20)
-    return S.cosine_topk_ivfpq(embeddings, queries, k=5, nprobe=6, dim=64)
+    return S.cosine_topk_ivfpq(
+        embeddings, queries, k=5, nprobe=6, dim=64, max_iter=3,
+        quant_mode="md5",
+    )
 
 
 @register("ann_cosine_topk_opq")  # rows-only (approximate by design)
@@ -5855,7 +6145,7 @@ def training_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("ann_index_ivfpq_query")  # rows-only (approximate by design)
+@register("ann_index_ivfpq_query", oracle=_pq_md5_oracle(ivf=True))
 def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING shape of ANN: query a persisted IVF+PQ index
     (coded corpus partitioned by cell — the probe predicate
@@ -5868,7 +6158,14 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent. The timed repeat path is serve-only (probe + ADC scan
     + exact re-rank), which is what a query row should measure; the
     build+append+compact lifecycle keeps its own timed row
-    (ann_index_health)."""
+    (ann_index_health).
+
+    Round 12: HASH-ORACLED — the index builds in quant_mode='md5'
+    (integer quantizers persisted in meta), and because serve ==
+    one-shot cosine_topk_ivfpq by the determinism contract, the
+    oracle IS the ivfpq oracle verbatim: DuckDB re-derives the
+    trained structures from the corpus; the parquet layout is an
+    execution detail the equality contract erases."""
     import os as _os
 
     from . import index as IX
@@ -5878,10 +6175,10 @@ def ann_index_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(memo_root: str) -> None:
         IX.build_ivfpq_index(
             embeddings, _os.path.join(memo_root, "ix"),
-            num_centroids=16, seed=42,
+            num_centroids=16, seed=42, max_iter=3, quant_mode="md5",
         )
 
-    root = _memo_scaffold(f"annix:{sf_dir}", build)
+    root = _memo_scaffold(f"annix_md5:{sf_dir}", build)
     return IX.query_ivfpq_index(
         spark,
         _os.path.join(root, "ix"),
@@ -6842,14 +7139,124 @@ def bootstrap_ci_tokens_by_source(
     )
 
 
-@register("embedding_margin_pairs_ann")  # rows-only (approximate by design)
+def _margin_ann_md5_oracle(
+    knn: int = 32,
+    nprobe: int = 6,
+    max_iter: int = 3,
+    floor: float = 0.30,
+    k: int = 4,
+    margin_threshold: float = 1.1,
+    train_n: int = 1 << 16,
+) -> str:
+    """DuckDB replay of margin_pairs_ann in md5-int mode: the IVF
+    k-NN graph (every vector a query; cells = the md5-int Lloyd
+    replay with the DYNAMIC cell count max(16, min(4096, n//256)) as
+    a scalar subquery — the same FAISS sizing rule the Spark side
+    prices with one count() job), top-knn edges at the rounded-cosine
+    floor, then the exact twin's margin CTEs verbatim."""
+    ncells = (
+        "(SELECT GREATEST(16, LEAST(4096, COUNT(*) // 256)) FROM e)"
+    )
+    km, cfin = _kmeans_int_ctes(
+        "train", "km", ncells, max_iter,
+        "'km:' || CAST(vec_id AS VARCHAR)",
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    qv AS (
+        SELECT vec_id,
+               [CAST(FLOOR(x * 1048576.0) AS BIGINT) + 2097152
+                for x in v] AS q
+        FROM e
+    ),
+    train AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {train_n}),
+    {km},
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid, {_int_dist('v.q', 'c.c')} AS d
+            FROM qv v CROSS JOIN {cfin} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid, {_int_dist('v.q', 'c.c')} AS d
+            FROM qv v CROSS JOIN {cfin} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) <= {nprobe}
+    ),
+    knncand AS (
+        SELECT DISTINCT p.query_id, cl.vec_id AS neighbor_id
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE cl.vec_id <> p.query_id
+    ),
+    knnpairs AS (
+        SELECT c.query_id, c.neighbor_id, {_COS} AS cos
+        FROM knncand c
+        JOIN (SELECT vec_id, v AS qe FROM e) a ON a.vec_id = c.query_id
+        JOIN (SELECT vec_id, v AS ce FROM e) b ON b.vec_id = c.neighbor_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine
+        FROM knnpairs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) <= {knn}
+    ),
+    edges AS (
+        SELECT DISTINCT LEAST(query_id, neighbor_id) AS vec_a,
+               GREATEST(query_id, neighbor_id) AS vec_b
+        FROM topk WHERE cosine >= {floor}
+    ),
+    cf AS (
+        -- unrounded cosines re-derived PAIR-WISE (the margin fold
+        -- must not consume display-rounded values) — same as the
+        -- exact twin's cand, scoped to the ANN edges
+        SELECT g.vec_a, g.vec_b, {_COS} AS cos
+        FROM edges g
+        JOIN (SELECT vec_id, v AS qe FROM e) a ON a.vec_id = g.vec_a
+        JOIN (SELECT vec_id, v AS ce FROM e) b ON b.vec_id = g.vec_b
+    ),
+    directed AS (
+        SELECT vec_a AS id, vec_b AS nb, cos FROM cf
+        UNION ALL
+        SELECT vec_b AS id, vec_a AS nb, cos FROM cf
+    ),
+    ranked AS (
+        SELECT id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY cos DESC, nb) AS rk
+        FROM directed
+    ),
+    knnm AS (
+        SELECT id,
+               list_reduce(list(cos ORDER BY rk), (a, b) -> a + b)
+                   / {float(k)} AS mean_top
+        FROM ranked WHERE rk <= {k} GROUP BY id HAVING COUNT(*) = {k}
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine,
+           ROUND(cos / ((x.mean_top + y.mean_top) / 2.0), 4) AS margin
+    FROM cf JOIN knnm x ON x.id = vec_a JOIN knnm y ON y.id = vec_b
+    WHERE cos / ((x.mean_top + y.mean_top) / 2.0) >= {margin_threshold}
+    """
+
+
+@register("embedding_margin_pairs_ann", oracle=_margin_ann_md5_oracle())
 def embedding_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding_margin_pairs: identical margin scoring
     over the IVF k-NN graph (llm/similarity.py — threshold-LSH is the
-    wrong candidate source at low floors; see margin_pairs_ann).
-    Recall vs the exact twin floored in tests/test_r9s2_families.py."""
+    wrong candidate source at low floors; see margin_pairs_ann) —
+    HASH-ORACLED (round 12): the kNN graph's cells come from md5-int
+    Lloyd (dynamic cell count replicated as a scalar subquery), edges
+    are the top-knn rounded-cosine floor, and the margin scoring CTEs
+    are the exact twin's verbatim. Recall vs the exact twin stays
+    floored in tests/test_r9s2_families.py."""
     embeddings = load(spark, sf_dir, "embeddings")
-    return S.margin_pairs_ann(embeddings, floor=0.30, k=4, margin_threshold=1.1)
+    return S.margin_pairs_ann(
+        embeddings, floor=0.30, k=4, margin_threshold=1.1,
+        quant_mode="md5", max_iter=3,
+    )
 
 
 #: the Pearson chi-square contingency oracle — shared verbatim by the
@@ -7967,11 +8374,10 @@ ROWS_ONLY = {
     # round-11: ann_cosine_topk_lsh + embedding_similar_pairs_lsh left
     # this set — md5-derived ±1 planes over fixed-point coordinates
     # made the float-LSH signatures hash-oracled
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_pq",
-    "ann_cosine_topk_ivfpq",
+    # round-12: ann_cosine_topk_ivf, _pq, and _ivfpq left this set —
+    # md5-seeded integer k-means (cells AND codebooks) made the
+    # trained quantizers hash-oracled; OPQ stays (eigh is libm)
     "ann_cosine_topk_opq",
-    "ann_index_ivfpq_query",
     "ann_index_health",
     "bpe_train_merges",
     "bpe_encode_documents",
@@ -8018,7 +8424,6 @@ ROWS_ONLY = {
     "unigram_fertility_by_source",
     # round-9 session 2: IVF k-NN candidate graph (trained centroids,
     # recall < 1 by design); recall floored vs the oracled exact twin
-    "embedding_margin_pairs_ann",
     # round-10: video keyframe dHash is numpy-side (like the image and
     # audio twins); twin recall at hamming 0 pinned in tests/test_video.py
     "video_keyframe_neardup_pairs",

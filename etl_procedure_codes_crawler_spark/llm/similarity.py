@@ -328,6 +328,8 @@ def margin_pairs_ann(
     nprobe: int = 6,
     seed: int = 42,
     cell_target: int = 256,
+    quant_mode: str = "float",
+    max_iter: int = 5,
 ) -> DataFrame:
     """The scale path for :func:`margin_pairs_bruteforce`: identical
     margin scoring over an IVF k-NN GRAPH instead of the O(n²) scan —
@@ -360,6 +362,7 @@ def margin_pairs_ann(
         cosine_topk_ivf(
             df, df, k=knn, vec_col=vec_col, id_col=id_col,
             num_centroids=num_centroids, nprobe=nprobe, seed=seed,
+            quant_mode=quant_mode, max_iter=max_iter,
         )
         .filter(F.col("cosine") >= floor)
         .select(
@@ -482,6 +485,255 @@ def _sq_dists_np(X: np.ndarray, C: np.ndarray) -> np.ndarray:
 
 def _stack_np(vectors: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in vectors])
+
+
+# ---------------------------------------------------------------------------
+# md5-int quantizer training (round 12): the trained-ANN conversion.
+# The same fixed-point discipline that hash-oracled the float-LSH
+# family, applied to k-means itself — md5-seeded init, a fixed number
+# of Lloyd iterations, and INTEGER centroid arithmetic make training
+# a pure function of (ids, quantized coordinates) that DuckDB replays
+# as unrolled CTEs. Every op is engine-exact: quantization is one
+# IEEE multiply + floor; distances are int64 sums (associative);
+# centroid means are floor divisions of non-negative sums (the shift
+# keeps coordinates >= 0, so numpy // == SQL //); argmin ties break
+# to the lowest centroid id (numpy first-occurrence == ORDER BY d,
+# cid). Empty cells keep their previous centroid — deliberately NOT
+# the float path's farthest-point reseed, which is order-dependent
+# and SQL-hostile.
+# ---------------------------------------------------------------------------
+
+#: fixed-point geometry shared by every md5-int quantizer and its SQL
+#: oracle: SCALE is one IEEE multiply (2^20), SHIFT makes quantized
+#: coordinates non-negative so integer mean division floors
+#: identically everywhere (embedding coords are unit-scale; 2^21
+#: covers anything in (-2, 2))
+_FIXED_SCALE = float(1 << 20)
+_FIXED_SHIFT = 1 << 21
+
+
+def _md5_h60_py(s: str) -> int:
+    """Driver-side twin of the oracle's md5-60 expression:
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _quantize_np(X: np.ndarray) -> np.ndarray:
+    """floor(x * 2^20) + 2^21 per coordinate — the shifted fixed-point
+    grid every md5-int distance lives on."""
+    return np.floor(X * _FIXED_SCALE).astype(np.int64) + _FIXED_SHIFT
+
+
+def _unit_seq_np(X: np.ndarray) -> np.ndarray:
+    """Unit-normalize with a SEQUENTIAL-order norm accumulation —
+    numpy's pairwise .sum() is faster but order-divergent from SQL's
+    left fold; this loop is ((x1²+x2²)+x3²)+…, exactly DuckDB's
+    list_sum, and sqrt/divide are single correctly-rounded IEEE ops."""
+    acc = np.zeros(len(X), dtype=np.float64)
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * X[:, j]
+    n = np.sqrt(acc)
+    safe = np.where(n > 0, n, 1.0)
+    return np.where((n > 0)[:, None], X / safe[:, None], 0.0)
+
+
+def _int_sq_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 over int64 via the matmul identity — exact
+    (integer arithmetic is associative; no float rounding anywhere)."""
+    return (
+        (A * A).sum(axis=1, keepdims=True)
+        - 2 * (A @ B.T)
+        + (B * B).sum(axis=1)
+    )
+
+
+def _train_vectors_by_id(
+    corpus: DataFrame, vec_col: str, id_col: str, train_sample: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic training sample for md5-int quantizers: the
+    ``train_sample`` LOWEST-id vectors — unlike :func:`_train_vectors`
+    (unordered limit, fine for a float quantizer nobody replays), the
+    oracle must re-derive the exact sample, so the cut is ORDER BY id
+    LIMIT n. Same bounded-collect scale story: driver memory and scan
+    cost are capped regardless of corpus size."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"cannot train on an empty corpus (vector column: {vec_col!r})"
+        )
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _kmeans_int(
+    Q: np.ndarray,
+    init_keys: list,
+    k: int,
+    max_iter: int,
+) -> np.ndarray:
+    """Integer Lloyd on the shifted fixed-point grid. Init = the k
+    training rows with the smallest ``init_keys[j]`` — callers build
+    keys as (md5_60(tag:id), id-tiebreak…) tuples so the oracle's
+    ORDER BY (hash, id…) re-derives the identical selection. md5-60
+    collisions are ~2^-60 so the tiebreak is belt-and-braces, but it
+    must still order the same way the SQL does."""
+    n = len(Q)
+    kk = min(k, n)
+    order = sorted(range(n), key=lambda j: init_keys[j])
+    centers = Q[np.asarray(order[:kk])].copy()
+    for _ in range(max_iter):
+        labels = _int_sq_dists(Q, centers).argmin(axis=1)
+        counts = np.bincount(labels, minlength=kk)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, labels, Q)
+        filled = counts > 0
+        centers[filled] = sums[filled] // counts[filled, None]
+    return centers
+
+
+def _ivf_cell_int_udf(centers: np.ndarray, normalize: bool):
+    """Arrow-batched md5-int cell assignment: quantize the batch onto
+    the shared fixed-point grid, exact int64 argmin against the
+    integer centroids (ties -> lowest cell id, same as the oracle's
+    ORDER BY d, cid)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    G = np.asarray(centers, dtype=np.int64)
+
+    @pandas_udf(IntegerType())
+    def cell(vectors: pd.Series) -> pd.Series:
+        X = _stack_np(vectors)
+        if normalize:
+            X = _unit_seq_np(X)
+        q = _quantize_np(X)
+        return pd.Series(
+            _int_sq_dists(q, G).argmin(axis=1).astype(np.int32)
+        )
+
+    return cell
+
+
+def _ivf_probe_int_udf(centers: np.ndarray, nprobe: int, normalize: bool):
+    """md5-int probe: nprobe nearest integer centroids per query
+    (stable argsort == ORDER BY d, cid LIMIT nprobe)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    G = np.asarray(centers, dtype=np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(vectors: pd.Series) -> pd.Series:
+        X = _stack_np(vectors)
+        if normalize:
+            X = _unit_seq_np(X)
+        q = _quantize_np(X)
+        order = np.argsort(_int_sq_dists(q, G), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    return probe
+
+
+def _pq_int_context(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    codebook_size: int,
+    max_iter: int,
+    dim: int | None = None,
+    train_sample: int = 1 << 16,
+    train_data: "tuple[np.ndarray, np.ndarray] | None" = None,
+):
+    """md5-int twin of :func:`_pq_context`: unit-normalize with the
+    SEQUENTIAL-order norm, quantize onto the shared fixed-point grid,
+    pool the m subvector slices of the deterministic lowest-id
+    training sample, and fit the shared codebook with integer Lloyd
+    (:func:`_kmeans_int`, init keys md5_60('pq:id:slice')). Codes are
+    exact int argmins; the ADC LUT holds INTEGER dots of the
+    SHIFT-removed (signed) quantized slices — no float enters the
+    shortlist, so a SQL oracle replays training, encoding, and
+    ranking bit-for-bit. ``train_data=(ids, X)`` shares one collect
+    with the IVFPQ cell trainer."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    if train_data is None:
+        train_data = _train_vectors_by_id(
+            corpus, vec_col, id_col, train_sample
+        )
+    ids, X = train_data
+    if dim is None:
+        dim = X.shape[1]
+    elif dim != X.shape[1]:
+        raise ValueError(
+            f"dim={dim} but corpus vectors have {X.shape[1]} elements"
+        )
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+
+    QU = _quantize_np(_unit_seq_np(X))
+    pooled = QU.reshape(len(QU) * m, sub)
+    keys = [
+        (_md5_h60_py(f"pq:{int(i)}:{s}"), int(i) * m + s)
+        for i in ids
+        for s in range(m)
+    ]
+    CB = _kmeans_int(pooled, keys, codebook_size, max_iter)
+    codes, lut = _pq_int_codecs(CB, m, sub)
+
+    def adc_score(codes_col, lut_colname):
+        # same unrolled element_at sum as _pq_context — long-typed
+        terms = [
+            F.element_at(
+                F.col(lut_colname),
+                F.lit(j * codebook_size + 1) + F.element_at(codes_col, j + 1),
+            )
+            for j in range(m)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
+
+    return CB, codes, lut, adc_score, None
+
+
+def _pq_int_codecs(codebook: np.ndarray, m: int, sub: int):
+    """(codes_udf, lut_udf) over a FIXED integer codebook — shared by
+    the in-line trainer above and the persisted index, whose appends
+    and serves must encode with the STORED quantizers."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    CB = np.asarray(codebook, dtype=np.int64)
+    CBs = CB - _FIXED_SHIFT
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(vectors: pd.Series) -> pd.Series:
+        q = _quantize_np(_unit_seq_np(_stack_np(vectors)))
+        lab = _int_sq_dists(q.reshape(-1, sub), CB).argmin(axis=1)
+        return pd.Series(list(lab.reshape(-1, m).astype(np.int32)))
+
+    @pandas_udf(ArrayType(LongType()))
+    def lut(vectors: pd.Series) -> pd.Series:
+        qs = (
+            _quantize_np(_unit_seq_np(_stack_np(vectors)))
+            - _FIXED_SHIFT
+        )
+        out = qs.reshape(len(qs), m, sub) @ CBs.T
+        return pd.Series(list(out.reshape(len(qs), -1)))
+
+    return codes, lut
 
 
 def _opq_rotation(train_X: np.ndarray, m: int) -> np.ndarray:
@@ -849,6 +1101,7 @@ def cosine_topk_ivf(
     seed: int = 42,
     max_iter: int = 5,
     train_sample: int = 1 << 16,
+    quant_mode: str = "float",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into cells; each query probes its ``nprobe`` nearest cells
@@ -861,16 +1114,34 @@ def cosine_topk_ivf(
     plan as literals; the corpus is scanned ONCE, assigning each vector
     its cell with a closed-form argmin — no ML model state on
     executors, ever. Per query the candidate set shrinks by
-    ~nprobe/num_centroids. Seeded k-means keeps runs reproducible."""
+    ~nprobe/num_centroids. Seeded k-means keeps runs reproducible.
+
+    ``quant_mode='md5'`` (round 12): md5-seeded FIXED-POINT integer
+    k-means (:func:`_kmeans_int`) — training, cell assignment, and
+    probes become engine-exact integer relations a SQL oracle replays
+    (``seed`` is ignored; the md5 init is the seed); 'float' stays
+    the throughput default."""
     from .text import spread_small_input
 
-    centers = _kmeans_np(
-        _train_vectors(corpus, vec_col, train_sample),
-        num_centroids,
-        seed,
-        max_iter,
-    )
-    cell_udf = _ivf_cell_udf(centers, normalize=False)
+    if quant_mode == "md5":
+        ids, X = _train_vectors_by_id(
+            corpus, vec_col, id_col, train_sample
+        )
+        keys = [(_md5_h60_py(f"km:{i}"), int(i)) for i in ids]
+        centers = _kmeans_int(
+            _quantize_np(X), keys, num_centroids, max_iter
+        )
+        cell_udf = _ivf_cell_int_udf(centers, normalize=False)
+    elif quant_mode == "float":
+        centers = _kmeans_np(
+            _train_vectors(corpus, vec_col, train_sample),
+            num_centroids,
+            seed,
+            max_iter,
+        )
+        cell_udf = _ivf_cell_udf(centers, normalize=False)
+    else:
+        raise ValueError(f"unknown quant_mode {quant_mode!r}")
     # spread narrow inputs so the Arrow cell-assign batches use every
     # core (same rationale as lsh_table_buckets)
     assigned = spread_small_input(
@@ -888,14 +1159,20 @@ def cosine_topk_ivf(
         # tests/test_plan_quality.py
         F.coalesce(cell_udf(F.col("cv")), F.lit(-1)).alias("cell"),
     )
+    if quant_mode == "md5":
+        probe_col = _ivf_probe_int_udf(centers, nprobe, normalize=False)(
+            F.col("qv")
+        )
+    else:
+        probe_col = _probe_cells(
+            F.col("qv"), centers, nprobe, normalize=False
+        )
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .select(
             "query_id",
             "qv",
-            F.explode(
-                _probe_cells(F.col("qv"), centers, nprobe, normalize=False)
-            ).alias("cell"),
+            F.explode(probe_col).alias("cell"),
         )
     )
     qn = with_norm(probes, "qv").withColumnRenamed("_norm", "qn")
@@ -1172,6 +1449,7 @@ def cosine_topk_pq(
     dim: int | None = None,
     train_sample: int = 1 << 16,
     rotate: bool = False,
+    quant_mode: str = "float",
 ) -> DataFrame:
     """Product-quantization ANN with ADC (asymmetric distance
     computation) scoring: the corpus is stored as ``m`` small codes
@@ -1199,10 +1477,20 @@ def cosine_topk_pq(
     """
     from .text import spread_small_input
 
-    _, codes_udf, lut_udf, adc_score, _R = _pq_context(
-        corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
-        train_sample=train_sample, rotate=rotate,
-    )
+    if quant_mode == "md5":
+        if rotate:
+            raise ValueError("rotate (OPQ) has no md5-int mode — eigh is libm")
+        _, codes_udf, lut_udf, adc_score, _R = _pq_int_context(
+            corpus, vec_col, id_col, m, codebook_size, max_iter,
+            dim=dim, train_sample=train_sample,
+        )
+    elif quant_mode == "float":
+        _, codes_udf, lut_udf, adc_score, _R = _pq_context(
+            corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
+            train_sample=train_sample, rotate=rotate,
+        )
+    else:
+        raise ValueError(f"unknown quant_mode {quant_mode!r}")
     coded = spread_small_input(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -1242,6 +1530,7 @@ def cosine_topk_ivfpq(
     dim: int | None = None,
     train_sample: int = 1 << 16,
     rotate: bool = False,
+    quant_mode: str = "float",
 ) -> DataFrame:
     """IVF + PQ — the canonical billion-scale ANN pipeline, composed
     from this module's two halves:
@@ -1267,15 +1556,37 @@ def cosine_topk_ivfpq(
     """
     from .text import spread_small_input
 
-    train_X = _train_vectors(corpus, vec_col, train_sample)
-    _, codes_udf, lut_udf, adc_score, _R = _pq_context(
-        corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
-        train_X=train_X, rotate=rotate,
-    )
+    if quant_mode == "md5":
+        if rotate:
+            raise ValueError("rotate (OPQ) has no md5-int mode — eigh is libm")
+        ids, X = _train_vectors_by_id(
+            corpus, vec_col, id_col, train_sample
+        )
+        _, codes_udf, lut_udf, adc_score, _R = _pq_int_context(
+            corpus, vec_col, id_col, m, codebook_size, max_iter,
+            dim=dim, train_sample=train_sample, train_data=(ids, X),
+        )
+        # IVF cells on the QUANTIZED unit vectors (cosine geometry,
+        # integer Lloyd — same grid as the PQ codebook)
+        keys = [(_md5_h60_py(f"km:{int(i)}"), int(i)) for i in ids]
+        centers = _kmeans_int(
+            _quantize_np(_unit_seq_np(X)), keys, num_centroids, max_iter
+        )
+        cell_udf = _ivf_cell_int_udf(centers, normalize=True)
+    elif quant_mode == "float":
+        train_X = _train_vectors(corpus, vec_col, train_sample)
+        _, codes_udf, lut_udf, adc_score, _R = _pq_context(
+            corpus, vec_col, m, codebook_size, seed, max_iter, dim=dim,
+            train_X=train_X, rotate=rotate,
+        )
 
-    # IVF cells on the unit vectors (cosine geometry)
-    centers = _kmeans_np(_unit_np(train_X), num_centroids, seed, max_iter)
-    cell_udf = _ivf_cell_udf(centers, normalize=True)
+        # IVF cells on the unit vectors (cosine geometry)
+        centers = _kmeans_np(
+            _unit_np(train_X), num_centroids, seed, max_iter
+        )
+        cell_udf = _ivf_cell_udf(centers, normalize=True)
+    else:
+        raise ValueError(f"unknown quant_mode {quant_mode!r}")
 
     # corpus side: Arrow-batched cell assignment + PQ codes in ONE pass
     # over the corpus (both UDFs run in the same ArrowEvalPython stage)
@@ -1294,6 +1605,14 @@ def cosine_topk_ivfpq(
 
     # query side: nprobe nearest cells (adaptive probe in unit space —
     # cell geometry is cosine) + the ADC LUT, in one pass
+    if quant_mode == "md5":
+        probe_col = _ivf_probe_int_udf(centers, nprobe, normalize=True)(
+            F.col("qv")
+        )
+    else:
+        probe_col = _probe_cells(
+            F.col("qv"), centers, nprobe, normalize=True
+        )
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1301,9 +1620,7 @@ def cosine_topk_ivfpq(
         .select(
             "query_id",
             lut_udf(F.col("qv")).alias("lut"),
-            F.explode(
-                _probe_cells(F.col("qv"), centers, nprobe, normalize=True)
-            ).alias("cell"),
+            F.explode(probe_col).alias("cell"),
         )
     )
     pairs = (
