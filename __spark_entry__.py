@@ -149,7 +149,14 @@ _GATE_PRIORITY = [
     # (ann_cosine_topk stays oracled in registry + parity replica) —
     # the margin row exercises the same pairwise cosine math PLUS the
     # rank-ordered fold and neighborhood-mean contract
-    "embedding_margin_pairs",
+    # round-12: the ANN margin row takes the exact margin row's slot
+    # (embedding_margin_pairs stays oracled in registry + parity
+    # replica) — STRICT containment: the ANN oracle ends in the exact
+    # twin's margin CTEs verbatim, and in front of them hash-proves
+    # the round's flagship conversion — md5-seeded INTEGER k-means
+    # (fixed-point Lloyd, dynamic cell count), cell assignment, and
+    # the IVF kNN-graph candidate derivation in one sampled row
+    "embedding_margin_pairs_ann",
     "semantic_dedup_exact",
     # multimodal (BMP/PNG stay oracled in the full registry; the
     # round-7 real-codec JPEG path takes the sampled slot)

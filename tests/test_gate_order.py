@@ -84,9 +84,11 @@ def test_family_coverage_in_gate_sample(entry):
         "jaccard": {"ngram_jaccard_pairs_dfcap", "ngram_containment_pairs"},
         "safety": {"contamination_overlap", "pii_scan_documents"},
         # round-9 session 2: margin mining covers the pairwise cosine
-        # math plus the neighborhood-mean fold
+        # math plus the neighborhood-mean fold; round-12: the ANN
+        # margin row holds the slot (trained md5-int k-means cells +
+        # the exact twin's margin CTEs in one sampled row)
         "ann": {"ann_cosine_topk", "embedding_similar_pairs",
-                "embedding_margin_pairs"},
+                "embedding_margin_pairs", "embedding_margin_pairs_ann"},
         # round-9 rotation: the MP4 box-walk family holds the sampled
         # multimodal rows (payload/PNG/JPEG stats stay in the registry);
         # round-10: keyframe DECODE took the manifest slot; round-11:
