@@ -288,6 +288,9 @@ HEADLINE = [
     # round-11: inter-frame video decode (delta-coded clips, chain
     # reconstruction, error recovery) — hash-oracled and gate-sampled
     "video_delta_decode_stats",
+    # round-12: presentation-time frame sampling over variable-
+    # duration (run-length stts) containers — hash-oracled
+    "video_time_indexed_manifest",
 ]
 
 

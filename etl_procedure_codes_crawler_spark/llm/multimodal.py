@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     LongType,
     StringType,
@@ -1167,6 +1168,31 @@ def _walk_boxes(data: bytes, start: int, end: int):
         off = box_end
 
 
+def sample_decode_times(track: dict) -> list[int]:
+    """Decode start time (track timescale ticks) of every sample —
+    the stts run expansion (ISO/IEC 14496-12 §8.6.1.2): sample k's
+    decode time is the running sum of the deltas before it. Strict
+    like :func:`sample_file_offsets` — a run table whose total count
+    disagrees with stsz raises ValueError (the error-as-data hook)
+    instead of silently mis-timing samples."""
+    runs = track.get("time_to_sample") or []
+    sizes = track.get("sample_sizes") or []
+    n = len(sizes)
+    times: list[int] = []
+    t = 0
+    for cnt, delta in runs:
+        for _ in range(cnt):
+            if len(times) >= n:
+                raise ValueError(
+                    f"stts declares more than the {n} stsz samples"
+                )
+            times.append(t)
+            t += delta
+    if len(times) != n:
+        raise ValueError(f"stts covers {len(times)} of {n} samples")
+    return times
+
+
 def sample_file_offsets(track: dict) -> list[int]:
     """Absolute file offset of every sample of a parsed track — the
     real demuxer walk (ISO/IEC 14496-12 §8.7.4-8.7.5): expand the
@@ -1259,12 +1285,15 @@ def parse_mp4(payload: bytes) -> dict:
                 if p + 4 + n * 8 > e:
                     raise ValueError("truncated stts")
                 total = dur = 0
+                runs = []
                 for i in range(n):
                     cnt, delta = struct.unpack_from(">II", data, p + 4 + i * 8)
                     total += cnt
                     dur += cnt * delta
+                    runs.append((cnt, delta))
                 track["n_samples_stts"] = total
                 track["samples_duration"] = dur
+                track["time_to_sample"] = runs
             elif btype == b"stss":
                 _v, p = full_box(b, e)
                 (n,) = struct.unpack_from(">I", data, p)
@@ -1319,6 +1348,7 @@ def parse_mp4(payload: bytes) -> dict:
             "sample_to_chunk": [],
             "n_samples_stts": 0,
             "samples_duration": 0,
+            "time_to_sample": [],
         }
         for btype, b, e in _walk_boxes(data, body, end):
             if btype == b"tkhd":
@@ -1483,6 +1513,7 @@ def build_mp4_samples(
     height: int = 240,
     codec: bytes = b"mp4v",
     samples_per_chunk: int | None = None,
+    sample_durations: "list[int] | None" = None,
 ) -> bytes:
     """The general form of :func:`build_mp4`: the caller supplies the
     per-sample byte blobs (e.g. real JPEG frames for MJPEG-in-MP4 —
@@ -1492,7 +1523,14 @@ def build_mp4_samples(
     ``samples_per_chunk=None`` keeps the one-chunk layout; an int
     splits the samples into ceil(n/spc) chunks with per-chunk stco
     offsets and compressed stsc runs — the layout that exercises the
-    real demuxer walk (sample_file_offsets)."""
+    real demuxer walk (sample_file_offsets).
+
+    ``sample_durations`` (round 12): per-sample decode durations in
+    timescale ticks — written as a REAL run-length-encoded stts
+    (consecutive equal durations compress into one run, the encoding
+    every actual muxer emits), which is what makes the container
+    TIME-indexed: a consumer must expand the run table to know when
+    sample k presents. None keeps the uniform single-run table."""
     import struct
 
     if not samples:
@@ -1505,7 +1543,23 @@ def build_mp4_samples(
     sizes = [len(s) for s in samples]
     text_bytes = b"".join(samples)
     keyframes = list(range(1, n_samples + 1, keyframe_every))
-    duration = n_samples * sample_dur
+    if sample_durations is not None:
+        if len(sample_durations) != n_samples:
+            raise ValueError(
+                f"{len(sample_durations)} durations for {n_samples} samples"
+            )
+        if any(d < 1 for d in sample_durations):
+            raise ValueError("sample durations must be >= 1 tick")
+        stts_runs: list[list[int]] = []
+        for d in sample_durations:
+            if stts_runs and stts_runs[-1][1] == d:
+                stts_runs[-1][0] += 1
+            else:
+                stts_runs.append([1, int(d)])
+        duration = sum(sample_durations)
+    else:
+        stts_runs = [[n_samples, sample_dur]]
+        duration = n_samples * sample_dur
     spc = samples_per_chunk or n_samples
     # chunk layout: spc samples per chunk, remainder in the last one;
     # chunks lie contiguously in the mdat, so each chunk's RELATIVE
@@ -1591,8 +1645,8 @@ def build_mp4_samples(
         )
         stts = full(
             b"stts", 0, 0,
-            struct.pack(">I", 1),
-            struct.pack(">II", n_samples, sample_dur),
+            struct.pack(">I", len(stts_runs)),
+            *(struct.pack(">II", c, d) for c, d in stts_runs),
         )
         stss = full(
             b"stss", 0, 0,
@@ -1664,6 +1718,76 @@ def documents_as_mp4(
                 payload = build_mp4(
                     (text or "").encode("utf-8"),
                     samples_per_chunk=samples_per_chunk,
+                )
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    payload = payload[: max(12, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("video/mp4")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+#: per-sample duration grid for the TIMED corpus: token i plays for
+#: MP4_SAMPLE_DUR * (1 + len(token_i) % 3) ticks — variable durations
+#: closed-form in the text, with natural runs (consecutive same-length
+#: tokens) that exercise REAL stts run-length compression
+MP4_TIMED_DUR_MODULUS = 3
+
+
+def _timed_sample_durations(text: str) -> list[int]:
+    toks = (text or "").split()
+    if not toks:
+        return [MP4_SAMPLE_DUR]
+    return [
+        MP4_SAMPLE_DUR * (1 + len(t) % MP4_TIMED_DUR_MODULUS)
+        for t in toks
+    ]
+
+
+def documents_as_timed_mp4(
+    documents: DataFrame,
+    corrupt_every: int = MP4_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #8 (round 12): the
+    VARIABLE-frame-duration container — same text-as-mdat geometry as
+    :func:`documents_as_mp4`, but each sample's decode duration is
+    closed-form in its token (:data:`MP4_TIMED_DUR_MODULUS` grid),
+    written as a run-length-encoded stts. A consumer can no longer
+    index frames by sample number alone: presentation time requires
+    the stts expansion — which is exactly what a real frame-sampling
+    fleet ("1 frame per second") must do on crawled video. Every
+    ``corrupt_every``-th doc is truncated mid-container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                data = (text or "").encode("utf-8")
+                n_samples = max(1, len((text or "").split()))
+                chunk_sizes = _mp4_sample_sizes(len(data), n_samples)
+                chunks, off = [], 0
+                for sz in chunk_sizes:
+                    chunks.append(data[off : off + sz])
+                    off += sz
+                payload = build_mp4_samples(
+                    chunks,
+                    sample_durations=_timed_sample_durations(text or ""),
                 )
                 if corrupt_every and doc_id % corrupt_every == 0:
                     payload = payload[: max(12, len(payload) // 2)]
@@ -1764,6 +1888,90 @@ MP4_KEYFRAME_SCHEMA = StructType(
         StructField("sample_bytes", LongType()),
     ]
 )
+
+
+MP4_TIME_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("interval_no", LongType()),
+        StructField("sample_no", LongType()),
+        StructField("start_tick", LongType()),
+        StructField("is_sync", BooleanType()),
+        StructField("decode_cost", LongType()),
+    ]
+)
+
+
+def mp4_time_indexed_manifest(
+    media: DataFrame, interval_ticks: int = MP4_TIMESCALE
+) -> DataFrame:
+    """The PRESENTATION-TIME sampling manifest (round 12): one row
+    per (clip, interval) — "extract 1 frame per second" — naming the
+    sample presented at each interval start, its decode start tick,
+    whether it is a sync sample, and the DECODE COST of seeking there
+    (samples from the governing keyframe through it — the work a
+    predictive-codec fleet actually pays per extracted frame).
+
+    Presented sample at tick T = the last sample whose decode time
+    <= T (stts run expansion via :func:`sample_decode_times` — sample
+    numbers alone cannot answer this on variable-duration tracks).
+    Intervals run 0 <= k*interval < track duration. Corrupt
+    containers and inconsistent sample tables contribute no rows (the
+    stats query owns the error plane). Like the keyframe manifest,
+    this relation is what ships to the decode fleet at 100 TB — tiny
+    integer rows, never the video bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        for batch in batches:
+            ids, ks, nos, ticks, syncs, costs = [], [], [], [], [], []
+            for media_id, payload in zip(
+                batch["media_id"], batch["payload"]
+            ):
+                try:
+                    info = parse_mp4(payload if payload is not None else b"")
+                except Exception:  # noqa: BLE001 — stats query reports it
+                    continue
+                for t in info["tracks"]:
+                    try:
+                        times = sample_decode_times(t)
+                    except ValueError:
+                        continue
+                    if not times:
+                        continue
+                    total = t.get("samples_duration") or 0
+                    kfs = sorted(t.get("keyframes") or [])
+                    for k in range(
+                        (max(0, total - 1) // interval_ticks) + 1
+                    ):
+                        tick = k * interval_ticks
+                        j = bisect.bisect_right(times, tick) - 1
+                        if j < 0:
+                            continue
+                        sample_no = j + 1
+                        ki = bisect.bisect_right(kfs, sample_no) - 1
+                        gov_kf = kfs[ki] if ki >= 0 else 1
+                        ids.append(media_id)
+                        ks.append(k)
+                        nos.append(sample_no)
+                        ticks.append(times[j])
+                        syncs.append(sample_no in kfs)
+                        costs.append(sample_no - gov_kf + 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "interval_no": pd.array(ks, dtype="Int64"),
+                    "sample_no": pd.array(nos, dtype="Int64"),
+                    "start_tick": pd.array(ticks, dtype="Int64"),
+                    "is_sync": pd.array(syncs, dtype="boolean"),
+                    "decode_cost": pd.array(costs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=MP4_TIME_MANIFEST_SCHEMA
+    )
 
 
 def mp4_keyframe_manifest(media: DataFrame) -> DataFrame:

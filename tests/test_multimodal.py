@@ -1125,3 +1125,79 @@ class TestContentVerify:
             if sha[a] == sha[b]
         ]
         assert verified == []  # ...and killed by content verification
+
+
+class TestTimedMp4:
+    """Round 12: variable-frame-duration containers (run-length stts)
+    and the presentation-time manifest they force."""
+
+    def test_stts_runs_round_trip(self):
+        durs = [40, 40, 80, 80, 80, 40, 120]
+        payload = M.build_mp4_samples(
+            [b"x"] * len(durs), sample_durations=durs
+        )
+        info = M.parse_mp4(payload)
+        (track,) = info["tracks"]
+        # real RLE: 4 runs, not 7 entries
+        assert track["time_to_sample"] == [
+            (2, 40), (3, 80), (1, 40), (1, 120)
+        ]
+        assert track["samples_duration"] == sum(durs)
+        assert M.sample_decode_times(track) == [
+            0, 40, 80, 160, 240, 320, 360
+        ]
+
+    def test_uniform_default_is_single_run(self):
+        info = M.parse_mp4(M.build_mp4_samples([b"a", b"b", b"c"]))
+        (track,) = info["tracks"]
+        assert track["time_to_sample"] == [(3, M.MP4_SAMPLE_DUR)]
+
+    def test_decode_times_strict_on_count_mismatch(self):
+        payload = M.build_mp4_samples([b"x"] * 3)
+        (track,) = M.parse_mp4(payload)["tracks"]
+        track["time_to_sample"] = [(2, 40)]  # covers 2 of 3 samples
+        with pytest.raises(ValueError, match="covers 2 of 3"):
+            M.sample_decode_times(track)
+        track["time_to_sample"] = [(4, 40)]  # declares one too many
+        with pytest.raises(ValueError, match="more than"):
+            M.sample_decode_times(track)
+
+    def test_duration_count_mismatch_raises_at_build(self):
+        with pytest.raises(ValueError, match="durations for"):
+            M.build_mp4_samples([b"a", b"b"], sample_durations=[40])
+
+    def test_time_manifest_picks_by_presentation_time(self, spark):
+        # durations 120,40,40,... — at tick 1000 the presented sample
+        # is NOT sample 1000//40: only the stts expansion knows
+        durs = [120] + [40] * 30  # total 1320 ticks -> intervals 0,1
+        payload = M.build_mp4_samples(
+            [b"x"] * len(durs), sample_durations=durs
+        )
+        media = spark.createDataFrame(
+            [(1, payload, "video/mp4", len(payload), "s")], M.MEDIA_SCHEMA
+        )
+        rows = {
+            r.interval_no: r
+            for r in M.mp4_time_indexed_manifest(media).collect()
+        }
+        assert set(rows) == {0, 1}
+        assert rows[0].sample_no == 1 and rows[0].start_tick == 0
+        assert rows[0].is_sync and rows[0].decode_cost == 1
+        # tick 1000: starts are 0, 120, then +40 each — sample k >= 2
+        # starts at 120+(k-2)*40, so the last start <= 1000 is sample
+        # 24 (exactly 1000). Uniform-40 arithmetic would have said
+        # sample 26 — the cheat this corpus forbids.
+        assert rows[1].sample_no == 24
+        assert rows[1].start_tick == 1000
+        # keyframes every 5 (1,6,11,16,21,26): governing kf 21, cost 4
+        assert not rows[1].is_sync and rows[1].decode_cost == 4
+
+    def test_corrupt_containers_contribute_no_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(50, "some words here", "s"), (51, "other words", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = M.mp4_time_indexed_manifest(
+            M.documents_as_timed_mp4(docs)
+        )
+        assert {r.media_id for r in out.collect()} == {51}
