@@ -440,9 +440,20 @@ def duplicate_spans_for_pairs(
     gb = grams.select(
         F.col("id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
     )
+    # shuffle_hash hints with the PAIR side as build: the static
+    # planner's size estimate for a positioned-gram explode is
+    # fiction (round 12: at 500k docs it estimated both corpus-sized
+    # gram relations under the 64 MB broadcast threshold and OOMed
+    # the driver building the broadcast tables — the
+    # works-at-sf0.1/dies-at-100x class). Shuffled-hash never
+    # broadcasts, and building the hinted PAIR side keeps the hash
+    # map per-partition-pair-sized (pairs are star-capped linear in
+    # the corpus and divide across shuffle partitions) while the
+    # corpus-sized gram stream only probes; the second join builds
+    # the (pair × a-gram) matches for the same reason
+    m0 = p.hint("shuffle_hash").join(ga, "doc_a")
     m = (
-        p.join(ga, "doc_a")
-        .join(gb, ["doc_b", "g"])
+        m0.hint("shuffle_hash").join(gb, ["doc_b", "g"])
         .select(
             "doc_a",
             "doc_b",

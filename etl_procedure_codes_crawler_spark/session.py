@@ -59,7 +59,17 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Partition-size ceiling so scans split into memory-safe tasks.
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Broadcast policy (round 12): the STATIC planner must never
+        # pick broadcast joins — its size estimate for explode-derived
+        # relations (shingle/gram/band rows) is fiction, and at 500k
+        # docs it estimated corpus-sized gram relations under the old
+        # 64 MB threshold and OOMed the driver building the broadcast
+        # tables (the works-at-sf0.1/dies-at-100x class). AQE instead
+        # promotes joins to broadcast from RUNTIME sizes (truth), and
+        # explicit F.broadcast()/hint sites still force it where the
+        # code knows the relation is bounded.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # Semantics pins, set HERE for sessions this engine owns.
         # plans.relational.load() re-pins the same two values at the
         # query seam because the correctness gate runs queries in a
