@@ -1741,6 +1741,243 @@ def documents_as_mp4(
     )
 
 
+#: audio-track geometry for the MULTI-TRACK corpus (round 12): 8 kHz
+#: media timescale, one sample per 8 payload bytes, 200 ticks (25 ms)
+#: per sample — all closed-form in the text like the video track
+MP4_AUDIO_TIMESCALE = 8000
+MP4_AUDIO_BYTES_PER_SAMPLE = 8
+MP4_AUDIO_SAMPLE_DUR = 200
+
+
+def build_mp4_multitrack(
+    text_bytes: bytes,
+    timescale: int = MP4_TIMESCALE,
+    sample_dur: int = MP4_SAMPLE_DUR,
+    keyframe_every: int = MP4_KEYFRAME_EVERY,
+    width: int = 320,
+    height: int = 240,
+) -> bytes:
+    """A valid TWO-track ISO BMFF container — real media is one
+    container, N tracks, not parallel single-track corpora (the r11
+    verdict's multi-track gap). Track 1 is the video track with
+    :func:`build_mp4`'s exact geometry (n = token count, 40 ms
+    samples, keyframe every 5th); track 2 is a 'soun' track over a
+    second copy of the payload — one sample per
+    :data:`MP4_AUDIO_BYTES_PER_SAMPLE` bytes at the 8 kHz media
+    timescale, 25 ms per sample, no stss (audio samples are all sync
+    by spec when the box is absent). The mdat is the two tracks' byte
+    regions laid contiguously (video first), each track's stco
+    anchored at its own region — a per-track demuxer walk is the only
+    way to read either. Everything is closed-form in the text."""
+    import struct
+
+    n_v = max(1, len(text_bytes.decode("utf-8", "replace").split()))
+    v_sizes = _mp4_sample_sizes(len(text_bytes), n_v)
+    L = len(text_bytes)
+    n_a = max(1, L // MP4_AUDIO_BYTES_PER_SAMPLE)
+    a_sizes = _mp4_sample_sizes(L, n_a)
+    keyframes = list(range(1, n_v + 1, keyframe_every))
+    dur_v = n_v * sample_dur                       # movie-timescale ticks
+    dur_a_media = n_a * MP4_AUDIO_SAMPLE_DUR       # 8 kHz ticks
+    dur_a_movie = (dur_a_media * timescale) // MP4_AUDIO_TIMESCALE
+    movie_dur = max(dur_v, dur_a_movie)
+
+    def box(btype: bytes, *parts: bytes) -> bytes:
+        body = b"".join(parts)
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, version: int, flags: int, *parts: bytes) -> bytes:
+        return box(
+            btype, struct.pack(">I", (version << 24) | flags), *parts
+        )
+
+    matrix = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+
+    def trak_common(
+        track_id: int,
+        track_dur: int,
+        media_timescale: int,
+        media_dur: int,
+        handler: bytes,
+        hdlr_name: bytes,
+        stsd_entry: bytes,
+        entry_4cc: bytes,
+        n_samples: int,
+        s_dur: int,
+        sizes: list[int],
+        chunk_off: int,
+        stss_box: bytes | None,
+        media_header: bytes,
+        dims: tuple[int, int] | None,
+    ) -> bytes:
+        tkhd = full(
+            b"tkhd", 0, 7,
+            struct.pack(">II", 0, 0),
+            struct.pack(">I", track_id),
+            b"\x00" * 4,
+            struct.pack(">I", track_dur),
+            b"\x00" * 8,
+            struct.pack(">HHHH", 0, 0, 0, 0),
+            matrix,
+            struct.pack(
+                ">II",
+                (dims[0] if dims else 0) << 16,
+                (dims[1] if dims else 0) << 16,
+            ),
+        )
+        mdhd = full(
+            b"mdhd", 0, 0,
+            struct.pack(">II", 0, 0),
+            struct.pack(">II", media_timescale, media_dur),
+            struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = full(
+            b"hdlr", 0, 0,
+            b"\x00" * 4, handler, b"\x00" * 12, hdlr_name,
+        )
+        stsd = full(
+            b"stsd", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">I", len(stsd_entry) + 8) + entry_4cc + stsd_entry,
+        )
+        stts = full(
+            b"stts", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">II", n_samples, s_dur),
+        )
+        stsz = full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n_samples),
+            struct.pack(f">{n_samples}I", *sizes),
+        )
+        stsc = full(
+            b"stsc", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">III", 1, n_samples, 1),
+        )
+        stco = full(
+            b"stco", 0, 0,
+            struct.pack(">I", 1),
+            struct.pack(">I", chunk_off),
+        )
+        stbl_parts = [stsd, stts]
+        if stss_box is not None:
+            stbl_parts.append(stss_box)
+        stbl_parts += [stsz, stsc, stco]
+        dref = full(
+            b"dref", 0, 0,
+            struct.pack(">I", 1),
+            full(b"url ", 0, 1),
+        )
+        minf = box(
+            b"minf", media_header, box(b"dinf", dref), box(b"stbl", *stbl_parts)
+        )
+        return box(b"trak", tkhd, box(b"mdia", mdhd, hdlr, minf))
+
+    visual_entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    # minimal SoundSampleEntry ('twos' = 16-bit big-endian PCM):
+    # 6 reserved + data_ref_index, 8 reserved, channels, samplesize,
+    # pre_defined + reserved, samplerate as 16.16 fixed
+    audio_entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HH", 2, 16)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", MP4_AUDIO_TIMESCALE << 16)
+    )
+
+    def moov(mdat_data_off: int) -> bytes:
+        mvhd = full(
+            b"mvhd", 0, 0,
+            struct.pack(">II", 0, 0),
+            struct.pack(">II", timescale, movie_dur),
+            struct.pack(">I", 0x00010000),
+            struct.pack(">H", 0x0100),
+            b"\x00" * 10,
+            matrix,
+            b"\x00" * 24,
+            struct.pack(">I", 3),
+        )
+        stss = full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(keyframes)),
+            struct.pack(f">{len(keyframes)}I", *keyframes),
+        )
+        v_trak = trak_common(
+            1, dur_v, timescale, dur_v, b"vide", b"SparkGraftVideo\x00",
+            visual_entry, b"mp4v", n_v, sample_dur, v_sizes,
+            mdat_data_off, stss,
+            full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+            (width, height),
+        )
+        a_trak = trak_common(
+            2, dur_a_movie, MP4_AUDIO_TIMESCALE, dur_a_media, b"soun",
+            b"SparkGraftAudio\x00", audio_entry, b"twos", n_a,
+            MP4_AUDIO_SAMPLE_DUR, a_sizes,
+            mdat_data_off + L, None,
+            full(b"smhd", 0, 0, struct.pack(">HH", 0, 0)),
+            None,
+        )
+        return box(b"moov", mvhd, v_trak, a_trak)
+
+    ftyp = box(b"ftyp", b"isom", struct.pack(">I", 512), b"isomiso2mp41")
+    probe = moov(0)
+    mdat_data_off = len(ftyp) + len(probe) + 8
+    return ftyp + moov(mdat_data_off) + box(b"mdat", text_bytes + text_bytes)
+
+
+def documents_as_multitrack_mp4(
+    documents: DataFrame,
+    corrupt_every: int = MP4_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #9 (round 12): each
+    document becomes a TWO-track MP4 (video + audio in one container
+    — :func:`build_mp4_multitrack`), every ``corrupt_every``-th doc
+    truncated mid-container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads, mimes, sizes, sources = [], [], [], [], []
+            for doc_id, text, source in zip(
+                batch["doc_id"], batch["text"], batch["source"]
+            ):
+                payload = build_mp4_multitrack((text or "").encode("utf-8"))
+                if corrupt_every and doc_id % corrupt_every == 0:
+                    payload = payload[: max(12, len(payload) // 2)]
+                ids.append(doc_id)
+                payloads.append(payload)
+                mimes.append("video/mp4")
+                sizes.append(len(payload))
+                sources.append(source)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": sizes,
+                    "source": sources,
+                }
+            )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 #: per-sample duration grid for the TIMED corpus: token i plays for
 #: MP4_SAMPLE_DUR * (1 + len(token_i) % 3) ticks — variable durations
 #: closed-form in the text, with natural runs (consecutive same-length
@@ -1888,6 +2125,69 @@ MP4_KEYFRAME_SCHEMA = StructType(
         StructField("sample_bytes", LongType()),
     ]
 )
+
+
+MP4_TRACK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("source", StringType()),
+        StructField("track_no", LongType()),
+        StructField("handler", StringType()),
+        StructField("timescale", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_keyframes", LongType()),
+        StructField("sample_bytes", LongType()),
+    ]
+)
+
+
+def mp4_track_stats(media: DataFrame) -> DataFrame:
+    """PER-TRACK container metadata (round 12 — the multi-track twin
+    of :func:`mp4_container_stats`, which reports track[0] only): one
+    row per (clip, track) with handler, media timescale, duration
+    rebased to ms, sample/keyframe counts, and byte accounting from
+    that track's own sample table. Corrupt containers contribute no
+    rows (the single-track stats query owns the error plane)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in MP4_TRACK_SCHEMA.fields
+            }
+            for media_id, source, payload in zip(
+                batch["media_id"], batch["source"], batch["payload"]
+            ):
+                try:
+                    info = parse_mp4(payload if payload is not None else b"")
+                except Exception:  # noqa: BLE001 — stats query reports it
+                    continue
+                for tno, t in enumerate(info["tracks"], start=1):
+                    ts = t.get("timescale") or 0
+                    dur = t.get("samples_duration") or 0
+                    out["media_id"].append(media_id)
+                    out["source"].append(source)
+                    out["track_no"].append(tno)
+                    out["handler"].append(t.get("handler"))
+                    out["timescale"].append(ts)
+                    out["duration_ms"].append(
+                        (dur * 1000) // ts if ts else None
+                    )
+                    out["n_samples"].append(t.get("n_samples_stts", 0))
+                    out["n_keyframes"].append(len(t.get("keyframes") or []))
+                    out["sample_bytes"].append(
+                        sum(t.get("sample_sizes") or [])
+                    )
+            for name in (
+                "media_id", "track_no", "timescale", "duration_ms",
+                "n_samples", "n_keyframes", "sample_bytes",
+            ):
+                out[name] = pd.array(out[name], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "source", "payload").mapInPandas(
+        run, schema=MP4_TRACK_SCHEMA
+    )
 
 
 MP4_TIME_MANIFEST_SCHEMA = StructType(

@@ -3397,6 +3397,57 @@ def multimodal_mp4_multichunk_manifest(
 
 
 @register(
+    "multimodal_multitrack_stats",
+    oracle=f"""
+    WITH d0 AS ({_MP4_DOC}),
+    d AS (SELECT source, n, L FROM d0 WHERE NOT corrupt),
+    tr AS (
+        SELECT source, 'vide' AS handler, n AS n_samples,
+               (n + 4) // 5 AS n_keyframes, L AS sample_bytes,
+               n * 40 AS duration_ms
+        FROM d
+        UNION ALL
+        SELECT source, 'soun', GREATEST(1, L // 8), 0, L,
+               GREATEST(1, L // 8) * 25
+        FROM d
+    )
+    SELECT source, handler,
+           CAST(COUNT(*) AS BIGINT) AS n_tracks,
+           CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+           CAST(SUM(n_keyframes) AS BIGINT) AS n_keyframes,
+           CAST(SUM(sample_bytes) AS BIGINT) AS sample_bytes,
+           CAST(SUM(duration_ms) AS BIGINT) AS duration_ms
+    FROM tr GROUP BY source, handler
+    """,
+)
+def multimodal_multitrack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TRACK containers (round 12 — real media is one
+    container, N tracks): the corpus synthesizes into TWO-track MP4s
+    (video track with build_mp4's exact geometry + a 'soun' PCM track
+    over its own mdat region — multimodal.build_mp4_multitrack), and
+    one Arrow pass box-walks every payload into PER-TRACK rows
+    (multimodal.mp4_track_stats: handler, media timescale, duration
+    rebased to ms, sample/keyframe/byte accounting from each track's
+    OWN sample table — mp4_container_stats reports track[0] only,
+    which silently drops the audio of every real crawled clip). Both
+    tracks' geometry is closed-form in the text (video: token count
+    at 40 ms; audio: one sample per 8 payload bytes at 25 ms), so
+    DuckDB pins every per-handler aggregate exactly."""
+    documents = load(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
+    st = M.mp4_track_stats(M.documents_as_multitrack_mp4(documents))
+    return st.groupBy("source", "handler").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tracks"),
+        F.sum("n_samples").cast("bigint").alias("n_samples"),
+        F.sum("n_keyframes").cast("bigint").alias("n_keyframes"),
+        F.sum("sample_bytes").cast("bigint").alias("sample_bytes"),
+        F.sum("duration_ms").cast("bigint").alias("duration_ms"),
+    )
+
+
+@register(
     "video_time_indexed_manifest",
     oracle="""
     WITH d AS (

@@ -1201,3 +1201,66 @@ class TestTimedMp4:
             M.documents_as_timed_mp4(docs)
         )
         assert {r.media_id for r in out.collect()} == {51}
+
+
+class TestMultitrackMp4:
+    """Round 12: two-track containers (video + 'soun' PCM) — the
+    one-container-N-tracks shape of real crawled media."""
+
+    TEXT = "alpha beta gamma delta epsilon zeta eta theta " * 4
+
+    def test_two_tracks_parse_with_own_geometry(self):
+        data = self.TEXT.encode()
+        info = M.parse_mp4(M.build_mp4_multitrack(data))
+        assert len(info["tracks"]) == 2
+        v, a = info["tracks"]
+        assert v["handler"] == "vide" and a["handler"] == "soun"
+        assert v["timescale"] == M.MP4_TIMESCALE
+        assert a["timescale"] == M.MP4_AUDIO_TIMESCALE
+        n_v = len(self.TEXT.split())
+        n_a = max(1, len(data) // M.MP4_AUDIO_BYTES_PER_SAMPLE)
+        assert v["n_samples_stts"] == n_v
+        assert a["n_samples_stts"] == n_a
+        assert v["samples_duration"] == n_v * M.MP4_SAMPLE_DUR
+        assert a["samples_duration"] == n_a * M.MP4_AUDIO_SAMPLE_DUR
+        # audio has no stss: all samples sync by spec
+        assert v["keyframes"] and not a["keyframes"]
+        # both tracks' stsz cover one payload copy each
+        assert sum(v["sample_sizes"]) == len(data)
+        assert sum(a["sample_sizes"]) == len(data)
+
+    def test_per_track_demuxer_regions_are_disjoint_copies(self):
+        data = self.TEXT.encode()
+        payload = M.build_mp4_multitrack(data)
+        info = M.parse_mp4(payload)
+        v, a = info["tracks"]
+        v_offs = M.sample_file_offsets(v)
+        a_offs = M.sample_file_offsets(a)
+        # reassembling each track's samples yields the full payload copy
+        v_bytes = b"".join(
+            payload[o : o + s] for o, s in zip(v_offs, v["sample_sizes"])
+        )
+        a_bytes = b"".join(
+            payload[o : o + s] for o, s in zip(a_offs, a["sample_sizes"])
+        )
+        assert v_bytes == data and a_bytes == data
+        # audio region starts exactly where video's ends
+        assert a_offs[0] == v_offs[0] + len(data)
+
+    def test_track_stats_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(1, self.TEXT, "s"), (50, self.TEXT, "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = M.mp4_track_stats(
+            M.documents_as_multitrack_mp4(docs)
+        ).collect()
+        # doc 50 is corrupt -> only doc 1's two tracks
+        assert sorted((r.media_id, r.track_no, r.handler) for r in rows) == [
+            (1, 1, "vide"), (1, 2, "soun")
+        ]
+        by_h = {r.handler: r for r in rows}
+        data = self.TEXT.encode()
+        assert by_h["vide"].duration_ms == len(self.TEXT.split()) * 40
+        assert by_h["soun"].duration_ms == (len(data) // 8) * 25
+        assert by_h["soun"].n_keyframes == 0
