@@ -261,9 +261,11 @@ def query_ivfpq_index(
         G = np.asarray(meta["centroids"], dtype=np.int64)
         C = np.asarray(meta["codebook"], dtype=np.int64)
         QU = _quantize_np(_unit_seq_np(raw_Q))
-        luts = (
-            (QU - _FIXED_SHIFT).reshape(len(QU), m, sub)
-            @ (C - _FIXED_SHIFT).T
+        from .similarity import _int_matmul
+
+        luts = _int_matmul(
+            (QU - _FIXED_SHIFT).reshape(len(QU), m, sub),
+            (C - _FIXED_SHIFT).T,
         ).reshape(len(QU), -1)
         order = np.argsort(_int_sq_dists(QU, G), axis=1, kind="stable")
     else:

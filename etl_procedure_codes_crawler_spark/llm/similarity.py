@@ -540,8 +540,31 @@ def _unit_seq_np(X: np.ndarray) -> np.ndarray:
 
 
 def _int_sq_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """(n, k) squared L2 over int64 via the matmul identity — exact
-    (integer arithmetic is associative; no float rounding anywhere)."""
+    """(n, k) squared L2 over int64 via the matmul identity — exact.
+
+    The matmul runs in float64 BLAS WHEN EXACT and falls back to the
+    int64 gufunc otherwise: numpy has no BLAS path for integer matmul
+    (the round-12 100x sweep measured the naive int64 gufunc as the
+    ANN families' super-linear wall), and float64 arithmetic on these
+    operands is exact whenever max|coord|² · dim stays under the 2^53
+    integer-exactness bound of IEEE double — true for every shifted
+    fixed-point caller here (coords < 2^22, dim ≤ 64 → inner sums
+    < 2^50). The bound is CHECKED per call, not assumed, so a future
+    caller with larger coordinates silently gets the exact slow path
+    rather than a rounded fast one."""
+    if A.size and B.size:
+        hi = max(
+            int(np.abs(A).max(initial=0)), int(np.abs(B).max(initial=0))
+        )
+        if hi * hi * A.shape[1] < (1 << 53):
+            Af = A.astype(np.float64)
+            Bf = B.astype(np.float64)
+            d = (
+                (Af * Af).sum(axis=1, keepdims=True)
+                - 2.0 * (Af @ Bf.T)
+                + (Bf * Bf).sum(axis=1)
+            )
+            return np.rint(d).astype(np.int64)
     return (
         (A * A).sum(axis=1, keepdims=True)
         - 2 * (A @ B.T)
@@ -730,10 +753,24 @@ def _pq_int_codecs(codebook: np.ndarray, m: int, sub: int):
             _quantize_np(_unit_seq_np(_stack_np(vectors)))
             - _FIXED_SHIFT
         )
-        out = qs.reshape(len(qs), m, sub) @ CBs.T
+        out = _int_matmul(qs.reshape(len(qs), m, sub), CBs.T)
         return pd.Series(list(out.reshape(len(qs), -1)))
 
     return codes, lut
+
+
+def _int_matmul(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Exact integer matmul through float64 BLAS when the operands
+    allow (same 2^53 bound discipline as :func:`_int_sq_dists`)."""
+    if A.size and B.size:
+        hi = max(
+            int(np.abs(A).max(initial=0)), int(np.abs(B).max(initial=0))
+        )
+        if hi * hi * A.shape[-1] < (1 << 53):
+            return np.rint(
+                A.astype(np.float64) @ B.astype(np.float64)
+            ).astype(np.int64)
+    return A @ B
 
 
 def _opq_rotation(train_X: np.ndarray, m: int) -> np.ndarray:
