@@ -2814,6 +2814,141 @@ def _pq_md5_oracle(
     """
 
 
+def _hpq_md5_oracle(
+    k: int = 5,
+    m: int = 8,
+    codebook_size: int = 64,
+    max_iter: int = 3,
+    shortlist_factor: int = 10,
+    train_n: int = 1 << 16,
+    dim: int = _ANN_DIM,
+) -> str:
+    """DuckDB replay of the HADAMARD-rotated md5-int PQ: quantize the
+    unit vectors on the 2^16 grid (the rotation sums 64 coordinates,
+    so the finer 2^20 grid would break the BLAS-exactness bound on
+    the Spark side), rotate with the ±1 Walsh-Hadamard matrix —
+    sign(i,j) = +1 iff bit_count((i-1)&(j-1)) is even — shift by 2^23
+    (DuckDB // truncates on negatives; numpy floors), then the proven
+    pooled-codebook / codes / integer-ADC / shortlist / re-rank chain
+    on the rotated integers."""
+    sub = dim // m
+    hpq_tag = (
+        f"'hpq:' || CAST(vec_id // {m} AS VARCHAR)"
+        f" || ':' || CAST(vec_id % {m} AS VARCHAR)"
+    )
+    km, fin = _kmeans_int_ctes(
+        "pooled", "hp", codebook_size, max_iter, hpq_tag, dim=sub
+    )
+    slice_expr = f"list_slice(v.q, s.s * {sub} + 1, s.s * {sub} + {sub})"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    uv AS (
+        SELECT vec_id,
+               CASE WHEN nrm > 0 THEN [x / nrm for x in v]
+                    ELSE [0.0 for x in v] END AS u
+        FROM (SELECT vec_id, v,
+                     sqrt(list_sum([x*x for x in v])) AS nrm FROM e)
+    ),
+    qs AS (
+        SELECT vec_id,
+               [CAST(FLOOR(x * 65536.0) AS BIGINT) for x in u] AS q
+        FROM uv
+    ),
+    rot AS (
+        SELECT vec_id,
+               [list_sum([
+                   CASE WHEN bit_count(CAST((i-1) AS BIGINT)
+                                       & CAST((j-1) AS BIGINT)) % 2 = 0
+                        THEN q[j] ELSE -q[j] END
+                   for j in generate_series(1, {dim})]) + 8388608
+                for i in generate_series(1, {dim})] AS q
+        FROM qs
+    ),
+    train AS (SELECT vec_id, q FROM rot ORDER BY vec_id LIMIT {train_n}),
+    pooled AS (
+        SELECT t.vec_id * {m} + s.s AS vec_id,
+               list_slice(t.q, s.s * {sub} + 1, s.s * {sub} + {sub}) AS q
+        FROM train t,
+             LATERAL unnest(generate_series(0, {m - 1})) AS s(s)
+    ),
+    {km},
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT v.vec_id, s.s, c.cid AS code,
+                   {_int_dist(slice_expr, 'c.c', sub)} AS dd
+            FROM rot v,
+                 LATERAL unnest(generate_series(0, {m - 1})) AS s(s),
+                 {fin} c
+        ) QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, s ORDER BY dd, code) = 1
+    ),
+    lutv AS (
+        SELECT v.vec_id AS query_id, s.s, c.cid,
+               list_sum([
+                   ({slice_expr}[i] - 8388608) * (c.c[i] - 8388608)
+                   for i in generate_series(1, {sub})]) AS dotint
+        FROM rot v,
+             LATERAL unnest(generate_series(0, {m - 1})) AS s(s),
+             {fin} c
+        WHERE v.vec_id < 20
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM (SELECT vec_id FROM rot WHERE vec_id < 20) q
+        CROSS JOIN (SELECT vec_id FROM rot) c
+        WHERE q.vec_id <> c.vec_id
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id, SUM(l.dotint) AS score
+        FROM cand cd
+        JOIN codes co ON co.vec_id = cd.neighbor_id
+        JOIN lutv l ON l.query_id = cd.query_id
+                   AND l.s = co.s AND l.cid = co.code
+        GROUP BY cd.query_id, cd.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM adc
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) <= {k * shortlist_factor}
+    ),
+    pairs AS (
+        SELECT s.query_id, s.neighbor_id, {_COS} AS cos
+        FROM short s
+        JOIN (SELECT vec_id, v AS qe FROM e) a ON a.vec_id = s.query_id
+        JOIN (SELECT vec_id, v AS ce FROM e) b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= {k}
+    """
+
+
+@register("ann_cosine_topk_hpq", oracle=_hpq_md5_oracle())
+def ann_cosine_topk_hpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadamard-rotated PQ, HASH-ORACLED (round 12): the
+    integer-exact answer to OPQ — a ±1 Walsh-Hadamard pre-rotation
+    (sign(i,j) = parity of popcount(i&j), SQL-expressible) spreads
+    every input dimension across all m subspaces before the shared
+    codebook trains, attacking the same blind-slicing problem OPQ's
+    learned rotation does (structured rotations are standard practice
+    — FAISS OPQ's init, ScaNN's preprocessing) while every step stays
+    exact int64 arithmetic DuckDB replays. The learned-rotation OPQ
+    variant stays rows-only (eigh is libm); this row gives the
+    rotation FAMILY a hash-proven member
+    (similarity._hpq_int_context)."""
+    embeddings = load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    return S.cosine_topk_pq(
+        embeddings, queries, k=5, dim=64, max_iter=3,
+        quant_mode="md5", rotate=True,
+    )
+
+
 @register("ann_cosine_topk_pq", oracle=_pq_md5_oracle(ivf=False))
 def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC lookup-table scoring — the

@@ -759,6 +759,112 @@ def _pq_int_codecs(codebook: np.ndarray, m: int, sub: int):
     return codes, lut
 
 
+#: Hadamard-rotation fixed-point geometry (round 12): the rotation
+#: sums 64 quantized coordinates, so the grid is 2^16 (not 2^20) and
+#: the post-rotation shift 2^23 — keeps every kernel under the 2^53
+#: BLAS-exactness bound (|rot| <= 64·2^16 = 2^22; products < 2^48,
+#: 8-term sums < 2^51)
+_HADAMARD_ROT_SCALE = float(1 << 16)
+_HADAMARD_ROT_SHIFT = 1 << 23
+
+
+def _hadamard_signs(dim: int) -> np.ndarray:
+    """The Walsh-Hadamard sign matrix H[i][j] = (-1)^popcount(i & j)
+    — ±1, orthogonal (H·Hᵀ = dim·I), and SQL-expressible as
+    bit_count(i & j) % 2. ``dim`` must be a power of two."""
+    if dim & (dim - 1):
+        raise ValueError(f"Hadamard rotation needs power-of-two dim, got {dim}")
+    idx = np.arange(dim)
+    parity = np.vectorize(lambda x: bin(x).count("1") & 1)(
+        idx[:, None] & idx[None, :]
+    )
+    return np.where(parity == 0, 1, -1).astype(np.int64)
+
+
+def _hpq_int_context(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    codebook_size: int,
+    max_iter: int,
+    dim: int | None = None,
+    train_sample: int = 1 << 16,
+    train_data: "tuple[np.ndarray, np.ndarray] | None" = None,
+):
+    """HADAMARD-rotated md5-int PQ (round 12): OPQ's learned rotation
+    is an eigendecomposition — libm-bound, rows-only forever — but a
+    STRUCTURED rotation attacks the same blind-slicing problem
+    (FAISS/ScaNN both ship random/structured rotations) while staying
+    integer-exact: pre-rotate the quantized unit coordinates with the
+    ±1 Walsh-Hadamard matrix (every input dimension spreads across
+    all subspaces), then run the proven integer codebook/codes/ADC
+    machinery on the rotated integers. The rotation scales all norms
+    by sqrt(dim) uniformly, so ADC ranking is unaffected and the
+    exact re-rank uses the ORIGINAL vectors. Fully SQL-replayable:
+    the sign matrix is bit_count(i & j) parity."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    if train_data is None:
+        train_data = _train_vectors_by_id(
+            corpus, vec_col, id_col, train_sample
+        )
+    ids, X = train_data
+    if dim is None:
+        dim = X.shape[1]
+    elif dim != X.shape[1]:
+        raise ValueError(
+            f"dim={dim} but corpus vectors have {X.shape[1]} elements"
+        )
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    H = _hadamard_signs(dim)
+
+    def rot_shifted(batch: np.ndarray) -> np.ndarray:
+        qs = np.floor(
+            _unit_seq_np(batch) * _HADAMARD_ROT_SCALE
+        ).astype(np.int64)
+        return _int_matmul(qs, H) + _HADAMARD_ROT_SHIFT
+
+    R = rot_shifted(X)
+    pooled = R.reshape(len(R) * m, sub)
+    keys = [
+        (_md5_h60_py(f"hpq:{int(i)}:{s}"), int(i) * m + s)
+        for i in ids
+        for s in range(m)
+    ]
+    CB = _kmeans_int(pooled, keys, codebook_size, max_iter)
+    CBs = CB - _HADAMARD_ROT_SHIFT
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(vectors: pd.Series) -> pd.Series:
+        r = rot_shifted(_stack_np(vectors))
+        lab = _int_sq_dists(r.reshape(-1, sub), CB).argmin(axis=1)
+        return pd.Series(list(lab.reshape(-1, m).astype(np.int32)))
+
+    @pandas_udf(ArrayType(LongType()))
+    def lut(vectors: pd.Series) -> pd.Series:
+        rs = rot_shifted(_stack_np(vectors)) - _HADAMARD_ROT_SHIFT
+        out = _int_matmul(rs.reshape(len(rs), m, sub), CBs.T)
+        return pd.Series(list(out.reshape(len(rs), -1)))
+
+    def adc_score(codes_col, lut_colname):
+        terms = [
+            F.element_at(
+                F.col(lut_colname),
+                F.lit(j * codebook_size + 1) + F.element_at(codes_col, j + 1),
+            )
+            for j in range(m)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
+
+    return CB, codes, lut, adc_score, None
+
+
 def _int_matmul(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Exact integer matmul through float64 BLAS when the operands
     allow (same 2^53 bound discipline as :func:`_int_sq_dists`)."""
@@ -1515,9 +1621,10 @@ def cosine_topk_pq(
     from .text import spread_small_input
 
     if quant_mode == "md5":
-        if rotate:
-            raise ValueError("rotate (OPQ) has no md5-int mode — eigh is libm")
-        _, codes_udf, lut_udf, adc_score, _R = _pq_int_context(
+        # rotate in md5 mode = the Hadamard structured rotation (the
+        # integer-exact answer to OPQ's libm eigendecomposition)
+        ctx = _hpq_int_context if rotate else _pq_int_context
+        _, codes_udf, lut_udf, adc_score, _R = ctx(
             corpus, vec_col, id_col, m, codebook_size, max_iter,
             dim=dim, train_sample=train_sample,
         )

@@ -321,6 +321,46 @@ class TestPQ:
             per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
         assert all(n == 5 for n in per_q.values())
 
+    def test_hadamard_signs_orthogonal(self):
+        """H·Hᵀ = dim·I — the structured rotation preserves geometry
+        exactly (scaled by sqrt(dim)); non-power-of-two dims raise."""
+        import numpy as np
+        import pytest as _pytest
+
+        from etl_procedure_codes_crawler_spark.llm.similarity import (
+            _hadamard_signs,
+        )
+
+        for d in (8, 64):
+            H = _hadamard_signs(d)
+            assert set(np.unique(H)) == {-1, 1}
+            assert np.array_equal(H @ H.T, d * np.eye(d, dtype=np.int64))
+        with _pytest.raises(ValueError, match="power-of-two"):
+            _hadamard_signs(48)
+
+    def test_hadamard_md5_pq_recall_floor(self, spark, sf_dir):
+        """The md5-int Hadamard rotation (the oracle-able rotation
+        family member) keeps the recall floor vs exact top-k."""
+        from pyspark.sql import functions as F
+
+        from etl_procedure_codes_crawler_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(emb, qs, k=5).collect()
+        }
+        hpq = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_pq(
+                emb, qs, k=5, dim=64, max_iter=3,
+                quant_mode="md5", rotate=True,
+            ).collect()
+        }
+        recall = len(exact & hpq) / len(exact)
+        assert recall >= 0.6, f"Hadamard-PQ recall {recall:.2f}"
+
     def test_pq_is_deterministic(self, spark, sf_dir):
         from pyspark.sql import functions as F
 
