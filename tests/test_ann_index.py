@@ -237,3 +237,61 @@ def test_index_health_detects_quantizer_staleness(spark, emb, tmp_path):
         h_stale.mean_adc_overlap,
         h_good.mean_adc_overlap,
     )
+
+
+class TestMd5ModeIndex:
+    """Round 12: the md5-int index lifecycle — integer quantizers
+    persisted in meta; build/append/serve/distributed all dispatch on
+    the stored mode."""
+
+    def test_md5_index_equals_md5_oneshot(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ixm")
+        IX.build_ivfpq_index(
+            emb, path, num_centroids=16, max_iter=3, quant_mode="md5"
+        )
+        queries = emb.filter(F.col("vec_id") < 20)
+        got = sorted(map(tuple, IX.query_ivfpq_index(
+            spark, path, queries, k=5, nprobe=6).collect()))
+        want = sorted(map(tuple, S.cosine_topk_ivfpq(
+            emb, queries, k=5, nprobe=6, dim=64, max_iter=3,
+            quant_mode="md5").collect()))
+        assert got == want
+
+    def test_md5_append_equals_rebuild(self, spark, emb, tmp_path):
+        """Appending with the STORED integer quantizers must produce
+        the same serve results as building on the full corpus with
+        the same training sample — the integer grid has no drift."""
+        path_a = str(tmp_path / "grown")
+        path_b = str(tmp_path / "whole")
+        first = emb.filter(F.col("vec_id") < 300)
+        rest = emb.filter(F.col("vec_id") >= 300)
+        # same deterministic training sample for both: lowest-id
+        # vectors — cap the sample at the first half's size
+        n_first = first.count()
+        IX.build_ivfpq_index(
+            path=path_a, corpus=first, num_centroids=16, max_iter=3,
+            quant_mode="md5", train_sample=n_first,
+        )
+        IX.append_to_ivfpq_index(spark, path_a, rest)
+        IX.build_ivfpq_index(
+            path=path_b, corpus=emb, num_centroids=16, max_iter=3,
+            quant_mode="md5", train_sample=n_first,
+        )
+        queries = emb.filter(F.col("vec_id") < 10)
+        got = sorted(map(tuple, IX.query_ivfpq_index(
+            spark, path_a, queries, k=5, nprobe=6).collect()))
+        want = sorted(map(tuple, IX.query_ivfpq_index(
+            spark, path_b, queries, k=5, nprobe=6).collect()))
+        assert got == want
+
+    def test_md5_distributed_equals_driver_path(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ixd")
+        IX.build_ivfpq_index(
+            emb, path, num_centroids=16, max_iter=3, quant_mode="md5"
+        )
+        queries = emb.filter(F.col("vec_id") < 20)
+        got = sorted(map(tuple, IX.query_ivfpq_index_distributed(
+            spark, path, queries, k=5, nprobe=6).collect()))
+        want = sorted(map(tuple, IX.query_ivfpq_index(
+            spark, path, queries, k=5, nprobe=6).collect()))
+        assert got == want
