@@ -171,6 +171,12 @@ HEADLINE = [
     # carries the hash proof, but its digest tax made it breach a
     # floor certified on xx-mode rounds — bench production, oracle md5)
     "duplicate_spans_lsh_prod",
+    # ... and the md5 oracle twin STAYS benched (optimization round 12:
+    # the driver contract allows ADDING bench rows, never removing —
+    # the interrupted build had dropped this BENCH_r11 row; its floor
+    # is re-based to its md5-mode cost in bench_floors.json, the
+    # documented-re-base path of r11 verdict #2)
+    "duplicate_spans_lsh_scoped",
     # round-7 second half: the Gopher hand-rule battery (map-only
     # projection), exact TV drift (one corpus shuffle + pinned
     # marginals), leakage-safe cluster holdout (jaccard edges +
@@ -506,15 +512,19 @@ def main() -> None:
                 return 1.0
             return max(warm[n] / fl, warm[n] / norm / fl)
 
-        flagged = set(sorted(warm, key=warm.get, reverse=True)[:3])
-        for name in warm:
-            if _excess(name) > 1.5:
-                flagged.add(name)
+        top3 = sorted(warm, key=warm.get, reverse=True)[:3]
+        breaching = [
+            n for n in warm if _excess(n) > 1.5 and n not in top3
+        ]
         # bound the recheck cost, most SUSPICIOUS rows first (largest
         # conservative excess over floor — a stressed box breaches
         # everything, and certifying by raw cost would spend the cap
-        # on heavy rows that are near their floors anyway)
-        ordered = sorted(flagged, key=_excess, reverse=True)[:15]
+        # on heavy rows that are near their floors anyway). The top-3
+        # rows ride OUTSIDE the cap (round 12): the docstring promises
+        # they are always rechecked, but when >15 rows breached, the
+        # excess sort silently evicted them (r12 builder run: the
+        # 29 s unified row was never rechecked).
+        ordered = top3 + sorted(breaching, key=_excess, reverse=True)[:15]
         recheck = []
         # Re-warm before the recheck block (round 12, verdict r11 #2):
         # the recheck runs after ~190 timed passes of accrued process
@@ -605,14 +615,21 @@ def main() -> None:
     except OSError as exc:  # read-only checkout: detail still on stdout
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
+    # The recheck list does NOT ride the compact line (round 12):
+    # 15 recheck rows ≈ 2.5 KB pushed the final line past the
+    # harness's 2000-char tail window — BENCH_r10/r11 both recorded
+    # "parsed": null because of it. The full detail (including
+    # isolation_recheck) is on the early stdout line + the sidecar.
     compact = {
         k: result[k]
         for k in (
             "metric", "value", "unit", "value_cold", "runs", "sf",
-            "box_factor", "isolation_recheck",
+            "box_factor",
         )
         if k in result
     }
+    if recheck is not None:
+        compact["n_recheck"] = len(recheck)
     if errors:
         compact["n_errors"] = len(errors)
     compact["detail"] = out_path
