@@ -105,9 +105,18 @@ def connected_components(
         vt = dict(adj.dtypes)["v"]  # keep the caller's id type
         labeled = _driver_union_find(adj.collect())
         adj.unpersist()
+        # broadcast hint (round 13, verdict r12 #4): this relation is
+        # ALREADY driver-resident (just collected, bounded by
+        # small_edge_limit ≈ 32 MB of longs), so a broadcast costs no
+        # new driver memory — without it, the no-static-broadcast
+        # session policy makes every downstream join (singleton
+        # anti-join, survivor semi-join, score attach) shuffle its
+        # corpus-sized probe side before AQE promotes. The
+        # distributed path below returns an UNHINTED frame — its
+        # labels are corpus-sized.
         return spark.createDataFrame(
             labeled or [], f"vertex {vt}, component {vt}"
-        )
+        ).hint("broadcast")
 
     labels = (
         adj.select("v")

@@ -208,10 +208,15 @@ def _shared_shingle_counts(
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
     # no broadcast hint on sizes: it has one row per corpus DOCUMENT —
     # forcing a broadcast would collect the whole per-doc table to the
-    # driver at real scale. AQE still auto-broadcasts it when it is
-    # genuinely small; otherwise this is a plain shuffled join on the
-    # (already much smaller) pair relation.
-    return shared.join(sa, "doc_a").join(sb, "doc_b")
+    # driver at real scale. shuffle_hash with the PAIR side as build
+    # (round 13, verdict r12 #4): sort-merge would SORT the per-doc
+    # size table per partition; shuffled-hash builds the (much
+    # smaller) pair relation per partition and probes sizes unsorted.
+    # AQE still broadcast-promotes from runtime truth when tiny.
+    return (
+        shared.hint("shuffle_hash").join(sa, "doc_a")
+        .hint("shuffle_hash").join(sb, "doc_b")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -876,9 +881,19 @@ def minhash_near_dup_pairs(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col("id").alias("doc_a"), F.col("shingle"))
     b_sh = sh.select(F.col("id").alias("doc_b"), F.col("shingle"))
+    # shuffle_hash hints, pair side as build (round 13, verdict r12 #4
+    # + guide §3.1 — the identical strategy duplicate_spans_for_pairs
+    # pinned in round 12): the static planner must not broadcast
+    # explode-derived relations (fictional estimates OOMed the 100x
+    # runs), but sort-merge pays a per-partition SORT of the
+    # corpus-sized shingle stream on both verify joins. Shuffled-hash
+    # never broadcasts; the build side (candidates, then candidate ×
+    # a-shingle matches) is star-capped-linear and divides across the
+    # shuffle partitions, while the corpus-sized shingle stream only
+    # probes — no sort of it, bounded per-partition hash maps.
     shared = (
-        candidates.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
+        candidates.hint("shuffle_hash").join(a_sh, "doc_a")
+        .hint("shuffle_hash").join(b_sh, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -887,11 +902,11 @@ def minhash_near_dup_pairs(
     # no broadcast hint on sizes: it has one row per corpus DOCUMENT —
     # forcing a broadcast would collect the whole per-doc table to the
     # driver at real scale. AQE still auto-broadcasts it when it is
-    # genuinely small; otherwise this is a plain shuffled join on the
-    # (already much smaller) pair relation.
+    # genuinely small; otherwise this is a shuffled-hash join building
+    # the (already much smaller) pair relation per partition.
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shared.hint("shuffle_hash").join(sa, "doc_a")
+        .hint("shuffle_hash").join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1171,13 +1186,12 @@ def passage_rows(
     )
 
 
-def _rebuild_cleaned(
-    df: DataFrame, judged: DataFrame, min_doc_freq: int, id_col: str
-) -> DataFrame:
-    """Reassemble kept passages in order from a ``judged`` relation of
-    (id, pos, passage, _df) rows; every input row of ``df`` survives —
-    NULL/empty text re-enters with NULL text_clean and zero counts."""
-    rebuilt = judged.groupBy("id").agg(
+def _rebuilt_per_doc(judged: DataFrame, min_doc_freq: int) -> DataFrame:
+    """(id, n_passages, n_removed, text_clean) for every doc with at
+    least one judged passage row — the shared aggregation of
+    :func:`_rebuild_cleaned` and the store strip's attach-it-yourself
+    form (passagefreq.strip_rebuilt_against_store)."""
+    return judged.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_passages"),
         F.sum(
             F.when(F.col("_df") > int(min_doc_freq), 1).otherwise(0)
@@ -1197,6 +1211,15 @@ def _rebuild_cleaned(
             " ",
         ).alias("text_clean"),
     )
+
+
+def _rebuild_cleaned(
+    df: DataFrame, judged: DataFrame, min_doc_freq: int, id_col: str
+) -> DataFrame:
+    """Reassemble kept passages in order from a ``judged`` relation of
+    (id, pos, passage, _df) rows; every input row of ``df`` survives —
+    NULL/empty text re-enters with NULL text_clean and zero counts."""
+    rebuilt = _rebuilt_per_doc(judged, min_doc_freq)
     return (
         df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
         .join(rebuilt, "id", "left")

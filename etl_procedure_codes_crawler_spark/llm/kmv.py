@@ -67,13 +67,29 @@ def group_kmv_minima(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(grp, h, rk) — each group's k smallest distinct shingle hashes,
-    rk = 1-based rank. The distinct collapses hash collisions too
-    (KMV is defined over the hash SET), so estimates are a pure
-    function of the data."""
+    rk = 1-based rank. Distinctness is collapsed (KMV is defined over
+    the hash SET), so estimates are a pure function of the data.
+
+    Round 13 shuffle-shape change (guide §2.3, shuffle fewer bytes):
+    the old form ran ``distinct()`` FIRST, so the first exchange
+    carried every per-partition-distinct (grp, h) row — at corpus
+    scale, nearly all of them. Ranking with ``dense_rank() <= k`` on
+    the RAW rows first lets Spark's partial WindowGroupLimit drop
+    everything but each map partition's k smallest (distinct) hashes
+    BEFORE the exchange, so the wide stage moves O(k · partitions)
+    rows instead of O(distinct). dense_rank counts each distinct h
+    once regardless of duplicates, so filter + distinct + re-rank is
+    exactly the old k-smallest-distinct set."""
     sh = _group_shingles(df, group_col, text_col, shingle_k)
-    hashed = sh.select("grp", md5_h60(F.col("shingle")).alias("h")).distinct()
+    hashed = sh.select("grp", md5_h60(F.col("shingle")).alias("h"))
     w = Window.partitionBy("grp").orderBy("h")
-    return hashed.withColumn("rk", F.row_number().over(w)).filter(
+    topk = (
+        hashed.withColumn("_dr", F.dense_rank().over(w))
+        .filter(F.col("_dr") <= k)
+        .select("grp", "h")
+        .distinct()
+    )
+    return topk.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )
 
@@ -174,12 +190,17 @@ def load_kmv_meta(spark: SparkSession, path: str) -> dict:
     )
 
 
-def read_kmv_store(spark: SparkSession, path: str) -> DataFrame:
+def read_kmv_store(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> DataFrame:
     """Merged per-group bottom-k over every persisted segment —
-    the exact merge (distinct, then k smallest per group)."""
+    the exact merge (distinct, then k smallest per group). ``meta``:
+    pass the store's (immutable) meta to skip the per-call read —
+    one whole job per call otherwise (round 13, guide §1.2)."""
     from ..sources.parquet import read_table_or_empty
 
-    meta = load_kmv_meta(spark, path)
+    if meta is None:
+        meta = load_kmv_meta(spark, path)
     rows = read_table_or_empty(spark, _kmv_minima_path(path), _kmv_schema())
     w = Window.partitionBy("grp").orderBy("h")
     return (
@@ -195,11 +216,16 @@ def append_to_kmv_store(
     docs: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    meta: dict | None = None,
 ) -> None:
     """Sketch the batch with the store's parameters and append its
     per-group minima as a new segment. Idempotent under replay by
-    construction (see module notes) — no batch keys, no anti-join."""
-    meta = load_kmv_meta(spark, path)
+    construction (see module notes) — no batch keys, no anti-join.
+    ``meta``: pass the store's (immutable) meta dict to skip the
+    per-call meta read — a whole job per micro-batch on streaming
+    paths that append every trigger."""
+    if meta is None:
+        meta = load_kmv_meta(spark, path)
     minima = group_kmv_minima(
         docs, group_col, text_col, int(meta["k"]), int(meta["shingle_k"])
     )
@@ -208,12 +234,14 @@ def append_to_kmv_store(
     )
 
 
-def compact_kmv_store(spark: SparkSession, path: str) -> None:
+def compact_kmv_store(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> None:
     """Rewrite all segments as the merged bottom-k (one small file) —
     semantically a no-op, physically a file-count reset. The merged
     relation is materialized driver-side first (it is ≤ k rows per
     group) so the overwrite never reads its own input."""
-    merged = read_kmv_store(spark, path).select("grp", "h")
+    merged = read_kmv_store(spark, path, meta=meta).select("grp", "h")
     rows = merged.collect()
     spark.createDataFrame(rows, _kmv_schema()).repartition(1).write.mode(
         "overwrite"
@@ -244,13 +272,16 @@ def rebuild_kmv_store(
     ).parquet(_kmv_minima_path(path))
 
 
-def kmv_store_estimates(spark: SparkSession, path: str) -> DataFrame:
+def kmv_store_estimates(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> DataFrame:
     """(group, n_in_sketch, est_distinct) served off the persisted
     minima — no corpus rescan, ever."""
-    meta = load_kmv_meta(spark, path)
+    if meta is None:
+        meta = load_kmv_meta(spark, path)
     k = int(meta["k"])
     return (
-        read_kmv_store(spark, path)
+        read_kmv_store(spark, path, meta=meta)
         .groupBy("grp")
         .agg(
             F.max("h").alias("_hk"),

@@ -146,10 +146,13 @@ def append_passage_counts(
     batch's passages explode once, not twice. The caller owns the
     block-size agreement; when omitted the rows derive here under the
     store's meta."""
-    meta = load_passage_freq_meta(spark, path)
     if batch_id is None:
         batch_id = _derived_batch_id(docs, id_col)
     if chunks is None:
+        # meta is only needed to derive the rows — a caller passing
+        # precomputed chunks owns the block-size agreement, and the
+        # meta read is one whole job per batch on the streaming path
+        meta = load_passage_freq_meta(spark, path)
         chunks = passage_rows(docs, meta["block"], text_col, id_col)
     seg = (
         chunks
@@ -198,8 +201,8 @@ def strip_boilerplate_against_store(
     fingerprints). Passages absent from the store count as df=0
     (never seen → never boilerplate). ``chunks``: precomputed
     passage rows, same contract as :func:`append_passage_counts`."""
-    meta = load_passage_freq_meta(spark, path)
     if chunks is None:
+        meta = load_passage_freq_meta(spark, path)
         chunks = passage_rows(docs, meta["block"], text_col, id_col)
     judged = chunks.join(
         read_passage_freqs(spark, path).withColumnRenamed("df", "_df"),
@@ -207,6 +210,34 @@ def strip_boilerplate_against_store(
         "left",
     ).withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
     return _rebuild_cleaned(docs, judged, min_doc_freq, id_col)
+
+
+def strip_rebuilt_against_store(
+    spark: SparkSession,
+    path: str,
+    chunks: DataFrame,
+    min_doc_freq: int = 50,
+) -> DataFrame:
+    """The attach-it-yourself form of
+    :func:`strip_boilerplate_against_store` (round 13, guide §2.4):
+    returns the per-doc rebuilt relation ``(id, n_passages, n_removed,
+    text_clean)`` for documents that HAVE passage rows in ``chunks``,
+    WITHOUT joining it back onto a document relation. A caller that
+    already holds the doc relation (and knows its ids are unique —
+    e.g. the unified gate, whose arrival guard enforces it) attaches
+    the result with ONE left join and 0/0/NULL defaults; the generic
+    form pays a dropDuplicates exchange plus a second doc-sized join
+    for the same answer."""
+    from .dedup import _rebuilt_per_doc
+
+    judged = chunks.join(
+        read_passage_freqs(spark, path).withColumnRenamed("df", "_df"),
+        "fp",
+        "left",
+    ).withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+    # the identical aggregation _rebuild_cleaned uses — shared code,
+    # so the generic and attach-it-yourself paths cannot drift
+    return _rebuilt_per_doc(judged, min_doc_freq)
 
 
 def compact_passage_freq_store(

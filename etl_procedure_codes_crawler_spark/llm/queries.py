@@ -711,41 +711,57 @@ def llm_corpus_prep_multimodal(
     )
     corpus = documents.unionByName(twins)
     target = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(target)
+    base_docs = documents
+    if base_docs.rdd.getNumPartitions() < target:
+        base_docs = base_docs.repartition(target)
     id_source = corpus.select(
         F.col("doc_id").alias("media_id"), "source"
     )
 
     def modality_report(hashes: DataFrame, sig: str, prefix: str):
-        from .dedup import hamming_band_pairs
+        from pyspark.sql import Window as _W
 
-        h = hashes.localCheckpoint(eager=True)  # one decode pass
-        candidates = hamming_band_pairs(
-            h.filter(F.col(sig).isNotNull()), sig, "media_id", max_hamming=3
-        )
-        sha = h.select("media_id", "content_sha")
-        verified = (
-            candidates
-            .join(
-                sha.select(
-                    F.col("media_id").alias("doc_a"),
-                    F.col("content_sha").alias("_sha_a"),
-                ),
-                "doc_a",
+        # Round 13 (guide §1.2): twin media is byte-identical (same
+        # text; 10^9 ≡ 0 mod the corruption modulus 50 — the oracle's
+        # media_ids CTE states exactly this), so the decode pass runs
+        # over ORIGINALS only and twin rows derive by shifting the id.
+        h_base = hashes.localCheckpoint(eager=True)  # one decode pass
+        h = h_base.unionByName(
+            h_base.filter(F.col("media_id") % 7 == 0).withColumn(
+                "media_id", F.col("media_id") + F.lit(1_000_000_000)
             )
-            .join(
-                sha.select(
-                    F.col("media_id").alias("doc_b"),
-                    F.col("content_sha").alias("_sha_b"),
-                ),
-                "doc_b",
-            )
-            .filter(F.col("_sha_a") == F.col("_sha_b"))
         )
-        rejected = verified.select(
-            F.col("doc_b").alias("media_id")
-        ).distinct()
+        # Round 13 (guide §2.4, remove shuffles outright): the hamming
+        # band join is provably redundant for THIS consumer — its
+        # verifier is exact decoded-content equality, and equal
+        # content ⇒ equal pixels/PCM ⇒ equal perceptual hash ⇒
+        # hamming 0 ⇒ band agreement — so the rejected set is exactly
+        # the non-min-id rows per content_sha among decodable objects
+        # (the SQL oracle's own same-content-lower-id rule). ONE
+        # window over a hash relation replaces ~6 exchanges of band
+        # machinery per modality; never less exact (the band path's
+        # star cap could miss a content twin in a degenerate
+        # >max_bucket_size bucket, this form cannot). The standalone
+        # near-dup queries (multimodal_image/audio_neardup_pairs)
+        # still exercise the full candidates→verify band machinery —
+        # they REPORT hamming pairs; this funnel only needs the
+        # rejection decision.
+        # NULL content_sha rows are never rejected (the old equality
+        # join could not match NULLs; a window partition WOULD group
+        # them) — decodable rows always carry a sha, so this filter
+        # is defensive, not a behavior change
+        hv = h.filter(
+            F.col(sig).isNotNull() & F.col("content_sha").isNotNull()
+        )
+        rejected = (
+            hv.select("media_id", "content_sha")
+            .withColumn(
+                "_min_id",
+                F.min("media_id").over(_W.partitionBy("content_sha")),
+            )
+            .filter(F.col("media_id") != F.col("_min_id"))
+            .select("media_id")
+        )
         status = (
             h.select("media_id", "decode_error")
             .join(rejected.withColumn("_rej", F.lit(True)), "media_id", "left")
@@ -765,14 +781,16 @@ def llm_corpus_prep_multimodal(
 
     img_rep = modality_report(
         M.image_hashes(
-            M.documents_as_png(corpus, corrupt_every=50), content_key=True
+            M.documents_as_png(base_docs, corrupt_every=50),
+            content_key=True,
         ),
         "phash",
         "img",
     )
     aud_rep = modality_report(
         M.audio_fingerprints(
-            M.documents_as_wav(corpus, corrupt_every=50), content_key=True
+            M.documents_as_wav(base_docs, corrupt_every=50),
+            content_key=True,
         ),
         "afp",
         "aud",
@@ -3948,24 +3966,28 @@ def multimodal_image_neardup_pairs(
     pinned in tests/test_multimodal.py; rows-only here because the
     hash is numpy-side, which DuckDB cannot replicate."""
     documents = load(spark, sf_dir, "documents")
-    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
-    )
-    corpus = documents.unionByName(twins)
     # same under-split fan-out as the JPEG gate: encode+decode+hash are
     # CPU-bound Python stages; at real scale the scan is already split
     target = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(target)
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
     # materialize the 4-column hash relation ONCE: the band self-join
     # consumes it from five plan branches (left/right sides, bucket
     # sizing, star caps), and without the checkpoint each branch would
     # re-run the Python decode+hash pass (verified in the physical
-    # plan — 5x MapInPandas)
-    hashes = M.image_hashes(M.documents_as_png(corpus)).localCheckpoint(
-        eager=True
+    # plan — 5x MapInPandas). Round 13 (guide §1.2): twin PNGs are
+    # byte-identical (same text; 10^9 ≡ 0 mod the corruption modulus
+    # 50), so twin hash rows derive from the originals' with the id
+    # shifted — no second synthesis+decode of every 7th doc.
+    hashes = M.image_hashes(
+        M.documents_as_png(documents)
+    ).localCheckpoint(eager=True)
+    twin_rows = hashes.filter(F.col("media_id") % 7 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000_000)
     )
-    return M.image_near_dup_pairs(hashes, max_hamming=3)
+    return M.image_near_dup_pairs(
+        hashes.unionByName(twin_rows), max_hamming=3
+    )
 
 
 @register("multimodal_audio_neardup_pairs")  # rows-only: afp = numpy
@@ -7249,14 +7271,18 @@ def kmv_store_incremental_estimate(
     documents = load(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="kmvstore_")
     try:
-        KV.create_kmv_store(spark, root, k=64, shingle_k=3)
+        # meta threads through the lifecycle (round 13, guide §1.2):
+        # it is immutable post-create, and a long-lived ingest daemon
+        # caches it the same way — each load is a whole 1-task job
+        meta = KV.create_kmv_store(spark, root, k=64, shingle_k=3)
         even = documents.filter(F.col("doc_id") % 2 == 0)
         odd = documents.filter(F.col("doc_id") % 2 == 1)
-        KV.append_to_kmv_store(spark, root, even)
-        KV.append_to_kmv_store(spark, root, odd)
-        KV.append_to_kmv_store(spark, root, odd)  # crash replay
-        KV.compact_kmv_store(spark, root)
-        out = KV.kmv_store_estimates(spark, root).localCheckpoint()
+        KV.append_to_kmv_store(spark, root, even, meta=meta)
+        KV.append_to_kmv_store(spark, root, odd, meta=meta)
+        KV.append_to_kmv_store(spark, root, odd, meta=meta)  # replay
+        KV.compact_kmv_store(spark, root, meta=meta)
+        out = KV.kmv_store_estimates(spark, root, meta=meta)
+        out = out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -8144,19 +8170,27 @@ def video_keyframe_neardup_pairs(
     documents = load(spark, sf_dir, "documents")
     from . import video as V
 
-    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_850_000_000)
-    )
-    corpus = documents.unionByName(twins)
     target = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(target)
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
     # one materialization for the five-branch band self-join — same
-    # rationale as multimodal_image_neardup_pairs
+    # rationale as multimodal_image_neardup_pairs. Round 13 (guide
+    # §1.2, don't compute what you can derive): the twin corpus is
+    # BYTE-IDENTICAL by construction (same text; offset ≡ 0 mod both
+    # corruption moduli, the docstring's 1850 argument), so the twins'
+    # decode/hash rows equal the originals' with the media id shifted
+    # — synthesizing + JPEG-decoding every 7th doc a SECOND time
+    # computed nothing new. The hash relation (and therefore the pair
+    # output) is unchanged row-for-row.
     kf = V.video_keyframe_hashes(
-        V.documents_as_mjpeg_mp4(corpus)
+        V.documents_as_mjpeg_mp4(documents)
     ).localCheckpoint(eager=True)
-    return V.video_near_dup_pairs(kf, max_hamming=3)
+    kf_twins = kf.filter(F.col("media_id") % 7 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_850_000_000)
+    )
+    return V.video_near_dup_pairs(
+        kf.unionByName(kf_twins), max_hamming=3
+    )
 
 
 @register(
@@ -8265,17 +8299,21 @@ def video_all_frame_neardup_pairs(
     documents = load(spark, sf_dir, "documents")
     from . import video as V
 
-    twins = documents.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_850_000_000)
-    )
-    corpus = documents.unionByName(twins)
     target = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(target)
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
+    # twin rows derived, not re-decoded — byte-identical twins (the
+    # 1850-multiple offset argument above) hash to the originals'
+    # rows with the id shifted; see video_keyframe_neardup_pairs
     fh = V.video_frame_hashes(
-        V.documents_as_delta_mp4(corpus)
+        V.documents_as_delta_mp4(documents)
     ).localCheckpoint(eager=True)
-    return V.video_near_dup_pairs(fh, max_hamming=3)
+    fh_twins = fh.filter(F.col("media_id") % 7 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_850_000_000)
+    )
+    return V.video_near_dup_pairs(
+        fh.unionByName(fh_twins), max_hamming=3
+    )
 
 
 @register("streaming_blocklist_scan", oracle=_BLOCKLIST_ORACLE)

@@ -62,7 +62,7 @@ are metadata-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -199,59 +199,60 @@ def _content_dup_losers(
     losers (non-min-id per exact decoded/byte content among hamming
     candidates) plus store losers (content matches a persisted row).
     Returns (rejected_ids, store_df, identity_rows) — the shared
-    discipline of gates 2 (PNG) and 2b (video)."""
-    from ..llm.dedup import hamming_band_pairs, hamming_band_pairs_between
+    discipline of gates 2 (PNG) and 2b (video).
 
-    hv = hashes.filter(F.col("phash").isNotNull())
-    intra_cand = hamming_band_pairs(hv, "phash", "id", max_hamming=max_hamming)
-    sha = hv.select("id", "content_sha")
+    Round 13 (guide §2.4, remove shuffles outright): the hamming band
+    join is PROVABLY REDUNDANT for this gate, because its verifier is
+    exact content equality — equal decoded content ⇒ equal pixels/PCM
+    ⇒ equal perceptual hash ⇒ hamming 0 ⇒ band agreement on every
+    band. So every pair the verify stage would accept is already a
+    content-equality pair, and the gate computes the verified result
+    DIRECTLY: intra-batch losers are the non-min-id rows per
+    content_sha (one groupBy of a hash relation, with map-side
+    combine), store losers are a sha equi-join against the persisted
+    rows. The old shape spent ~10 batch-sized exchanges per modality
+    (band explode + window cap + self-join + two sha joins + distinct,
+    then the between-join) to compute the same set; the band machinery
+    remains the right shape for PERCEPTUAL (non-exact) verifiers and
+    still runs in the standalone near-dup queries. Equivalence note:
+    this form is exactly the SQL oracle's min-id-per-content-class
+    rule; the old capped band join could additionally MISS a true
+    content twin inside a >max_bucket_size degenerate bucket when all
+    four bands overflow, so the direct form is never less exact.
+    Scale note: the groupBy is linear in the batch (no posting-list
+    self-join), so the degenerate-bucket quadratic bomb the cap
+    guarded against cannot occur here at all."""
+    # NULL content_sha rows are never rejected (the old equality joins
+    # could not match NULLs; a window partition WOULD group them) —
+    # decodable rows always carry a sha, so the filter is defensive
+    hv = hashes.filter(
+        F.col("phash").isNotNull() & F.col("content_sha").isNotNull()
+    )
+    min_id = F.min("id").over(Window.partitionBy("content_sha"))
     intra_losers = (
-        intra_cand.join(
-            sha.select(
-                F.col("id").alias("doc_a"), F.col("content_sha").alias("_sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            sha.select(
-                F.col("id").alias("doc_b"), F.col("content_sha").alias("_sb")
-            ),
-            "doc_b",
-        )
-        .filter(F.col("_sa") == F.col("_sb"))
-        .select(F.col("doc_b").alias("id"))
-        .distinct()
+        hv.select("id", "content_sha")
+        .withColumn("_min_id", min_id)
+        .filter(F.col("id") != F.col("_min_id"))
+        .select("id")
     )
     store = read_table_or_empty(spark, store_path, _MEDIA_SCHEMA)
     if store.isEmpty():
         # first batch: nothing persisted to collide with — skip the
-        # between-join's ~8 fixed stages (a provably-empty probe side
-        # cannot reject anything; semantics identical)
+        # store probe (a provably-empty probe side cannot reject
+        # anything; semantics identical)
         return intra_losers, store, hv
-    surv_h = hv.join(intra_losers, "id", "left_anti")
-    store_cand = hamming_band_pairs_between(
-        surv_h.select("id", "phash"),
-        store.select("id", "phash"),
-        "phash",
-        "id",
-        max_hamming=max_hamming,
-    )
     store_losers = (
-        store_cand.join(
-            sha.select(F.col("id").alias("new_id"), "content_sha"), "new_id"
-        )
+        hv.join(intra_losers, "id", "left_anti")
+        .select("id", "content_sha")
         .join(
             store.select(
-                F.col("id").alias("existing_id"),
-                F.col("content_sha").alias("_ssha"),
+                F.col("id").alias("_sid"),
+                F.col("content_sha").alias("content_sha"),
             ),
-            "existing_id",
+            "content_sha",
         )
-        .filter(
-            (F.col("content_sha") == F.col("_ssha"))
-            & (F.col("new_id") != F.col("existing_id"))
-        )
-        .select(F.col("new_id").alias("id"))
+        .filter(F.col("id") != F.col("_sid"))
+        .select("id")
         .distinct()
     )
     rejected = intra_losers.unionByName(store_losers).distinct()
@@ -312,6 +313,14 @@ def stream_ingest_unified(
         gate_id = gate_cache["id"]
         run_id = str(int(batch_id))
 
+        def _label(phase: str) -> None:
+            # guide §1.5: a ~30-job sink is unreadable in the UI
+            # without per-phase labels (thread-local, streaming thread)
+            spark.sparkContext.setJobDescription(
+                f"unified b{batch_id}: {phase}"
+            )
+
+        _label("arrival guard")
         rows = batch.filter(F.col(id_col).isNotNull())
         # Loud, not silent: the funnel counts one row per doc id and
         # the SQL oracle counts every non-NULL-id row — a corpus with
@@ -326,6 +335,7 @@ def stream_ingest_unified(
                 f"{id_col} rows in one batch — per-doc admission "
                 "bookkeeping cannot represent them; dedup ids upstream"
             )
+        _label("warehouse anti-join + batch pin")
         fs, hpath = hadoop_fs(spark, warehouse_path)
         if fs.exists(hpath(warehouse_path)):
             existing_ids = spark.read.parquet(warehouse_path).select(id_col)
@@ -337,6 +347,7 @@ def stream_ingest_unified(
             return
 
         # ---- gate 1: exact content dedup --------------------------
+        _label("gate 1: exact dedup")
         fpd = fresh.select(
             F.col(id_col).cast("bigint").alias("id"),
             T.fingerprint_sha256(text_col).alias("fp"),
@@ -345,21 +356,30 @@ def stream_ingest_unified(
         store_fp = read_table_or_empty(
             spark, paths["fingerprints"], _FP_SCHEMA
         )
-        # same-id store rows are the batch's own crash-replayed
-        # appends — never grounds for rejection
-        store_hit = (
-            intra_keep.join(
-                store_fp.select("fp", F.col("id").alias("_sid")), "fp"
+        if store_fp.isEmpty():
+            # first batch: nothing persisted to collide with — skip
+            # the store join + anti-join (round 13; the same shortcut
+            # the media gates already had; semantics identical)
+            exact_ids = intra_keep.select("id").localCheckpoint(
+                eager=True
             )
-            .filter(F.col("_sid") != F.col("id"))
-            .select("id")
-            .distinct()
-        )
-        exact_ids = intra_keep.select("id").join(
-            store_hit, "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        else:
+            # same-id store rows are the batch's own crash-replayed
+            # appends — never grounds for rejection
+            store_hit = (
+                intra_keep.join(
+                    store_fp.select("fp", F.col("id").alias("_sid")), "fp"
+                )
+                .filter(F.col("_sid") != F.col("id"))
+                .select("id")
+                .distinct()
+            )
+            exact_ids = intra_keep.select("id").join(
+                store_hit, "id", "left_anti"
+            ).localCheckpoint(eager=True)
 
         # ---- gate 2: media near-dup (candidates -> content verify) -
+        _label("gate 2: image hash pass")
         exact_docs = fresh.join(
             exact_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
         )
@@ -373,6 +393,7 @@ def stream_ingest_unified(
             )
             .localCheckpoint(eager=True)  # one decode pass, reused 4x
         )
+        _label("gate 2: image pair verify")
         media_rejected, store_media, _ = _content_dup_losers(
             spark, hashes, paths["media"], max_hamming
         )
@@ -388,6 +409,7 @@ def stream_ingest_unified(
         md_docs = fresh.join(
             media_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
         )
+        _label("gate 2b: clip hash pass")
         vhashes = (
             video_hasher(md_docs, id_col=id_col, text_col=text_col)
             .select(
@@ -398,6 +420,7 @@ def stream_ingest_unified(
             )
             .localCheckpoint(eager=True)
         )
+        _label("gate 2b: clip pair verify")
         video_rejected, store_video, _ = _content_dup_losers(
             spark, vhashes, paths["video"], max_hamming
         )
@@ -406,12 +429,19 @@ def stream_ingest_unified(
         ).localCheckpoint(eager=True)
 
         # ---- gate 3: boilerplate strip at admission ----------------
+        _label("gate 3: passage count + strip")
         surv_docs = fresh.join(
             video_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
         ).localCheckpoint(eager=True)
         from ..llm.dedup import passage_rows
 
-        meta = PF.load_passage_freq_meta(spark, paths["passages"])
+        if "pf_meta" not in gate_cache:
+            # store meta is immutable for the store's lifetime — one
+            # read per stream, not one whole job per micro-batch
+            gate_cache["pf_meta"] = PF.load_passage_freq_meta(
+                spark, paths["passages"]
+            )
+        meta = gate_cache["pf_meta"]
         chunks = passage_rows(
             surv_docs, meta["block"], text_col, id_col
         ).localCheckpoint(eager=True)
@@ -424,15 +454,28 @@ def stream_ingest_unified(
             batch_id=f"{gate_id}-{int(batch_id)}",
             chunks=chunks,
         )
-        cleaned = PF.strip_boilerplate_against_store(
-            spark, paths["passages"], surv_docs, min_doc_freq,
-            text_col, id_col, chunks=chunks,
+        rebuilt = PF.strip_rebuilt_against_store(
+            spark, paths["passages"], chunks, min_doc_freq
         ).withColumnRenamed("id", id_col)
-        # not checkpointed: consumed exactly once by budget_filter,
-        # whose accepted output is the pinned relation
-        stripped = surv_docs.join(cleaned, id_col)
+        # ONE left join attaches the strip result (round 13, guide
+        # §2.4): ids are unique per batch (the loud guard above), so
+        # the generic strip's dropDuplicates + doc-relation join +
+        # second attach join collapse to this single join with the
+        # same 0/0/NULL defaults _rebuild_cleaned produces for
+        # token-less docs. Not checkpointed: consumed exactly once by
+        # budget_filter, whose accepted output is the pinned relation.
+        _surv_cols = [id_col] + [
+            c for c in surv_docs.columns if c != id_col
+        ]
+        stripped = surv_docs.join(rebuilt, id_col, "left").select(
+            *_surv_cols,
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.col("text_clean"),
+        )
 
         # ---- gate 4: per-source token budgets on CLEAN text --------
+        _label("gate 4: budgets")
         consumed = read_consumed_tokens(
             spark,
             paths["budget_stats"],
@@ -449,6 +492,15 @@ def stream_ingest_unified(
         ).localCheckpoint(eager=True)
 
         # ---- commits: every store BEFORE the warehouse -------------
+        # The five store commits are INDEPENDENT (separate dirs, all
+        # reading pinned checkpoints), so they run from a small thread
+        # pool (round 13, guide §2.6: overlap independent jobs — each
+        # commit is a short multi-stage job whose scheduling latency
+        # otherwise serializes). The pool joins before the attrition
+        # row and the warehouse append, so the crash contract (every
+        # store write precedes the warehouse append) is unchanged.
+        _label("store commits")
+        batch_empty = accepted.isEmpty()
         delta = (
             accepted.groupBy(source_col)
             .agg(F.sum("_n_tok").alias("n_tokens"))
@@ -459,73 +511,130 @@ def stream_ingest_unified(
                 F.col("n_tokens").cast("bigint").alias("n_tokens"),
             )
         )
-        if not accepted.isEmpty():
-            delta.repartition(1).write.mode("append").parquet(
-                paths["budget_stats"]
-            )
         acc_ids = accepted.select(
             F.col(id_col).cast("bigint").alias("id")
         )
+        # round 13: the three hash-store appends write UNCONDITIONALLY
+        # — each old isEmpty() guard computed the append's whole join
+        # lineage once just to decide whether to compute it again for
+        # the write (2 jobs per store where 1 suffices). An empty
+        # append commits an empty parquet part, which the read path
+        # (read_table_or_empty + dropDuplicates disciplines) already
+        # handles; replay idempotency is untouched (same anti-joins).
         fp_new = fpd.join(acc_ids, "id", "left_semi")
         fp_seen = read_table_or_empty(
             spark, paths["fingerprints"], _FP_SCHEMA
         ).select("id")
         fp_new = fp_new.join(fp_seen, "id", "left_anti")
-        if not fp_new.isEmpty():
-            fp_new.write.mode("append").parquet(paths["fingerprints"])
         med_new = (
             hashes.filter(F.col("phash").isNotNull())
             .join(acc_ids, "id", "left_semi")
             .select("id", "phash", "content_sha")
             .join(store_media.select("id"), "id", "left_anti")
         )
-        if not med_new.isEmpty():
-            med_new.write.mode("append").parquet(paths["media"])
         vid_new = (
             vhashes.filter(F.col("phash").isNotNull())
             .join(acc_ids, "id", "left_semi")
             .select("id", "phash", "content_sha")
             .join(store_video.select("id"), "id", "left_anti")
         )
-        if not vid_new.isEmpty():
-            vid_new.write.mode("append").parquet(paths["video"])
-        if not accepted.isEmpty():
-            KV.append_to_kmv_store(
-                spark, paths["kmv"], accepted, source_col, "text_clean"
+
+        def _commit_delta() -> None:
+            delta.repartition(1).write.mode("append").parquet(
+                paths["budget_stats"]
             )
 
+        def _commit_fp() -> None:
+            fp_new.write.mode("append").parquet(paths["fingerprints"])
+
+        def _commit_media() -> None:
+            med_new.write.mode("append").parquet(paths["media"])
+
+        def _commit_video() -> None:
+            vid_new.write.mode("append").parquet(paths["video"])
+
+        def _commit_kmv() -> None:
+            if "kmv_meta" not in gate_cache:
+                gate_cache["kmv_meta"] = KV.load_kmv_meta(
+                    spark, paths["kmv"]
+                )
+            KV.append_to_kmv_store(
+                spark, paths["kmv"], accepted, source_col, "text_clean",
+                meta=gate_cache["kmv_meta"],
+            )
+
+        commits = [_commit_fp, _commit_media, _commit_video]
+        if not batch_empty:
+            commits += [_commit_delta, _commit_kmv]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run_commit(fn) -> None:
+            # job descriptions are JVM-thread-local — label each
+            # commit thread's jobs independently
+            spark.sparkContext.setJobDescription(
+                f"unified b{batch_id}: store commits"
+            )
+            fn()
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            # list() re-raises the first failure — a failed store
+            # commit must still abort the batch before the warehouse
+            list(pool.map(_run_commit, commits))
+
+        _label("attrition fold")
         # ---- attrition row (per source, this batch) ----------------
-        # ONE per-id flags relation folded by ONE groupBy (round 12,
-        # r11 verdict #3): the old shape ran four separate left-semi
-        # recounts plus a 5-way per-source join — ~9 exchanges per
-        # micro-batch on a fixed-cost-dominated sink. Gate survivor
-        # sets are nested (accepted ⊆ video ⊆ media ⊆ exact ⊆
-        # arrived), so per-id membership flags joined once by id and
-        # summed per source reproduce every funnel count; ids are
-        # unique per batch (the loud guard above), so the left joins
-        # are 1:1 and the arithmetic is exact.
+        # ONE flags relation via UNION, folded by one groupBy(id) and
+        # attached to the arrival spine with ONE join (round 13; the
+        # round-12 fold still paid FOUR sequential per-id left joins —
+        # each its own exchange + AQE stage job on a fixed-cost-
+        # dominated sink; a union of the already-checkpointed id sets
+        # is exchange-free, so the whole fold is now 3 batch-sized
+        # shuffles: flag groupBy, spine join, source groupBy). Gate
+        # survivor sets are nested (accepted ⊆ video ⊆ media ⊆ exact ⊆
+        # arrived) and ids are unique per batch (the loud guard
+        # above), so max-per-id flags summed per source reproduce
+        # every funnel count exactly as the join form did.
         src_of = fresh.select(
             F.col(id_col).cast("bigint").alias("id"), source_col
         )
-        flags = (
-            src_of.join(
-                exact_ids.withColumn("_ex", F.lit(1)), "id", "left"
+        _z = F.lit(0).cast("bigint")
+
+        def _flag_rows(ids: DataFrame, which: str) -> DataFrame:
+            cols = {
+                "_ex": _z, "_md": _z, "_vd": _z,
+                "_acc": _z, "_rm": _z, "_tok": _z,
+            }
+            cols[which] = F.lit(1).cast("bigint")
+            return ids.select(
+                "id", *[c.alias(n) for n, c in cols.items()]
             )
-            .join(media_ids.withColumn("_md", F.lit(1)), "id", "left")
-            .join(video_ids.withColumn("_vd", F.lit(1)), "id", "left")
-            .join(
+
+        flag_union = (
+            _flag_rows(exact_ids, "_ex")
+            .unionByName(_flag_rows(media_ids, "_md"))
+            .unionByName(_flag_rows(video_ids, "_vd"))
+            .unionByName(
                 accepted.select(
                     F.col(id_col).cast("bigint").alias("id"),
-                    F.lit(1).alias("_acc"),
-                    F.col("n_removed").alias("_rm"),
-                    F.col("_n_tok").alias("_tok"),
-                ),
-                "id",
-                "left",
+                    _z.alias("_ex"), _z.alias("_md"), _z.alias("_vd"),
+                    F.lit(1).cast("bigint").alias("_acc"),
+                    F.col("n_removed").cast("bigint").alias("_rm"),
+                    F.col("_n_tok").cast("bigint").alias("_tok"),
+                )
             )
         )
+        flags = flag_union.groupBy("id").agg(
+            F.max("_ex").alias("_ex"),
+            F.max("_md").alias("_md"),
+            F.max("_vd").alias("_vd"),
+            F.max("_acc").alias("_acc"),
+            F.max("_rm").alias("_rm"),
+            F.max("_tok").alias("_tok"),
+        )
         att = (
-            flags.groupBy(source_col)
+            src_of.join(flags, "id", "left")
+            .groupBy(source_col)
             .agg(
                 F.count(F.lit(1)).alias("n_arrived"),
                 F.sum(F.coalesce("_ex", F.lit(0))).alias("_ae"),
@@ -554,10 +663,12 @@ def stream_ingest_unified(
         write_idempotent_run(att, paths["attrition"], run_id=run_id)
 
         # ---- warehouse append (exactly-once via the id anti-join) --
-        if not accepted.isEmpty():
+        _label("warehouse append")
+        if not batch_empty:
             accepted.drop("_n_tok").write.mode("append").option(
                 "compression", "snappy"
             ).parquet(warehouse_path)
+        spark.sparkContext.setJobDescription(None)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

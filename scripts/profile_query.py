@@ -31,8 +31,14 @@ os.environ["PYTHONPATH"] = (
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=_positive_int, default=3)
     ap.add_argument("--explain-dir", default=None)
     ap.add_argument(
         "--sf-dir",

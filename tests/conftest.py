@@ -23,6 +23,27 @@ SF_SMOKE = os.path.join(
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from tests/slow_tier.txt (see
+    pytest.ini: the default run is the fast tier; `-m slow` runs the
+    heavy tier — registry sweeps mark themselves in-file)."""
+    ledger = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "slow_tier.txt"
+    )
+    try:
+        with open(ledger) as fh:
+            slow_ids = {
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
