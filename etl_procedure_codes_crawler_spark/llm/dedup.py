@@ -208,15 +208,13 @@ def _shared_shingle_counts(
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
     # no broadcast hint on sizes: it has one row per corpus DOCUMENT —
     # forcing a broadcast would collect the whole per-doc table to the
-    # driver at real scale. shuffle_hash with the PAIR side as build
-    # (round 13, verdict r12 #4): sort-merge would SORT the per-doc
-    # size table per partition; shuffled-hash builds the (much
-    # smaller) pair relation per partition and probes sizes unsorted.
-    # AQE still broadcast-promotes from runtime truth when tiny.
-    return (
-        shared.hint("shuffle_hash").join(sa, "doc_a")
-        .hint("shuffle_hash").join(sb, "doc_b")
-    )
+    # driver at real scale. No shuffle_hash hint either (round 13,
+    # MEASURED): a user join hint binds AQE's hands — with the hint,
+    # the runtime-small pair relation could no longer be
+    # broadcast-promoted from true sizes and near_dup_quality_survivors
+    # regressed 2.8 → 3.9 s isolated (stages 50 → 67). AQE picks
+    # broadcast when truth allows and shuffled joins otherwise.
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def ngram_jaccard_pairs(

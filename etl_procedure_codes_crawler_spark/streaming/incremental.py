@@ -1146,6 +1146,8 @@ def stream_ingest_with_boilerplate(
     history."""
     from ..llm import passagefreq as PF
 
+    _cache: dict[str, object] = {}
+
     def _sink(batch: DataFrame, batch_id: int) -> None:
         rows = (
             batch.filter(F.col(id_col).isNotNull())
@@ -1174,7 +1176,13 @@ def stream_ingest_with_boilerplate(
         from ..llm.dedup import passage_rows
 
         gate_id = _stream_gate_id(spark, checkpoint_dir)
-        meta = PF.load_passage_freq_meta(spark, store_path)
+        if "pf_meta" not in _cache:
+            # store meta is immutable for the store's lifetime — one
+            # read per stream, not one whole job per micro-batch
+            _cache["pf_meta"] = PF.load_passage_freq_meta(
+                spark, store_path
+            )
+        meta = _cache["pf_meta"]
         chunks = passage_rows(
             fresh, meta["block"], text_col, id_col
         ).localCheckpoint(eager=True)
@@ -1187,11 +1195,22 @@ def stream_ingest_with_boilerplate(
             batch_id=f"{gate_id}-{int(batch_id)}",
             chunks=chunks,
         )
-        cleaned = PF.strip_boilerplate_against_store(
-            spark, store_path, fresh, min_doc_freq, text_col, id_col,
-            chunks=chunks,
+        # ONE left join attaches the strip result (round 13, guide
+        # §2.4; ids are unique per batch — dropDuplicates above): the
+        # generic strip's dropDuplicates + doc join + second attach
+        # join collapse to this, with _rebuild_cleaned's exact
+        # 0/0/NULL defaults for token-less docs
+        rebuilt = PF.strip_rebuilt_against_store(
+            spark, store_path, chunks, min_doc_freq
         ).withColumnRenamed("id", id_col)
-        fresh.join(cleaned, id_col).write.mode("append").option(
+        _cols = [id_col] + [c for c in fresh.columns if c != id_col]
+        stripped = fresh.join(rebuilt, id_col, "left").select(
+            *_cols,
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.col("text_clean"),
+        )
+        stripped.write.mode("append").option(
             "compression", "snappy"
         ).parquet(warehouse_path)
 

@@ -641,13 +641,14 @@ class TestBoilerplateIngest:
             for i in range(1, 6)
         ]
         self._drop_docs(spark, dirs["source"], "b1", rows)
-        real_strip = PFmod.strip_boilerplate_against_store
+        # the sink strips via the attach-it-yourself form (round 13)
+        real_strip = PFmod.strip_rebuilt_against_store
 
         def exploding(*a, **k):
             raise RuntimeError("crash after counts, before warehouse")
 
         monkeypatch.setattr(
-            PFmod, "strip_boilerplate_against_store", exploding
+            PFmod, "strip_rebuilt_against_store", exploding
         )
         with _pytest.raises(StreamingQueryException):
             self._run(spark, dirs, store)
@@ -661,7 +662,7 @@ class TestBoilerplateIngest:
         # same-checkpoint replay: frequencies unchanged, strip matches
         # the batch operator exactly (as if the crash never happened)
         monkeypatch.setattr(
-            PFmod, "strip_boilerplate_against_store", real_strip
+            PFmod, "strip_rebuilt_against_store", real_strip
         )
         self._run(spark, dirs, store)
         assert (
