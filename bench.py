@@ -173,9 +173,11 @@ HEADLINE = [
     "duplicate_spans_lsh_prod",
     # ... and the md5 oracle twin STAYS benched (optimization round 12:
     # the driver contract allows ADDING bench rows, never removing —
-    # the interrupted build had dropped this BENCH_r11 row; its floor
-    # is re-based to its md5-mode cost in bench_floors.json, the
-    # documented-re-base path of r11 verdict #2)
+    # the interrupted build had dropped this BENCH_r11 row). Round 13
+    # (ADVICE r12): the row ran FLOORLESS through round 12 — the
+    # claimed md5-mode re-base had never landed in bench_floors.json;
+    # it now carries a certified md5-mode floor (4.12, protocol in the
+    # floors file's _comment)
     "duplicate_spans_lsh_scoped",
     # round-7 second half: the Gopher hand-rule battery (map-only
     # projection), exact TV drift (one corpus shuffle + pinned

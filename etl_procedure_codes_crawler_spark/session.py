@@ -87,22 +87,20 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Codegen compile cache (round 12, guide §1.2/§7.2): the
-        # default 100-entry LRU cannot hold one pass of a ~100-query
-        # suite — every repeated execution re-runs Janino on every
-        # WholeStageCodegen fragment (driver-side, serial). A workload-
-        # sized cache makes repeated plan shapes compile once per JVM.
-        # Scale-independent: entries are generated-class sources keyed
-        # by code text; the same setting is right on a cluster driver.
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
-        # Generated classes + Spark's own hot paths overflow the JVM's
-        # default 240 MB code cache on long multi-query sessions
-        # (measured 119 MB profiled-nmethod heap nearly full mid-bench)
-        # — once full, the JIT stops compiling and throughput decays.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
-        )
+        # REVERTED (round 13, verdict r12 #6): round 12's unmeasured
+        # JVM twiddles — spark.sql.codegen.cache.maxEntries=10000 and
+        # -XX:ReservedCodeCacheSize=512m — were A/B-benched this round
+        # and removed. Raw headline totals favored ON (162.7 vs
+        # 216.8 s) but the host yardstick moved 0.88 → 1.32 between
+        # the arms (box-normalized the OFF arm was FASTER), and only
+        # the ON arm exhibited a 6x late-JVM isolation-recheck decay —
+        # consistent with the 10000-entry cache PINNING every
+        # generated class (their compiled nmethods can never be
+        # evicted, raising JIT code-cache pressure late in a ~200-plan
+        # session). No reproducible win + one plausible harm + the
+        # static-conf first-session-only caveat (ADVICE r12) = revert
+        # per guide §1.2 (configuration last, only with measurement).
+        # Numbers in OPTIMIZATION_r13.md.
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
