@@ -313,21 +313,12 @@ PNG_WIDTH = 16
 PNG_CORRUPT_EVERY = 50
 
 
-def documents_as_png(
-    documents: DataFrame,
-    width: int = PNG_WIDTH,
-    corrupt_every: int = PNG_CORRUPT_EVERY,
-) -> DataFrame:
-    """Deterministic REAL-format media corpus #2: each document's
-    utf-8 bytes become the pixel data of a valid 8-bit GRAYSCALE PNG
-    (width fixed, height = ceil(bytes / width), zero-padded). Rows
-    alternate filter types None and Up so the gate exercises the
-    un-filter path, not just the chunk walk + inflate. Every
-    ``corrupt_every``-th doc is truncated mid-file to exercise the
-    decode-error path. Geometry is closed-form in byte length, so a
-    SQL oracle mirrors the decoded stats exactly (pixel CONTENT
-    round-trips are pinned byte-for-byte in tests/test_multimodal.py).
-    """
+def _png_synth_batches(
+    batches: "Iterator[pd.DataFrame]", width: int, corrupt_every: int
+) -> "Iterator[pd.DataFrame]":
+    """The PNG synthesis as a plain batch generator - shared by
+    documents_as_png and the fused image_hashes_from_documents
+    (round 13, guide 4.1)."""
     import struct
     import zlib
 
@@ -339,7 +330,7 @@ def documents_as_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, payloads, mimes, sizes, sources = [], [], [], [], []
             for doc_id, text, source in zip(
@@ -382,6 +373,26 @@ def documents_as_png(
                     "source": sources,
                 }
             )
+    return _gen(batches)
+
+
+def documents_as_png(
+    documents: DataFrame,
+    width: int = PNG_WIDTH,
+    corrupt_every: int = PNG_CORRUPT_EVERY,
+) -> DataFrame:
+    """Deterministic REAL-format media corpus #2: each document's
+    utf-8 bytes become the pixel data of a valid 8-bit GRAYSCALE PNG
+    (width fixed, height = ceil(bytes / width), zero-padded). Rows
+    alternate filter types None and Up so the gate exercises the
+    un-filter path, not just the chunk walk + inflate. Every
+    ``corrupt_every``-th doc is truncated mid-file to exercise the
+    decode-error path. Geometry is closed-form in byte length, so a
+    SQL oracle mirrors the decoded stats exactly (pixel CONTENT
+    round-trips are pinned byte-for-byte in tests/test_multimodal.py).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _png_synth_batches(batches, width, corrupt_every)
 
     return documents.select("doc_id", "text", "source").mapInPandas(
         run, schema=MEDIA_SCHEMA
@@ -830,46 +841,89 @@ def image_hashes(
     hasher = _PHASH_METHODS[method]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for batch in batches:
-            out = {"media_id": [], "mime": [], "phash": [],
-                   "decode_error": []}
-            if content_key:
-                out["content_sha"] = []
-            for media_id, mime, payload in zip(
-                batch["media_id"], batch["mime"], batch["payload"]
-            ):
-                phash = None
-                error = None
-                sha = None
-                try:
-                    w, h, c, pix = decoder(
-                        payload if payload is not None else b""
-                    )
-                    phash = hasher(pix, w, h, c)
-                    if content_key:
-                        sha = hashlib.sha256(bytes(pix)).hexdigest()
-                except NotImplementedError:
-                    raise  # missing codec library: loud, not a data error
-                except Exception as exc:  # noqa: BLE001 — error-as-data
-                    error = repr(exc)
-                out["media_id"].append(media_id)
-                out["mime"].append(mime)
-                out["phash"].append(phash)
-                out["decode_error"].append(error)
-                if content_key:
-                    out["content_sha"].append(sha)
-            # nullable Int64, NOT an object column: a batch holding one
-            # NULL phash (a decode-error row) would otherwise coerce
-            # the whole column through float64 on the Arrow hop, and
-            # 64-bit hashes above 2**53 silently lose their low bits
-            # (observed: ...466 arriving as ...464 only in batches that
-            # also carried a corrupt image)
-            out["phash"] = pd.array(out["phash"], dtype="Int64")
-            yield pd.DataFrame(out)
+        return _image_hash_batches(batches, decoder, hasher, content_key)
 
     return media.mapInPandas(
+        run, schema=PHASH_CONTENT_SCHEMA if content_key else PHASH_SCHEMA
+    )
+
+
+def _image_hash_batches(
+    batches: Iterator[pd.DataFrame], decoder, hasher, content_key: bool
+) -> Iterator[pd.DataFrame]:
+    """The decode+hash pass as a plain batch generator — shared by
+    image_hashes and the fused image_hashes_from_documents."""
+    import hashlib
+
+    for batch in batches:
+        out = {"media_id": [], "mime": [], "phash": [],
+               "decode_error": []}
+        if content_key:
+            out["content_sha"] = []
+        for media_id, mime, payload in zip(
+            batch["media_id"], batch["mime"], batch["payload"]
+        ):
+            phash = None
+            error = None
+            sha = None
+            try:
+                w, h, c, pix = decoder(
+                    payload if payload is not None else b""
+                )
+                phash = hasher(pix, w, h, c)
+                if content_key:
+                    sha = hashlib.sha256(bytes(pix)).hexdigest()
+            except NotImplementedError:
+                raise  # missing codec library: loud, not a data error
+            except Exception as exc:  # noqa: BLE001 — error-as-data
+                error = repr(exc)
+            out["media_id"].append(media_id)
+            out["mime"].append(mime)
+            out["phash"].append(phash)
+            out["decode_error"].append(error)
+            if content_key:
+                out["content_sha"].append(sha)
+        # nullable Int64, NOT an object column: a batch holding one
+        # NULL phash (a decode-error row) would otherwise coerce
+        # the whole column through float64 on the Arrow hop, and
+        # 64-bit hashes above 2**53 silently lose their low bits
+        # (observed: ...466 arriving as ...464 only in batches that
+        # also carried a corrupt image)
+        out["phash"] = pd.array(out["phash"], dtype="Int64")
+        yield pd.DataFrame(out)
+
+
+def image_hashes_from_documents(
+    documents: DataFrame,
+    width: int = PNG_WIDTH,
+    corrupt_every: int = PNG_CORRUPT_EVERY,
+    decoder=default_decoder,
+    method: str = "dhash",
+    content_key: bool = False,
+) -> DataFrame:
+    """FUSED PNG synthesis + decode/hash (round 13, guide §4.1):
+    composing :func:`_png_synth_batches` and
+    :func:`_image_hash_batches` inside ONE mapInPandas keeps the PNG
+    payload bytes from ever crossing the Python↔JVM boundary — the
+    two-operator form (``image_hashes(documents_as_png(df))``)
+    pipelines in one Spark stage but still Arrow-serializes every
+    payload out of the synth pass and back into the hash pass. Same
+    row functions, so the output is identical row-for-row."""
+    if method not in _PHASH_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
+        )
+    hasher = _PHASH_METHODS[method]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _image_hash_batches(
+            _png_synth_batches(batches, width, corrupt_every),
+            decoder,
+            hasher,
+            content_key,
+        )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
         run, schema=PHASH_CONTENT_SCHEMA if content_key else PHASH_SCHEMA
     )
 

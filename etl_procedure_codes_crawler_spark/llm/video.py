@@ -90,6 +90,64 @@ def encode_frame_jpeg(chunk: bytes, width: int = VIDEO_FRAME_WIDTH) -> bytes:
     return encode_jpeg(pix, width, height, channels=1)
 
 
+def _mjpeg_synth_batches(
+    batches: Iterator[pd.DataFrame],
+    width: int,
+    max_frames: int,
+    corrupt_container_every: int,
+    corrupt_sample_every: int,
+) -> Iterator[pd.DataFrame]:
+    """The MJPEG-in-MP4 synthesis as a plain batch generator —
+    shared by documents_as_mjpeg_mp4 and the fused
+    clip_identity_from_documents (round 13, guide §4.1)."""
+    for batch in batches:
+        ids, payloads, mimes, sizes, sources = [], [], [], [], []
+        for doc_id, text, source in zip(
+            batch["doc_id"], batch["text"], batch["source"]
+        ):
+            data = (text or "").encode("utf-8")
+            n_frames = min(
+                max_frames, max(1, len((text or "").split()))
+            )
+            frames = [
+                encode_frame_jpeg(c, width)
+                for c in _frame_chunks(data, n_frames)
+            ]
+            if (
+                corrupt_sample_every
+                and doc_id % corrupt_sample_every == 0
+                and not (
+                    corrupt_container_every
+                    and doc_id % corrupt_container_every == 0
+                )
+            ):
+                # same length => identical sample table/offsets,
+                # but no SOI marker => decode_jpeg raises
+                frames[0] = b"\x00" * len(frames[0])
+            payload = build_mp4_samples(
+                frames, width=width, height=width, codec=b"jpeg"
+            )
+            if (
+                corrupt_container_every
+                and doc_id % corrupt_container_every == 0
+            ):
+                payload = payload[: max(12, len(payload) // 2)]
+            ids.append(doc_id)
+            payloads.append(payload)
+            mimes.append("video/mp4")
+            sizes.append(len(payload))
+            sources.append(source)
+        yield pd.DataFrame(
+            {
+                "media_id": ids,
+                "payload": payloads,
+                "mime": mimes,
+                "n_bytes": sizes,
+                "source": sources,
+            }
+        )
+
+
 def documents_as_mjpeg_mp4(
     documents: DataFrame,
     width: int = VIDEO_FRAME_WIDTH,
@@ -110,53 +168,11 @@ def documents_as_mjpeg_mp4(
     payload bytes, so planted twin documents become byte-identical
     duplicate clips."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            ids, payloads, mimes, sizes, sources = [], [], [], [], []
-            for doc_id, text, source in zip(
-                batch["doc_id"], batch["text"], batch["source"]
-            ):
-                data = (text or "").encode("utf-8")
-                n_frames = min(
-                    max_frames, max(1, len((text or "").split()))
-                )
-                frames = [
-                    encode_frame_jpeg(c, width)
-                    for c in _frame_chunks(data, n_frames)
-                ]
-                if (
-                    corrupt_sample_every
-                    and doc_id % corrupt_sample_every == 0
-                    and not (
-                        corrupt_container_every
-                        and doc_id % corrupt_container_every == 0
-                    )
-                ):
-                    # same length => identical sample table/offsets,
-                    # but no SOI marker => decode_jpeg raises
-                    frames[0] = b"\x00" * len(frames[0])
-                payload = build_mp4_samples(
-                    frames, width=width, height=width, codec=b"jpeg"
-                )
-                if (
-                    corrupt_container_every
-                    and doc_id % corrupt_container_every == 0
-                ):
-                    payload = payload[: max(12, len(payload) // 2)]
-                ids.append(doc_id)
-                payloads.append(payload)
-                mimes.append("video/mp4")
-                sizes.append(len(payload))
-                sources.append(source)
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "payload": payloads,
-                    "mime": mimes,
-                    "n_bytes": sizes,
-                    "source": sources,
-                }
-            )
+    def run(batches):
+        return _mjpeg_synth_batches(
+            batches, width, max_frames,
+            corrupt_container_every, corrupt_sample_every,
+        )
 
     return documents.select("doc_id", "text", "source").mapInPandas(
         run, schema=MEDIA_SCHEMA
@@ -572,8 +588,6 @@ def clip_identity_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
       decodes — otherwise phash/content_sha are NULL and decode_error
       carries the reason (the no-perceptual-identity admission path).
     """
-    import hashlib
-
     if method not in _PHASH_METHODS:
         raise ValueError(
             f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
@@ -581,52 +595,98 @@ def clip_identity_hashes(media: DataFrame, method: str = "dhash") -> DataFrame:
     hasher = _PHASH_METHODS[method]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpeg import decode_jpeg
-
-        for batch in batches:
-            out = {k.name: [] for k in CLIP_IDENTITY_SCHEMA.fields}
-            for media_id, payload in zip(
-                batch["media_id"], batch["payload"]
-            ):
-                data = bytes(payload) if payload is not None else b""
-                phash = sha = None
-                error = None
-                try:
-                    info = parse_mp4(data)
-                    first = None
-                    n_kf = 0
-                    for t in info["tracks"]:
-                        sizes = t.get("sample_sizes") or []
-                        offs = sample_file_offsets(t)
-                        for kf in t.get("keyframes") or []:
-                            if not 1 <= kf <= len(sizes):
-                                raise ValueError(
-                                    f"keyframe {kf} outside sample table"
-                                )
-                            lo = offs[kf - 1]
-                            fw, fh, fc, pix = decode_jpeg(
-                                data[lo : lo + sizes[kf - 1]]
-                            )
-                            n_kf += 1
-                            if first is None:
-                                first = hasher(pix, fw, fh, fc)
-                    if n_kf == 0:
-                        raise ValueError("no keyframes: no identity")
-                    phash = first
-                    sha = hashlib.sha256(data).hexdigest()
-                except NotImplementedError:
-                    raise  # missing codec: loud, not a data error
-                except Exception as exc:  # noqa: BLE001 — admit, no identity
-                    error = repr(exc)
-                out["media_id"].append(media_id)
-                out["phash"].append(phash)
-                out["content_sha"].append(sha)
-                out["decode_error"].append(error)
-            for name in ("media_id", "phash"):
-                out[name] = pd.array(out[name], dtype="Int64")
-            yield pd.DataFrame(out)
+        return _clip_identity_batches(batches, hasher)
 
     return media.select("media_id", "payload").mapInPandas(
+        run, schema=CLIP_IDENTITY_SCHEMA
+    )
+
+
+def _clip_identity_batches(
+    batches: Iterator[pd.DataFrame], hasher
+) -> Iterator[pd.DataFrame]:
+    """The clip-identity pass as a plain batch generator — shared by
+    clip_identity_hashes and the fused clip_identity_from_documents."""
+    import hashlib
+
+    from .jpeg import decode_jpeg
+
+    for batch in batches:
+        out = {k.name: [] for k in CLIP_IDENTITY_SCHEMA.fields}
+        for media_id, payload in zip(
+            batch["media_id"], batch["payload"]
+        ):
+            data = bytes(payload) if payload is not None else b""
+            phash = sha = None
+            error = None
+            try:
+                info = parse_mp4(data)
+                first = None
+                n_kf = 0
+                for t in info["tracks"]:
+                    sizes = t.get("sample_sizes") or []
+                    offs = sample_file_offsets(t)
+                    for kf in t.get("keyframes") or []:
+                        if not 1 <= kf <= len(sizes):
+                            raise ValueError(
+                                f"keyframe {kf} outside sample table"
+                            )
+                        lo = offs[kf - 1]
+                        fw, fh, fc, pix = decode_jpeg(
+                            data[lo : lo + sizes[kf - 1]]
+                        )
+                        n_kf += 1
+                        if first is None:
+                            first = hasher(pix, fw, fh, fc)
+                if n_kf == 0:
+                    raise ValueError("no keyframes: no identity")
+                phash = first
+                sha = hashlib.sha256(data).hexdigest()
+            except NotImplementedError:
+                raise  # missing codec: loud, not a data error
+            except Exception as exc:  # noqa: BLE001 — admit, no identity
+                error = repr(exc)
+            out["media_id"].append(media_id)
+            out["phash"].append(phash)
+            out["content_sha"].append(sha)
+            out["decode_error"].append(error)
+        for name in ("media_id", "phash"):
+            out[name] = pd.array(out[name], dtype="Int64")
+        yield pd.DataFrame(out)
+
+
+def clip_identity_from_documents(
+    documents: DataFrame,
+    width: int = VIDEO_FRAME_WIDTH,
+    max_frames: int = VIDEO_MAX_FRAMES,
+    corrupt_container_every: int = VIDEO_CORRUPT_CONTAINER_EVERY,
+    corrupt_sample_every: int = VIDEO_CORRUPT_SAMPLE_EVERY,
+    method: str = "dhash",
+) -> DataFrame:
+    """FUSED synthesis + identity (round 13, guide §4.1): composing
+    :func:`_mjpeg_synth_batches` and :func:`_clip_identity_batches`
+    inside ONE mapInPandas keeps the clip payload bytes from ever
+    crossing the Python↔JVM boundary — the two-operator form
+    (``clip_identity_hashes(documents_as_mjpeg_mp4(df))``) pipelines
+    in one Spark stage but still Arrow-serializes every payload out
+    of the synth pass and back into the identity pass. Same row
+    functions, so the output is identical row-for-row."""
+    if method not in _PHASH_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; pick from {sorted(_PHASH_METHODS)}"
+        )
+    hasher = _PHASH_METHODS[method]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _clip_identity_batches(
+            _mjpeg_synth_batches(
+                batches, width, max_frames,
+                corrupt_container_every, corrupt_sample_every,
+            ),
+            hasher,
+        )
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
         run, schema=CLIP_IDENTITY_SCHEMA
     )
 

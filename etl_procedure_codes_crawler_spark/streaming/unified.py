@@ -134,9 +134,10 @@ def png_prefix_media_hashes(
     text_col: str = "text",
 ) -> DataFrame:
     """The default media view: a real PNG of the doc's leading tokens,
-    decoded + dHashed + content-sha'd in one Arrow pass
-    (multimodal.image_hashes with content_key). Returns
-    (media_id, phash, content_sha, decode_error)."""
+    synthesized + decoded + dHashed + content-sha'd in one FUSED Arrow
+    pass (multimodal.image_hashes_from_documents — round 13, guide
+    §4.1: the payload bytes never cross the Python↔JVM boundary).
+    Returns (media_id, phash, content_sha, decode_error)."""
     from ..llm import multimodal as MM
 
     view = docs.select(
@@ -146,7 +147,7 @@ def png_prefix_media_hashes(
         ).alias("text"),
         F.lit("unified").alias("source"),
     )
-    return MM.image_hashes(MM.documents_as_png(view), content_key=True)
+    return MM.image_hashes_from_documents(view, content_key=True)
 
 
 def mjpeg_prefix_video_hashes(
@@ -178,11 +179,13 @@ def mjpeg_prefix_video_hashes(
         ).alias("text"),
         F.lit("unified").alias("source"),
     )
-    # synthesis and identity run as ONE pipelined Arrow chain —
-    # payloads never leave the task (clip_identity_hashes docstring
-    # has the history: the checkpoint+join+agg first cut cost three
-    # extra batch stages)
-    return V.clip_identity_hashes(V.documents_as_mjpeg_mp4(view))
+    # synthesis and identity run as ONE FUSED mapInPandas (round 13,
+    # guide §4.1) — payloads never leave the Python worker, where the
+    # round-11 two-operator chain still Arrow-serialized every clip
+    # out of the synth pass and back into the identity pass
+    # (clip_identity_hashes' docstring has the older history: the
+    # checkpoint+join+agg first cut cost three extra batch stages)
+    return V.clip_identity_from_documents(view)
 
 
 _FP_SCHEMA = "id bigint, fp string"
